@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ingest.{Canonicalize, CsvSource, Fixtures}
+
+/** Scans, projections, renames, null-normalization, casts — the part of
+  * the surface the reference actually implements (SURVEY.md §2.1 R2-R5),
+  * plus the [EXT] filter/cast queries (§2.2).
+  */
+object ScanProject {
+
+  /** q01: the reference's full input contract end-to-end — `;`/ISO-8859-1
+    * CSV with messy headers (R2), sanitize-rename (R3), drop the extra
+    * column (R4), empty→null (R5) — then project the lossless (int/string)
+    * columns so the oracle can compare against the parquet source the
+    * fixture was written from. */
+  val q01ScanCsv: Q = (spark, dir) => {
+    val path = Fixtures.messyLineitemCsv(spark, dir)
+    val raw = CsvSource.readBatch(spark, path)
+    val canon = Canonicalize(raw, Fixtures.lineitemCanonicalCols)
+    orderAll(canon.select(
+      col("l_orderkey").try_cast(LongType).as("l_orderkey"),
+      col("l_linenumber").try_cast(IntegerType).as("l_linenumber"),
+      col("l_returnflag"),
+      col("l_linestatus")))
+  }
+
+  /** q02: plain parquet scan + projection; Catalyst must push the column
+    * pruning into the scan (ReadSchema shows only 4 columns). */
+  val q02ScanParquet: Q = (spark, dir) =>
+    orderAll(t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity"))
+
+  /** q03: R3+R4 as a standalone op — messy-rename lineitem in-plan, add a
+    * junk column, then sanitize+project back onto the canonical set. */
+  val q03ProjectRename: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+    val messy = li.select(li.columns.map(c =>
+      col(c).as(Fixtures.messyLineitemHeaders.getOrElse(c, c))).toIndexedSeq: _*)
+      .withColumn("Extra.Col!", lit("drop-me"))
+    val canon = Canonicalize.sanitizeColumns(messy)
+    val keep = Fixtures.lineitemCanonicalCols.toSet
+    orderAll(canon
+      .select(canon.columns.filter(keep).map(col).toIndexedSeq: _*)
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"))
+  }
+
+  /** q04: R5 empty-string→null as data semantics; a deterministic slice of
+    * rows gets an empty lang so the nullification is observable. */
+  val q04NullNormalize: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+    orderAll(d.select(
+      col("doc_id"),
+      nullif(col("text"), lit("")).as("text_n"),
+      nullif(when(col("doc_id") % 7 === 0, lit("")).otherwise(col("lang")), lit(""))
+        .as("lang_n"),
+      (col("text").isNull || trim(col("text")) === "").as("was_empty")))
+  }
+
+  /** q05 [EXT]: conjunctive/disjunctive predicates, BETWEEN/IN/LIKE —
+    * all pushable to the parquet scan (PushedFilters). */
+  val q05FilterPredicate: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+    orderAll(li
+      .filter(col("l_quantity").between(10, 40) &&
+        col("l_returnflag").isin("A", "R") &&
+        col("l_linestatus").like("F%") &&
+        (col("l_discount") < 0.05 || col("l_tax") > 0.04))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"))
+  }
+
+  /** q06: the settings.py:30-36 *intended* string→int casts with
+    * non-numeric → null (try_cast, identical to DuckDB TRY_CAST). */
+  val q06CastTypes: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+    val s = when(col("l_orderkey") % 10 === 0, lit("n/a"))
+      .otherwise(col("l_linenumber").cast(StringType))
+    orderAll(li.select(
+      col("l_orderkey"),
+      col("l_linenumber"),
+      s.as("raw_s"),
+      s.try_cast(IntegerType).as("cast_i")))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q01_scan_csv" -> q01ScanCsv,
+    "q02_scan_parquet" -> q02ScanParquet,
+    "q03_project_rename" -> q03ProjectRename,
+    "q04_null_normalize" -> q04NullNormalize,
+    "q05_filter_predicate" -> q05FilterPredicate,
+    "q06_cast_types" -> q06CastTypes)
+
+  val oracles: Map[String, String] = Map(
+    "q01_scan_csv" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus
+        |FROM lineitem
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
+    "q02_scan_parquet" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+        |FROM lineitem
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
+    "q03_project_rename" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus
+        |FROM lineitem
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
+    "q04_null_normalize" ->
+      """SELECT doc_id,
+        |  nullif(text, '') AS text_n,
+        |  nullif(CASE WHEN doc_id % 7 = 0 THEN '' ELSE lang END, '') AS lang_n,
+        |  (text IS NULL OR trim(text) = '') AS was_empty
+        |FROM documents
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
+    "q05_filter_predicate" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 40
+        |  AND l_returnflag IN ('A','R')
+        |  AND l_linestatus LIKE 'F%'
+        |  AND (l_discount < 0.05 OR l_tax > 0.04)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
+    "q06_cast_types" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_orderkey % 10 = 0 THEN 'n/a' ELSE CAST(l_linenumber AS VARCHAR) END AS raw_s,
+        |  TRY_CAST(CASE WHEN l_orderkey % 10 = 0 THEN 'n/a' ELSE CAST(l_linenumber AS VARCHAR) END AS INTEGER) AS cast_i
+        |FROM lineitem
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin)
+}

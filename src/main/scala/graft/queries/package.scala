@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared conventions for the declared query surface (SURVEY.md §2.2).
+  *
+  * Determinism rules (§5.2): every oracled query ends in a total ORDER BY
+  * over ALL output columns (ties ⇒ identical rows ⇒ unique dump order);
+  * float aggregates are computed exactly in decimal then cast to double so
+  * Spark's parallel summation and DuckDB's serial summation cannot diverge
+  * by an ulp; timestamps are emitted as epoch-second BIGINTs or formatted
+  * strings, never raw timestamp values.
+  */
+package object queries {
+  type Q = (SparkSession, String) => DataFrame
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact sum of a double column: cast each value to DECIMAL(18,4)
+    * (wide enough for all testdata measures; rounding a ≤2-dp value to
+    * 4 dp is lossless), sum exactly, emit double.
+    * DuckDB mirror: `CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)`. */
+  def dsum(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
+
+  /** Exact mean via decimal sum / count. DuckDB mirror:
+    * `CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) / COUNT(x)`. */
+  def dmean(c: Column): Column = dsum(c) / count(c)
+
+  /** Order by every column (ascending, nulls first — both engines'
+    * default ASC null ordering differs: Spark NULLS FIRST, DuckDB NULLS
+    * LAST — so pin NULLS FIRST explicitly in SQL). */
+  def orderAll(df: DataFrame): DataFrame =
+    df.orderBy(df.columns.map(c => col(c).asc_nulls_first).toIndexedSeq: _*)
+}
