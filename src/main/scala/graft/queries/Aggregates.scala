@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Aggregation surface [EXT] (SURVEY.md §2.2). All sums over double
+  * measures go through exact decimal (see package doc) so Spark's
+  * two-phase parallel HashAggregate and DuckDB's serial sum cannot drift.
+  * Partial/final aggregation split is Catalyst's — map-side combine is
+  * free, which is exactly what survives a 100 TB groupBy. */
+object Aggregates {
+
+  /** q20: TPC-H Q1 shape — hash aggregate with multiple measures. */
+  val q20Hash: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+    val disc = oneMinus(col("l_discount"))
+    val tax = onePlus(col("l_tax"))
+    orderAll(li.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+      dsum(col("l_quantity")).as("sum_qty"),
+      dsum(col("l_extendedprice")).as("sum_base_price"),
+      // 8/12-dp sums exceed double's 15 exact digits, where decimal→double
+      // conversion differs from DuckDB by 1 ulp; round the EXACT decimal
+      // sum to 2 dp first (half-up in both engines), then double is exact.
+      round(sum(col("l_extendedprice").cast("decimal(18,4)") * disc), 2)
+        .cast("double").as("sum_disc_price"),
+      round(sum(col("l_extendedprice").cast("decimal(18,4)") * disc * tax), 2)
+        .cast("double").as("sum_charge"),
+      dmean(col("l_quantity")).as("avg_qty"),
+      dmean(col("l_extendedprice")).as("avg_price"),
+      count(lit(1)).as("count_order")))
+  }
+
+  /** q21: exact distinct aggregation (Expand + two-phase under the hood). */
+  val q21Distinct: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+    orderAll(li.groupBy(col("l_returnflag")).agg(
+      countDistinct(col("l_partkey")).as("nd_parts"),
+      countDistinct(col("l_suppkey")).as("nd_supps"),
+      count(lit(1)).as("n")))
+  }
+
+  /** q22: ROLLUP with explicit grouping flags (null keys from the rollup
+    * are disambiguated from data nulls by grouping()). */
+  val q22Rollup: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+    orderAll(li.rollup(col("l_returnflag"), col("l_linestatus")).agg(
+      count(lit(1)).as("n"),
+      dsum(col("l_quantity")).as("sum_qty"),
+      grouping(col("l_returnflag")).cast("int").as("g_rf"),
+      grouping(col("l_linestatus")).cast("int").as("g_ls")))
+  }
+
+  /** q23: CUBE — all 4 grouping combinations. */
+  val q23Cube: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+    orderAll(li.cube(col("l_returnflag"), col("l_linestatus")).agg(
+      count(lit(1)).as("n"),
+      dsum(col("l_extendedprice")).as("sum_price"),
+      grouping(col("l_returnflag")).cast("int").as("g_rf"),
+      grouping(col("l_linestatus")).cast("int").as("g_ls")))
+  }
+
+  /** q24: GROUPING SETS via the SQL surface (Dataset API has only
+    * rollup/cube; this also exercises spark.sql + temp views). */
+  val q24GroupingSets: Q = (spark, dir) => {
+    t(spark, dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+    orderAll(spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  count(1) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_ls
+        |FROM gs_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |""".stripMargin))
+  }
+
+  /** q25: approximate distinct (HLL++) — no oracle (not bit-compatible
+    * with DuckDB's approx sketch); driver records rows-only. This is the
+    * 100 TB answer to q21 when exactness isn't required. */
+  val q25ApproxDistinct: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+    orderAll(li.groupBy(col("l_returnflag")).agg(
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      approx_count_distinct(col("l_orderkey")).as("approx_orders")))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q20_agg_hash" -> q20Hash,
+    "q21_agg_distinct" -> q21Distinct,
+    "q22_agg_rollup" -> q22Rollup,
+    "q23_agg_cube" -> q23Cube,
+    "q24_agg_grouping_sets" -> q24GroupingSets,
+    "q25_agg_approx_distinct" -> q25ApproxDistinct)
+
+  val oracles: Map[String, String] = Map(
+    "q20_agg_hash" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(9,4)))), 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(9,4))) * (1 + CAST(l_tax AS DECIMAL(9,4)))), 2) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST, 8 NULLS FIRST, 9 NULLS FIRST""".stripMargin,
+    "q21_agg_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS nd_parts,
+        |  count(DISTINCT l_suppkey) AS nd_supps,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
+    "q22_agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_ls
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""".stripMargin,
+    "q23_agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_ls
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""".stripMargin,
+    "q24_agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_ls
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""".stripMargin)
+}

@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join surface [EXT] (SURVEY.md §2.2 — the reference has no joins).
+  *
+  * Scale posture per query:
+  *  - equi joins shuffle on their keys and leave strategy choice to
+  *    Catalyst/AQE (sort-merge or shuffled-hash at 100 TB);
+  *  - dimension joins broadcast explicitly (q11) or via AQE thresholds;
+  *  - the theta/range join (q15) is keyed on user_id first, so it is an
+  *    equi-join with a residual band predicate — NEVER a cartesian;
+  *  - the as-of join (q16) is the partition+sort+window formulation, which
+  *    scales as one shuffle on the key (no point-lookup loop).
+  */
+object Joins {
+
+  /** q10: plain equi inner join, strategy left to Catalyst. */
+  val q10InnerHash: Q = (spark, dir) => {
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    orderAll(o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+      .select("o_orderkey", "o_custkey", "c_name", "o_totalprice"))
+  }
+
+  /** q11: fact ⋈ broadcast(dim) — the 100 TB pattern for small dims. */
+  val q11Broadcast: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+    val p = t(spark, dir, "part")
+    orderAll(li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .filter(col("p_type") === "PROMO")
+      .select("l_orderkey", "l_linenumber", "p_name", "p_brand", "p_size"))
+  }
+
+  /** q12: left outer — unmatched customers keep null order columns. */
+  val q12LeftOuter: Q = (spark, dir) => {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders").filter(col("o_totalprice") > 350000)
+    orderAll(c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice")))
+  }
+
+  /** q13: left semi ≡ EXISTS. */
+  val q13Semi: Q = (spark, dir) => {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders").filter(col("o_totalprice") > 300000)
+    orderAll(c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment"))
+  }
+
+  /** q14: left anti ≡ NOT EXISTS. */
+  val q14Anti: Q = (spark, dir) => {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders").filter(col("o_totalprice") > 300000)
+    orderAll(c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment"))
+  }
+
+  /** q15: theta/range join — keyed on user_id (equi) with a time-band
+    * residual, so Spark plans a hash/SMJ join, not a nested loop. Counts,
+    * per user, ordered event pairs within a 10-minute follow window. */
+  val q15ThetaRange: Q = (spark, dir) => {
+    val e1 = events(spark, dir).select(
+      col("user_id"), col("event_id").as("eid1"), col("ts").as("ts1"))
+    val e2 = events(spark, dir).select(
+      col("user_id").as("user_id2"), col("event_id").as("eid2"), col("ts").as("ts2"))
+    val joined = e1.join(e2,
+      e1("user_id") === e2("user_id2") &&
+        e2("ts2") > e1("ts1") &&
+        e2("ts2") <= e1("ts1") + expr("INTERVAL 10 MINUTES"))
+    orderAll(joined.groupBy("user_id")
+      .agg(count(lit(1)).as("pair_cnt"), countDistinct(col("eid1")).as("starters")))
+  }
+
+  /** q16: as-of join — for each purchase, the latest same-user view at or
+    * before it. Partition+sort+window formulation: one shuffle on user_id,
+    * no per-row lookups; ties broken by view event_id. */
+  val q16AsOf: Q = (spark, dir) => {
+    val ev = events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_eid"), col("ts").as("p_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("v_eid"), col("ts").as("v_ts"))
+    val joined = purchases.join(views,
+      purchases("user_id") === views("v_user") && views("v_ts") <= purchases("p_ts"),
+      "inner")
+    val w = Window.partitionBy(col("p_eid"))
+      .orderBy(col("v_ts").desc, col("v_eid").desc)
+    orderAll(joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("p_eid"),
+        unix_timestamp(col("p_ts")).as("p_epoch"),
+        col("v_eid"),
+        unix_timestamp(col("v_ts")).as("v_epoch")))
+  }
+
+  /** q17: star-schema chain region→nation→customer→orders→lineitem with
+    * exact-decimal revenue; join order left to Catalyst/AQE (small dims
+    * broadcast themselves under the default threshold). */
+  val q17Star: Q = (spark, dir) => {
+    val r = t(spark, dir, "region")
+    val n = t(spark, dir, "nation")
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    val li = t(spark, dir, "lineitem")
+    val rev = li("l_extendedprice").cast("decimal(18,4)") *
+      oneMinus(li("l_discount"))
+    orderAll(li
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(round(sum(rev), 2).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines")))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q10_join_inner_hash" -> q10InnerHash,
+    "q11_join_broadcast" -> q11Broadcast,
+    "q12_join_left_outer" -> q12LeftOuter,
+    "q13_join_semi" -> q13Semi,
+    "q14_join_anti" -> q14Anti,
+    "q15_join_theta_range" -> q15ThetaRange,
+    "q16_join_asof" -> q16AsOf,
+    "q17_join_star" -> q17Star)
+
+  val oracles: Map[String, String] = Map(
+    "q10_join_inner_hash" ->
+      """SELECT o_orderkey, o_custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
+    "q11_join_broadcast" ->
+      """SELECT l_orderkey, l_linenumber, p_name, p_brand, p_size
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_type = 'PROMO'
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
+    "q12_join_left_outer" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 350000) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
+    "q13_join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    "q14_join_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    "q15_join_theta_range" ->
+      """SELECT e1.user_id, count(*) AS pair_cnt, count(DISTINCT e1.event_id) AS starters
+        |FROM events e1 JOIN events e2
+        |  ON e1.user_id = e2.user_id
+        | AND e2.ts > e1.ts
+        | AND e2.ts <= e1.ts + INTERVAL 10 MINUTE
+        |GROUP BY e1.user_id
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    "q16_join_asof" ->
+      """SELECT user_id, p_eid, p_epoch, v_eid, v_epoch FROM (
+        |  SELECT p.user_id, p.event_id AS p_eid,
+        |         CAST(floor(epoch(p.ts)) AS BIGINT) AS p_epoch,
+        |         v.event_id AS v_eid,
+        |         CAST(floor(epoch(v.ts)) AS BIGINT) AS v_epoch,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |                            ORDER BY v.ts DESC, v.event_id DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |    ON v.user_id = p.user_id AND v.ts <= p.ts
+        |) WHERE rn = 1
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
+    "q17_join_star" ->
+      """SELECT r_name,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(9,4)))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin)
+}

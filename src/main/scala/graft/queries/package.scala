@@ -18,6 +18,22 @@ package object queries {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects. Read nanos as long and rebuild a µs timestamp (exact: the
+    * generated data is whole-µs; integer `div` floors like DuckDB's
+    * ns→µs truncation). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** (1 - rate) / (1 + rate) pinned to DECIMAL(9,4) so decimal product
+    * chains stay inside precision 38 with no scale loss:
+    * (18,4)×(9,4)→(28,8), ×(9,4)→(38,12) — exact in Spark AND DuckDB. */
+  def oneMinus(c: Column): Column = (lit(1) - c.cast("decimal(9,4)")).cast("decimal(9,4)")
+  def onePlus(c: Column): Column = (lit(1) + c.cast("decimal(9,4)")).cast("decimal(9,4)")
+
   /** Exact sum of a double column: cast each value to DECIMAL(18,4)
     * (wide enough for all testdata measures; rounding a ≤2-dp value to
     * 4 dp is lossless), sum exactly, emit double.
