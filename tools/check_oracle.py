@@ -15,7 +15,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def norm(df):
     df = df.reindex(sorted(df.columns), axis=1)
-    # canonicalize dtypes for value comparison
+    # list/array cells -> tuples so pandas can compare them elementwise
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list,)) or
+                type(v).__name__ == 'ndarray' else v)
     return df
 
 def main(sf_dir, out_dir):
