@@ -1,0 +1,123 @@
+package graft.ingest
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions.{expr, struct}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.Schemas
+
+/** Raw-body Avro encode/decode as custom Catalyst expressions.
+  *
+  * Mirrors the reference exactly (`/root/reference/src/ex8_producer/
+  * app.py:145-152`): one `DatumWriter.write` through a `BinaryEncoder`
+  * per record — a bare Avro binary body with NO container-file framing and
+  * NO single-object header. `/opt/spark/jars` has no spark-avro connector,
+  * hence these expressions (SURVEY.md §7.3).
+  *
+  * Thread-safety: Avro writers/readers are not thread-safe; each task gets
+  * its own deserialized copy of the expression tree, so `@transient lazy
+  * val` confines one writer per task. The output stream is reused across
+  * rows within a task (the reference allocates per record —
+  * `app.py:149` — one of the places a columnar engine just does better).
+  *
+  * Null policy (SURVEY.md §7.3): the .avsc is authoritative — a null in
+  * one of the 9 required fields raises (counted upstream as a bad record),
+  * instead of the reference's swallowed per-chunk log line
+  * (`app.py:157-158`).
+  */
+case class AvroEncodeExpression(child: Expression, avscJson: String)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = child.nullable
+
+  private def structType = child.dataType.asInstanceOf[StructType]
+
+  @transient private lazy val schema = new Schema.Parser().parse(avscJson)
+  @transient private lazy val writer = new GenericDatumWriter[GenericRecord](schema)
+  @transient private lazy val out = new ByteArrayOutputStream(256)
+  @transient private lazy val fieldNames = structType.fieldNames
+
+  override def nullSafeEval(input: Any): Any = {
+    val row = input.asInstanceOf[InternalRow]
+    val rec = new GenericData.Record(schema)
+    var i = 0
+    while (i < fieldNames.length) {
+      val v = if (row.isNullAt(i)) null else row.getUTF8String(i).toString
+      rec.put(fieldNames(i), v)
+      i += 1
+    }
+    out.reset()
+    val enc = EncoderFactory.get().directBinaryEncoder(out, null)
+    writer.write(rec, enc)
+    enc.flush()
+    out.toByteArray
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AvroEncodeExpression =
+    copy(child = newChild)
+}
+
+/** Inverse of [[AvroEncodeExpression]] for round-trip tests: raw binary
+  * body → all-strings struct per the wire schema. */
+case class AvroDecodeExpression(child: Expression, avscJson: String)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = Schemas.reclamacoesWire
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val schema = new Schema.Parser().parse(avscJson)
+  @transient private lazy val reader = new GenericDatumReader[GenericRecord](schema)
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val dec = DecoderFactory.get().binaryDecoder(bytes, null)
+    val rec = reader.read(null, dec)
+    val fields = Schemas.reclamacoesWire.fieldNames
+    InternalRow.fromSeq(fields.toIndexedSeq.map { f =>
+      val v = rec.get(f)
+      if (v == null) null else UTF8String.fromString(v.toString)
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AvroDecodeExpression =
+    copy(child = newChild)
+}
+
+object AvroCodec {
+
+  /** Register avro_encode/avro_decode for this session (Spark 4's Column
+    * API is node-based, so SQL registration + `expr` is the clean route
+    * from an Expression to a Column). */
+  def register(spark: SparkSession, avscJson: String = Schemas.reclamacoesAvsc): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "avro_encode", exprs => AvroEncodeExpression(exprs.head, avscJson), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "avro_decode", exprs => AvroDecodeExpression(exprs.head, avscJson), "scala_udf")
+  }
+
+  /** Canonical 14-column frame → single binary `value` column (the Kafka
+    * message body shape, `app.py:153`). */
+  def encodeFrame(spark: SparkSession, canonical: DataFrame): DataFrame = {
+    register(spark)
+    canonical
+      .select(struct(Schemas.reclamacoesColumns.map(canonical.col): _*).as("r"))
+      .select(expr("avro_encode(r)").as("value"))
+  }
+
+  /** value column → canonical wire columns (round-trip/test path). */
+  def decodeFrame(spark: SparkSession, encoded: DataFrame): DataFrame = {
+    register(spark)
+    encoded.select(expr("avro_decode(value)").as("r")).select("r.*")
+  }
+}

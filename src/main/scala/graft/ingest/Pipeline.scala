@@ -1,0 +1,51 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.core.Schemas
+
+/** End-to-end assembly of the reference pipeline (R8+R9, SURVEY.md §3.3):
+  * CSV scan → sanitize/project/nullify → Avro encode → sink, as ONE
+  * narrow (shuffle-free) logical plan in both batch and streaming flavors.
+  *
+  * The reference's polling loop (`app.py:176-196`) re-lists and re-reads
+  * every file every 60 s with no ledger; the streaming flavor replaces it
+  * with FileStreamSource + checkpoint (incremental listing, seen-files
+  * log, at-least-once delivery). The reference's chunk pacing
+  * (`CHUNK_SIZE=10` + 20 s sleeps ⇒ 0.5 rows/s) is deliberately NOT
+  * reproduced — `maxFilesPerTrigger` is the scalable backpressure knob.
+  */
+object Pipeline {
+
+  /** All-strings scan of raw reclamações CSV (header contract R2). */
+  private def canonicalize(raw: DataFrame): DataFrame =
+    Canonicalize(raw, Schemas.reclamacoesColumns)
+
+  /** Batch: directory of CSVs → canonical 14-column frame. */
+  def canonicalBatch(spark: SparkSession, path: String): DataFrame =
+    canonicalize(CsvSource.readBatch(spark, path))
+
+  /** Batch: directory of CSVs → Avro `value` frame. */
+  def valuesBatch(spark: SparkSession, path: String): DataFrame =
+    AvroCodec.encodeFrame(spark, canonicalBatch(spark, path))
+
+  /** Streaming: unbounded CSV prefix → Avro `value` frame. The schema
+    * must be declared up front (streaming sources cannot infer); the wire
+    * StructType is exactly the csv.DictReader shape — all strings. */
+  def valuesStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    val raw = CsvSource.readStream(spark, path, rawCsvSchema(spark, path), maxFilesPerTrigger)
+    AvroCodec.encodeFrame(spark, canonicalize(raw))
+  }
+
+  /** Streaming schema bootstrap: one batch peek at the header (the
+    * streaming analog of DictReader's first-row header read). */
+  private def rawCsvSchema(spark: SparkSession, path: String) =
+    CsvSource.readBatch(spark, path).schema
+
+  /** The whole producer, running: stream → sink at the reference cadence. */
+  def run(spark: SparkSession, sourcePath: String, sink: GraftSink,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+    Sinks.start(valuesStream(spark, sourcePath), sink, trigger)
+}

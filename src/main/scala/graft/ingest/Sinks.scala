@@ -1,0 +1,65 @@
+package graft.ingest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Sink abstraction for the produced `value: binary` frame (R7).
+  *
+  * The reference publishes each record's Avro body to Kafka value-only,
+  * at-most-once — async send, per-chunk flush, errors swallowed
+  * (`/root/reference/src/ex8_producer/app.py:142-158`). Spark's Kafka sink
+  * with checkpointing upgrades that to at-least-once; the sandbox has no
+  * spark-sql-kafka jar or broker, so [[KafkaSink]] carries the exact
+  * production wiring but is only constructed, never started, in tests.
+  * Parquet/memory sinks run the same plan against local infrastructure.
+  */
+sealed trait GraftSink {
+  /** Attach sink options to a streaming writer of the value frame. */
+  def configure(w: DataStreamWriter[Row]): DataStreamWriter[Row]
+  /** Batch flavor: write a bounded value frame. */
+  def writeBatch(df: DataFrame): Unit
+}
+
+/** Durable file sink — the local stand-in with the same delivery
+  * semantics class (exactly-once per file via the commit protocol). */
+final case class ParquetSink(path: String, checkpoint: String) extends GraftSink {
+  def configure(w: DataStreamWriter[Row]): DataStreamWriter[Row] =
+    w.format("parquet").option("path", path).option("checkpointLocation", checkpoint)
+  def writeBatch(df: DataFrame): Unit =
+    df.write.mode("append").parquet(path)
+}
+
+/** In-memory sink for deterministic streaming tests. */
+final case class MemorySink(queryName: String) extends GraftSink {
+  def configure(w: DataStreamWriter[Row]): DataStreamWriter[Row] =
+    w.format("memory").queryName(queryName)
+  def writeBatch(df: DataFrame): Unit =
+    throw new UnsupportedOperationException("memory sink is streaming-only")
+}
+
+/** Production Kafka sink (value-only, like `app.py:153`). Requires the
+  * spark-sql-kafka connector on the classpath at runtime — absent in this
+  * sandbox, so `start()` would fail here by design; the configuration is
+  * the documented deployment path. */
+final case class KafkaSink(bootstrapServers: String, topic: String,
+    checkpoint: String) extends GraftSink {
+  def configure(w: DataStreamWriter[Row]): DataStreamWriter[Row] =
+    w.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+  def writeBatch(df: DataFrame): Unit =
+    df.write.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .save()
+}
+
+object Sinks {
+  /** Start a value frame into a sink with the reference's 60 s cadence
+    * (`PROCESS_INTERVAL`, `settings.py:5`) as the trigger. */
+  def start(values: DataFrame, sink: GraftSink,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+    sink.configure(values.writeStream.outputMode("append").trigger(trigger)).start()
+}

@@ -1,0 +1,90 @@
+package graft.ingest
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.avro.io.DecoderFactory
+import org.apache.spark.SparkException
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.SparkSpec
+import graft.core.Schemas
+
+/** R6 fidelity (FIXTURES.md §C): engine avro_encode output must decode
+  * with PLAIN Avro 1.12 (`GenericDatumReader`) against the verbatim
+  * reclamacoes.avsc — raw binary body, no container/single-object framing
+  * (`app.py:145-152`) — and round-trip through avro_decode. */
+class AvroCodecSpec extends SparkSpec {
+
+  private val sample = Row(
+    "2022", "1º", "Bancos e financeiras", "Banco", "00000000",
+    "BANCO EXEMPLO S.A.", "25,91", "130", "22", "5", "157",
+    "10000000", "9000000", "1000000")
+
+  private val withNulls = Row(
+    "2022", "1º", "Bancos e financeiras", "Banco", null,
+    "BANCO SEM CNPJ", "", "0", null, null, "0", "500", "400", null)
+
+  private def frame(rows: Row*) = spark.createDataFrame(
+    java.util.Arrays.asList(rows: _*), Schemas.reclamacoesWire)
+
+  test("encode decodes with plain avro against verbatim .avsc") {
+    val bytes = AvroCodec.encodeFrame(spark, frame(sample))
+      .collect().head.getAs[Array[Byte]]("value")
+    val schema = new Schema.Parser().parse(Schemas.reclamacoesAvsc)
+    val reader = new GenericDatumReader[GenericRecord](schema)
+    val rec = reader.read(null, DecoderFactory.get().binaryDecoder(bytes, null))
+    assert(rec.get("ano").toString == "2022")
+    assert(rec.get("trimestre").toString == "1º")
+    assert(rec.get("instituicao_financeira").toString == "BANCO EXEMPLO S.A.")
+    assert(rec.get("quantidade_de_clientes_scr").toString == "1000000")
+  }
+
+  test("round-trip: decode(encode(r)) == r, nullable fields preserved") {
+    val encoded = AvroCodec.encodeFrame(spark, frame(sample, withNulls))
+    val back = AvroCodec.decodeFrame(spark, encoded)
+      .orderBy("instituicao_financeira").collect()
+    assert(back.length == 2)
+    val banco = back.head
+    assert(banco.getAs[String]("instituicao_financeira") == "BANCO EXEMPLO S.A.")
+    val semCnpj = back.last
+    assert(semCnpj.getAs[String]("cnpj_if") == null)
+    assert(semCnpj.getAs[String]("indice") == "") // empty ≠ null on the wire
+    assert(semCnpj.getAs[String]("quantidade_de_clientes_scr") == null)
+  }
+
+  test("null in a required field raises (not swallowed, per SURVEY §7.3)") {
+    val badRow = Row("2022", null, "x", "x", null, "x", "x", "0",
+      null, null, "0", "0", "0", null) // trimestre is required
+    val ex = intercept[SparkException] {
+      AvroCodec.encodeFrame(spark, frame(badRow)).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("raw body has no container framing (starts with field data)") {
+    val bytes = AvroCodec.encodeFrame(spark, frame(sample))
+      .collect().head.getAs[Array[Byte]]("value")
+    // Avro container files start with magic 'Obj\x01'; raw bodies with the
+    // first field's length varint — "2022" is length 4 → zigzag 8.
+    assert(!(bytes(0) == 'O' && bytes(1) == 'b' && bytes(2) == 'j'))
+    assert(bytes(0) == 8)
+  }
+
+  test("fixture CSV through the whole batch pipeline yields decodable values") {
+    val dir = tmpDir("pipe_csv")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.csv"),
+      ("Ano;Trimestre;Categoria;Tipo;CNPJ IF;Instituição financeira;Índice;" +
+        "Quantidade de reclamações reguladas procedentes;Quantidade de reclamações reguladas - outras;" +
+        "Quantidade de reclamações não reguladas;Quantidade total de reclamações;" +
+        "Quantidade total de clientes – CCS e SCR;Quantidade de clientes – CCS;Quantidade de clientes – SCR\n" +
+        "2022;1º;Cat;Banco;1;B;2;3;4;5;6;7;8;9\n")
+        .getBytes(java.nio.charset.Charset.forName("ISO-8859-1")))
+    val values = Pipeline.valuesBatch(spark, dir).collect()
+    assert(values.length == 1)
+    val back = AvroCodec.decodeFrame(spark,
+      Pipeline.valuesBatch(spark, dir)).collect().head
+    assert(back.getAs[String]("ano") == "2022")
+    assert(back.getAs[String]("quantidade_de_clientes_scr") == "9")
+  }
+}

@@ -1,0 +1,147 @@
+package graft.streaming
+
+import java.nio.charset.Charset
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.SparkSpec
+import graft.ingest.{AvroCodec, MemorySink, Pipeline, Sinks}
+
+/** Streaming surface s70–s74 (SURVEY.md §2.2): the reference's polling
+  * loop upgraded to Structured Streaming, plus the state/watermark/dedup
+  * semantics the reference lacks (it re-reads everything forever,
+  * `app.py:190-191`). MemoryStream + processAllAvailable keeps every test
+  * deterministic. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = new Timestamp(3600_000L * 24 + min * 60_000L)
+
+  private val header =
+    "Ano;Trimestre;Categoria;Tipo;CNPJ IF;Instituição financeira;Índice;" +
+      "Quantidade de reclamações reguladas procedentes;Quantidade de reclamações reguladas - outras;" +
+      "Quantidade de reclamações não reguladas;Quantidade total de reclamações;" +
+      "Quantidade total de clientes – CCS e SCR;Quantidade de clientes – CCS;Quantidade de clientes – SCR\n"
+
+  private def writeCsv(dir: String, name: String, rows: String*): Unit =
+    Files.write(Paths.get(dir, name),
+      (header + rows.mkString("\n") + "\n").getBytes(Charset.forName("ISO-8859-1")))
+
+  test("s70: file-stream ingest — CSV files appear, avro values come out") {
+    val dir = tmpDir("s70_src")
+    writeCsv(dir, "a.csv", "2022;1º;C;B;1;BANCO A;2;3;4;5;6;7;8;9")
+    val q = Sinks.start(
+      Pipeline.valuesStream(spark, dir, maxFilesPerTrigger = 1),
+      MemorySink("s70_out"), Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      // second file appears later — the FileStreamSource ledger must NOT
+      // re-emit the first file (unlike the reference's re-list-everything)
+      writeCsv(dir, "b.csv", "2023;2º;C;B;2;BANCO B;3;4;5;6;7;8;9;10")
+      q.processAllAvailable()
+      val vals = spark.table("s70_out")
+      assert(vals.count() == 2)
+      val decoded = AvroCodec.decodeFrame(spark, vals).orderBy("ano").collect()
+      assert(decoded.map(_.getAs[String]("instituicao_financeira")).toSeq ==
+        Seq("BANCO A", "BANCO B"))
+    } finally q.stop()
+  }
+
+  test("s71: watermark drops late rows beyond the 10-minute bound") {
+    val in = MemoryStream[(Timestamp, Long)](spark)
+    val agg = in.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("s71_out").start()
+    try {
+      in.addData((ts(0), 1L), (ts(1), 2L), (ts(2), 3L))
+      q.processAllAvailable()
+      // advance event time far past watermark: closes the first window
+      in.addData((ts(60), 9L))
+      q.processAllAvailable()
+      // late row for the long-closed first window: must be dropped
+      in.addData((ts(1), 99L))
+      q.processAllAvailable()
+      in.addData((ts(120), 9L)) // close everything still open
+      q.processAllAvailable()
+      val out = spark.table("s71_out").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toMap
+      assert(out(ts(0).getTime) == 3L, "first window must not count the late row")
+    } finally q.stop()
+  }
+
+  test("s72: session windows merge events within the 30-minute gap") {
+    val in = MemoryStream[(Timestamp, Long)](spark)
+    val agg = in.toDF().toDF("ts", "user")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user"), col("n"))
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("s72_out").start()
+    try {
+      // user 1: two bursts 3h apart -> two sessions of sizes 3 and 1
+      in.addData((ts(0), 1L), (ts(5), 1L), (ts(20), 1L), (ts(200), 1L))
+      in.addData((ts(600), 9L)) // advance watermark to flush sessions
+      q.processAllAvailable()
+      val sessions = spark.table("s72_out")
+        .filter(col("user") === 1L).collect().map(_.getLong(1)).sorted.toSeq
+      assert(sessions == Seq(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("s73: dropDuplicatesWithinWatermark fixes the reference's re-delivery") {
+    val in = MemoryStream[(Timestamp, Long)](spark)
+    val dedup = in.toDF().toDF("ts", "event_id")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+    val q = dedup.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("s73_out").start()
+    try {
+      in.addData((ts(0), 100L), (ts(1), 101L))
+      q.processAllAvailable()
+      in.addData((ts(2), 100L)) // duplicate re-delivery within watermark
+      q.processAllAvailable()
+      in.addData((ts(60), 102L))
+      q.processAllAvailable()
+      val ids = spark.table("s73_out").collect().map(_.getLong(1)).toSeq
+      assert(ids.count(_ == 100L) == 1, "duplicate must be suppressed")
+      assert(ids.toSet == Set(100L, 101L, 102L))
+    } finally q.stop()
+  }
+
+  test("s74: flatMapGroupsWithState keeps per-user running counters") {
+    val in = MemoryStream[(Long, Double)](spark)
+    val counted = in.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          val batch = rows.toSeq
+          val next = (n0 + batch.size, s0 + batch.map(_._2).sum)
+          state.update(next)
+          Iterator((user, next._1, next._2))
+      }.toDF("user", "n", "total")
+    val q = counted.writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("s74_out").start()
+    try {
+      in.addData((1L, 1.0), (1L, 2.0), (2L, 10.0))
+      q.processAllAvailable()
+      in.addData((1L, 3.0))
+      q.processAllAvailable()
+      val last = spark.table("s74_out")
+        .groupBy("user").agg(max("n").as("n"), max("total").as("total"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(last(1L) == ((3L, 6.0)))
+      assert(last(2L) == ((1L, 10.0)))
+    } finally q.stop()
+  }
+}
