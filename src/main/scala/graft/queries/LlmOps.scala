@@ -1,0 +1,383 @@
+package graft.queries
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [EXT] LLM-training-data pipeline operators (BASELINE.json north_star):
+  * deduplication (exact, MinHash-LSH, n-gram Jaccard, SimHash), similarity
+  * search (brute-force cosine baseline + LSH-bucketed scale path), and the
+  * text-analysis battery. All run over the documents/embeddings tables.
+  *
+  * 100 TB posture:
+  *  - exact dedup is a hash groupBy (one shuffle on the normalized text —
+  *    at scale, on a 128-bit digest of it);
+  *  - near-dup paths (LSH/shingle inverted index) are candidate-pair
+  *    generators: the join key is the bucket/shingle, never a cross join;
+  *  - brute-force cosine exists as the small-query-set baseline (the
+  *    query side is broadcast); the IVF/SRP-bucketed variant is the
+  *    path that scales to corpus×corpus;
+  *  - every score/ratio is computed with formulas written identically in
+  *    the DuckDB oracles, rounded to 6 dp where doubles are involved.
+  */
+object LlmOps {
+
+  /** Documents unioned with a deterministic "re-ingestion" copy: exact
+    * duplicates for q80. */
+  private def docsWithDups(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000))
+  }
+
+  /** Documents unioned with a mutated copy (last token dropped, id+1e6):
+    * guaranteed near-duplicates for q88/q89. */
+  private def docsWithNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val toks = split(col("text"), " ")
+    val mutated = d
+      .withColumn("doc_id", col("doc_id") + 1000000)
+      .withColumn("text", array_join(slice(toks, lit(1), size(toks) - 1), " "))
+    d.unionByName(mutated)
+  }
+
+  /** q80: exact dedup — groupBy normalized text, keep min doc_id. The
+    * deterministic alternative to dropDuplicates (which keeps an
+    * arbitrary row). */
+  val q80DedupExact: Q = (spark, dir) => {
+    val d = docsWithDups(spark, dir)
+    orderAll(d.groupBy(lower(trim(col("text"))).as("norm_text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"), length(col("norm_text")).as("text_len")))
+  }
+
+  /** q81: MinHash-LSH near-dup candidates (spark.ml) — 3-token shingles
+    * into a sparse binary vector, 3 hash tables, approx self-join.
+    * Shingling (not unigrams) is load-bearing at scale: with a small
+    * vocabulary, unigram token SETS are near-identical across documents,
+    * every minhash collides, and LSH degenerates to an all-pairs join
+    * (observed: 20+ min at sf0.1). The shingle space is |V|³, so buckets
+    * stay sparse while planted near-dups still collide.
+    * No oracle (murmur-based hashing); rows-only check. */
+  val q81DedupMinhash: Q = (spark, dir) => {
+    val d = docsWithNearDups(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("tokens",
+        transform(sequence(lit(1), size(col("toks")) - 2), i => concat_ws(" ",
+          element_at(col("toks"), i),
+          element_at(col("toks"), i + 1),
+          element_at(col("toks"), i + 2))))
+    val tf = new HashingTF().setInputCol("tokens").setOutputCol("features")
+      .setNumFeatures(1 << 14).setBinary(true)
+    val feat = tf.transform(d)
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(3).setSeed(42L)
+    val model = lsh.fit(feat)
+    val pairs = model.approxSimilarityJoin(feat, feat, 0.5, "jaccard_dist")
+      .select(
+        col("datasetA.doc_id").as("d1"),
+        col("datasetB.doc_id").as("d2"),
+        round(col("jaccard_dist"), 6).as("dist"))
+      .filter(col("d1") < col("d2"))
+    orderAll(pairs)
+  }
+
+  private def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** q82: brute-force cosine top-k — the correctness baseline. The query
+    * set (10 vectors) is broadcast against the corpus; at 100 TB the
+    * corpus side stays partitioned and only top-k per query survives the
+    * final shuffle (q91 is the bucketed scale path). */
+  val q82SimilarityTopk: Q = (spark, dir) => {
+    val v = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val queries = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val scored = v.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(cosine(col("qe"), col("e")), 6).as("cos6"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos6").desc, col("nid").asc)
+    orderAll(scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("rnk"), col("nid"), col("cos6")))
+  }
+
+  /** q83: corpus stats per (lang, source) — pure relational. */
+  val q83TextStats: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+      .withColumn("n_tok", size(split(col("text"), " ")))
+    orderAll(d.groupBy(col("lang"), col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("sum_chars"),
+      (sum(col("n_tok")).cast("double") / count(lit(1))).as("avg_tok"),
+      max(col("n_chars")).as("max_chars")))
+  }
+
+  private val stopwords = Map(
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "de", "y"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "fr" -> Seq("le", "la", "de", "et"))
+
+  private def stopScore(lang: String) = {
+    val toks = split(col("text"), " ")
+    size(filter(toks, tk => tk.isInCollection(stopwords(lang))))
+  }
+
+  /** q84: language-ID heuristic — per-language stopword hit counts,
+    * argmax with a fixed priority order (en>es>de>fr, else und). */
+  val q84LangId: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+    val scored = d.select(
+      col("doc_id"), col("lang").as("lang_true"),
+      stopScore("en").as("s_en"), stopScore("es").as("s_es"),
+      stopScore("de").as("s_de"), stopScore("fr").as("s_fr"))
+    val top = greatest(col("s_en"), col("s_es"), col("s_de"), col("s_fr"))
+    orderAll(scored.withColumn("lang_pred",
+      when(top === 0, lit("und"))
+        .when(col("s_en") === top, lit("en"))
+        .when(col("s_es") === top, lit("es"))
+        .when(col("s_de") === top, lit("de"))
+        .otherwise(lit("fr"))))
+  }
+
+  /** q85: quality scoring — length/punctuation/stopword ratios combined
+    * into one bounded score (the classic pre-training filter shape). */
+  val q85QualityScore: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+    val nTok = size(split(col("text"), " "))
+    val punct = length(col("text")) - length(regexp_replace(col("text"), "[.!?,;]", ""))
+    val stopR = stopScore("en").cast("double") / nTok
+    val lenR = least(lit(1.0), nTok.cast("double") / 100.0)
+    val punctR = punct.cast("double") / length(col("text"))
+    orderAll(d.select(
+      col("doc_id"),
+      nTok.as("n_tok"),
+      punct.as("n_punct"),
+      round(stopR, 6).as("stop_ratio"),
+      round(lit(0.4) * stopR + lit(0.3) * lenR + lit(0.3) * (lit(1.0) - punctR), 6)
+        .as("quality")))
+  }
+
+  /** q86: token counting — whitespace tokens, regex (BPE-ish word/number
+    * pieces), and the chars/4 subword estimate. */
+  val q86TokenCount: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+    orderAll(d.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("ws_tokens"),
+      regexp_count(col("text"), lit("[a-z]+|[0-9]+")).as("re_tokens"),
+      ceil(length(col("text")).cast("double") / 4.0).cast("long").as("subword_est")))
+  }
+
+  /** q87: document fingerprint — polynomial rolling hash over tokens
+    * (mod 1e9+7), engine-portable because the per-token value uses only
+    * length/first-char arithmetic, not a library hash. */
+  val q87Fingerprint: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+    val toks = split(col("text"), " ")
+    val vals = transform(toks, tk => (length(tk) * 17 + ascii(substring(tk, 1, 1))).cast("long"))
+    val fp = aggregate(vals, lit(0L), (acc, v) => pmod(acc * 31 + v, lit(1000000007L)))
+    orderAll(d.select(col("doc_id"), fp.as("fingerprint")))
+  }
+
+  /** q88: n-gram Jaccard near-dup via shingle inverted index — the join
+    * key is the 3-token shingle (candidate generation), never a cross
+    * join; Jaccard is computed from exact distinct-shingle counts. */
+  val q88DedupNgram: Q = (spark, dir) => {
+    val d = docsWithNearDups(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+    val shingles = d.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("toks")) - 2),
+        i => concat_ws(" ",
+          element_at(col("toks"), i),
+          element_at(col("toks"), i + 1),
+          element_at(col("toks"), i + 2))))
+        .as("sh"))
+      .distinct()
+    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = shingles.as("a").join(shingles.as("b"), Seq("sh"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common"))
+    val j = pairs
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "s1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "s2"), "d2")
+      .withColumn("jacc",
+        round(col("common").cast("double") /
+          (col("s1") + col("s2") - col("common")), 6))
+      .filter(col("jacc") >= 0.5)
+    orderAll(j.select(col("d1"), col("d2"), col("common"), col("jacc")))
+  }
+
+  /** q89: SimHash near-dup — 32-bit simhash from xxhash64 token hashes,
+    * banded into 4×8-bit prefixes for candidate generation, verified by
+    * hamming distance (bit_count(xor)). No oracle (xxhash64 is
+    * Spark-specific); rows-only. */
+  val q89DedupSimhash: Q = (spark, dir) => {
+    val d = docsWithNearDups(spark, dir)
+      .withColumn("toks", array_distinct(split(col("text"), " ")))
+    val bitCols = (0 until 32).map { b =>
+      sum(when(shiftright(xxhash64(col("tok")), b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$b")
+    }
+    val perTok = d.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val sim = perTok.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+    val simhash = sim.select(col("doc_id"),
+      (0 until 32).map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+    val banded = simhash.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(k =>
+        concat_ws(":", lit(k), shiftright(col("simhash"), k * 8).bitwiseAND(0xFF))): _*))
+        .as("band"))
+    val cands = banded.as("x").join(banded.as("y"), Seq("band"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        col("x.simhash").as("h1"), col("y.simhash").as("h2"))
+      .distinct()
+    orderAll(cands
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= 3)
+      .select(col("d1"), col("d2"), col("hamming")))
+  }
+
+  /** q91: bucketed ANN (signed-random-projection flavor) — the 100 TB
+    * similarity path: bucket = sign bits of the first 4 dimensions, join
+    * queries to corpus within bucket only, top-3 per query. Rows-only
+    * (bucket recall vs the q82 baseline is asserted in LlmOpsSpec). */
+  val q91SimilarityIvf: Q = (spark, dir) => {
+    val v = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    def bucket(e: org.apache.spark.sql.Column) =
+      (0 until 4).map(i => when(element_at(e, i + 1) > 0, lit(1 << i)).otherwise(lit(0)))
+        .reduce(_ + _)
+    val corpus = v.withColumn("bkt", bucket(col("e")))
+    val queries = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("bkt"))
+    val scored = corpus.join(broadcast(queries), Seq("bkt"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(cosine(col("qe"), col("e")), 6).as("cos6"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos6").desc, col("nid").asc)
+    orderAll(scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("rnk"), col("nid"), col("cos6")))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q80_dedup_exact" -> q80DedupExact,
+    "q81_dedup_minhash" -> q81DedupMinhash,
+    "q82_similarity_topk" -> q82SimilarityTopk,
+    "q83_text_stats" -> q83TextStats,
+    "q84_lang_id" -> q84LangId,
+    "q85_quality_score" -> q85QualityScore,
+    "q86_token_count" -> q86TokenCount,
+    "q87_fingerprint" -> q87Fingerprint,
+    "q88_dedup_ngram" -> q88DedupNgram,
+    "q89_dedup_simhash" -> q89DedupSimhash,
+    "q91_similarity_ivf" -> q91SimilarityIvf)
+
+  val oracles: Map[String, String] = Map(
+    "q80_dedup_exact" ->
+      """WITH dd AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
+        |SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+        |  CAST(length(lower(trim(text))) AS INT) AS text_len
+        |FROM dd GROUP BY lower(trim(text))
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    "q82_similarity_topk" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |    round(list_dot_product(q.e, c.e) /
+        |      (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 6) AS cos6
+        |  FROM v q JOIN v c ON c.vec_id != q.vec_id
+        |  WHERE q.vec_id < 10),
+        |r AS (SELECT qid, nid, cos6,
+        |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid ASC) AS INT) AS rnk
+        |      FROM p)
+        |SELECT qid, rnk, nid, cos6 FROM r WHERE rnk <= 5
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
+    "q83_text_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  sum(n_chars) AS sum_chars,
+        |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avg_tok,
+        |  max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang, source
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""".stripMargin,
+    "q84_lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang AS lang_true,
+        |    CAST(len(list_filter(string_split(text,' '), x -> list_contains(['the','a','of','and'], x))) AS INT) AS s_en,
+        |    CAST(len(list_filter(string_split(text,' '), x -> list_contains(['el','la','de','y'], x))) AS INT) AS s_es,
+        |    CAST(len(list_filter(string_split(text,' '), x -> list_contains(['der','die','das','und'], x))) AS INT) AS s_de,
+        |    CAST(len(list_filter(string_split(text,' '), x -> list_contains(['le','la','de','et'], x))) AS INT) AS s_fr
+        |  FROM documents)
+        |SELECT doc_id, lang_true, s_en, s_es, s_de, s_fr,
+        |  CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+        |       WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+        |       WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+        |       WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+        |       ELSE 'fr' END AS lang_pred
+        |FROM s
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST""".stripMargin,
+    "q85_quality_score" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+        |  CAST(length(text) - length(regexp_replace(text, '[.!?,;]', '', 'g')) AS INT) AS n_punct,
+        |  round(CAST(len(list_filter(string_split(text,' '), x -> list_contains(['the','a','of','and'], x))) AS DOUBLE)
+        |        / len(string_split(text, ' ')), 6) AS stop_ratio,
+        |  round(0.4 * (CAST(len(list_filter(string_split(text,' '), x -> list_contains(['the','a','of','and'], x))) AS DOUBLE)
+        |               / len(string_split(text, ' ')))
+        |      + 0.3 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0)
+        |      + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.!?,;]', '', 'g')) AS DOUBLE) / length(text)), 6) AS quality
+        |FROM documents
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
+    "q86_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS re_tokens,
+        |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS subword_est
+        |FROM documents
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
+    "q87_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ' '),
+        |        t -> CAST(length(t) * 17 + ascii(substr(t, 1, 1)) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+        |FROM documents
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "q88_dedup_ngram" ->
+      """WITH dd AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    string_split(text, ' ')[1:len(string_split(text, ' ')) - 1]
+        |  FROM documents),
+        |docs AS (SELECT * FROM dd WHERE len(toks) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS sh
+        |  FROM docs, unnest(range(1, len(toks) - 1)) AS t(i)),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, common,
+        |  round(CAST(common AS DOUBLE) / (s1.n_sh + s2.n_sh - common), 6) AS jacc
+        |FROM pairs
+        |JOIN sizes s1 ON s1.doc_id = d1
+        |JOIN sizes s2 ON s2.doc_id = d2
+        |WHERE CAST(common AS DOUBLE) / (s1.n_sh + s2.n_sh - common) >= 0.5
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin)
+}
