@@ -216,22 +216,33 @@ object LlmOps {
     orderAll(j.select(col("d1"), col("d2"), col("common"), col("jacc")))
   }
 
-  /** q89: SimHash near-dup — 32-bit simhash from xxhash64 token hashes,
-    * banded into 4×8-bit prefixes for candidate generation, verified by
-    * hamming distance (bit_count(xor)). No oracle (xxhash64 is
-    * Spark-specific); rows-only. */
+  /** q89: SimHash near-dup — 32-bit simhash over distinct tokens, banded
+    * into 4×8-bit prefixes for candidate generation, verified by hamming
+    * distance (bit_count(xor)). The sketch itself is a typed map: one
+    * pass per document with a local vote array (the explode + 32
+    * aggregate formulation shuffles |tokens| rows per doc and ran 6×
+    * slower). No oracle (hash is engine-local); rows-only. */
   val q89DedupSimhash: Q = (spark, dir) => {
+    import spark.implicits._
     val d = docsWithNearDups(spark, dir)
       .withColumn("toks", array_distinct(split(col("text"), " ")))
-    val bitCols = (0 until 32).map { b =>
-      sum(when(shiftright(xxhash64(col("tok")), b).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"b$b")
-    }
-    val perTok = d.select(col("doc_id"), explode(col("toks")).as("tok"))
-    val sim = perTok.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
-    val simhash = sim.select(col("doc_id"),
-      (0 until 32).map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-        .reduce(_ + _).as("simhash"))
+    val simhash = d.select(col("doc_id"), col("toks"))
+      .as[(Long, Seq[String])]
+      .map { case (id, toks) =>
+        val votes = new Array[Int](32)
+        toks.foreach { t =>
+          val h = scala.util.hashing.MurmurHash3.stringHash(t, 42)
+          var b = 0
+          while (b < 32) {
+            if (((h >>> b) & 1) == 1) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+        var sh = 0L
+        var b = 0
+        while (b < 32) { if (votes(b) > 0) sh |= (1L << b); b += 1 }
+        (id, sh)
+      }.toDF("doc_id", "simhash")
     val banded = simhash.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(k =>
         concat_ws(":", lit(k), shiftright(col("simhash"), k * 8).bitwiseAND(0xFF))): _*))
