@@ -1,6 +1,5 @@
 package graft.queries
 
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -51,36 +50,60 @@ object LlmOps {
       .select(col("keep_id"), col("n_copies"), length(col("norm_text")).as("text_len")))
   }
 
-  /** q81: MinHash-LSH near-dup candidates (spark.ml) — 3-token shingles
-    * into a sparse binary vector, 3 hash tables, approx self-join.
-    * Shingling (not unigrams) is load-bearing at scale: with a small
-    * vocabulary, unigram token SETS are near-identical across documents,
-    * every minhash collides, and LSH degenerates to an all-pairs join
-    * (observed: 20+ min at sf0.1). The shingle space is |V|³, so buckets
-    * stay sparse while planted near-dups still collide.
-    * No oracle (murmur-based hashing); rows-only check. */
+  /** q81: MinHash + LSH near-dup detection, the classic
+    * shingle → minhash signature → band → bucket-join pipeline:
+    *
+    *   1. 3-token shingles per doc (shingling is load-bearing: unigram
+    *      token sets over a small vocabulary are near-identical, every
+    *      minhash collides, and LSH degenerates to an all-pairs join —
+    *      spark.ml's MinHashLSH.approxSimilarityJoin showed exactly that,
+    *      plus ~30 s of join overhead even shingled, vs ~3 s here);
+    *   2. k=12 minhashes per doc, one typed-map pass;
+    *   3. 4 bands × 3 rows — docs agreeing on ALL 3 hashes of any band
+    *      become candidates (band value is the join key: candidate
+    *      generation is a bucket join, never cross);
+    *   4. exact Jaccard verification on the candidate pairs only.
+    *
+    * At 100 TB this shape holds: signatures are ~48 bytes/doc, the band
+    * join shuffles doc-id+band rows, and verification touches only
+    * candidates. No oracle (murmur hashing is engine-local); planted-pair
+    * recall is asserted in LlmOpsSpec. */
   val q81DedupMinhash: Q = (spark, dir) => {
-    val d = docsWithNearDups(spark, dir)
+    import spark.implicits._
+    val NumHashes = 12
+    val RowsPerBand = 3
+    val docs = docsWithNearDups(spark, dir)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
-      .withColumn("tokens",
-        transform(sequence(lit(1), size(col("toks")) - 2), i => concat_ws(" ",
-          element_at(col("toks"), i),
-          element_at(col("toks"), i + 1),
-          element_at(col("toks"), i + 2))))
-    val tf = new HashingTF().setInputCol("tokens").setOutputCol("features")
-      .setNumFeatures(1 << 14).setBinary(true)
-    val feat = tf.transform(d)
-    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(3).setSeed(42L)
-    val model = lsh.fit(feat)
-    val pairs = model.approxSimilarityJoin(feat, feat, 0.5, "jaccard_dist")
-      .select(
-        col("datasetA.doc_id").as("d1"),
-        col("datasetB.doc_id").as("d2"),
-        round(col("jaccard_dist"), 6).as("dist"))
-      .filter(col("d1") < col("d2"))
-    orderAll(pairs)
+      .select(col("doc_id"), col("toks")).as[(Long, Seq[String])]
+    val sigs = docs.map { case (id, raw) =>
+      val shingles = raw.sliding(3).map(_.mkString(" ")).toArray.distinct
+      val sig = Array.tabulate(NumHashes) { h =>
+        var m = Int.MaxValue
+        shingles.foreach { s =>
+          val v = scala.util.hashing.MurmurHash3.stringHash(s, h)
+          if (v < m) m = v
+        }
+        m
+      }
+      (id, shingles, sig)
+    }.toDF("doc_id", "shingles", "sig")
+    val bands = sigs.select(col("doc_id"), col("shingles"),
+      explode(transform(sequence(lit(0), lit(NumHashes / RowsPerBand - 1)),
+        b => concat_ws(":", b +: (0 until RowsPerBand).map(r =>
+          element_at(col("sig"), b * RowsPerBand + r + 1)): _*)))
+        .as("band"))
+    val cands = bands.as("x").join(bands.as("y"), Seq("band"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        col("x.shingles").as("sh1"), col("y.shingles").as("sh2"))
+      .dropDuplicates("d1", "d2")
+    val verified = cands.withColumn("common",
+        size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jacc", round(col("common").cast("double") /
+        (size(col("sh1")) + size(col("sh2")) - col("common")), 6))
+      .filter(col("jacc") >= 0.5)
+    orderAll(verified.select(col("d1"), col("d2"), col("jacc")))
   }
 
   private def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
@@ -221,14 +244,20 @@ object LlmOps {
     * distance (bit_count(xor)). The sketch itself is a typed map: one
     * pass per document with a local vote array (the explode + 32
     * aggregate formulation shuffles |tokens| rows per doc and ran 6×
-    * slower). No oracle (hash is engine-local); rows-only. */
+    * slower). Like MinHash (q81), the sketch is over 3-token SHINGLES:
+    * unigram distinct-token sets over a small vocabulary are
+    * near-identical across documents, which drives every pairwise
+    * hamming distance under the threshold and turns the candidate join
+    * into all-pairs (observed: 14 M candidate rows at sf0.1).
+    * No oracle (hash is engine-local); rows-only. */
   val q89DedupSimhash: Q = (spark, dir) => {
     import spark.implicits._
     val d = docsWithNearDups(spark, dir)
-      .withColumn("toks", array_distinct(split(col("text"), " ")))
+      .withColumn("toks", split(col("text"), " "))
     val simhash = d.select(col("doc_id"), col("toks"))
       .as[(Long, Seq[String])]
-      .map { case (id, toks) =>
+      .map { case (id, raw) =>
+        val toks = raw.sliding(3).map(_.mkString(" ")).toArray.distinct
         val votes = new Array[Int](32)
         toks.foreach { t =>
           val h = scala.util.hashing.MurmurHash3.stringHash(t, 42)
