@@ -1,0 +1,46 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** The engine's session entry point: a SparkSession builder carrying the
+  * configuration this library is designed against, plus registration of
+  * the engine's SQL functions (avro_encode/avro_decode, cosine_sim).
+  *
+  * Scale posture defaults (overridable via `extra`):
+  *  - AQE on (runtime re-plan: skew joins, coalesced shuffles) — Spark 4
+  *    default, pinned explicitly because the engine's plans rely on it;
+  *  - shuffle partitions sized to the local machine here; on a real
+  *    cluster set it ≈ 2-3× total executor cores, and rely on AQE
+  *    coalescing for the small stages;
+  *  - 128 MB file split target so a 100 TB scan yields ~800 k tasks, not
+  *    8 M;
+  *  - UTC session timezone (oracle parity and sane event-time math).
+  */
+object GraftSession {
+
+  def builder(master: String = "local[*]",
+      shufflePartitions: Int = Runtime.getRuntime.availableProcessors(),
+      extra: Map[String, String] = Map.empty): SparkSession.Builder = {
+    val b = SparkSession.builder()
+      .master(master)
+      .appName("graft-engine")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.compression.codec", "zstd")
+    extra.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+  }
+
+  /** Build the session and register the engine's SQL functions. */
+  def getOrCreate(master: String = "local[*]",
+      shufflePartitions: Int = Runtime.getRuntime.availableProcessors(),
+      extra: Map[String, String] = Map.empty): SparkSession = {
+    val spark = builder(master, shufflePartitions, extra).getOrCreate()
+    graft.ingest.AvroCodec.register(spark)
+    graft.functions.CosineSimilarity.register(spark)
+    spark
+  }
+}

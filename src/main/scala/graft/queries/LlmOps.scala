@@ -106,24 +106,23 @@ object LlmOps {
     orderAll(verified.select(col("d1"), col("d2"), col("jacc")))
   }
 
-  private def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
-    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** Codegen'd cosine kernel (graft.functions.CosineSimilarity) — same
+    * sequential fold as the HOF formulation, but inside WholeStageCodegen. */
+  private def cosine(a: String, b: String) = expr(s"cosine_sim($a, $b)")
 
   /** q82: brute-force cosine top-k — the correctness baseline. The query
     * set (10 vectors) is broadcast against the corpus; at 100 TB the
     * corpus side stays partitioned and only top-k per query survives the
     * final shuffle (q91 is the bucketed scale path). */
   val q82SimilarityTopk: Q = (spark, dir) => {
+    graft.functions.CosineSimilarity.register(spark)
     val v = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     val queries = v.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("e").as("qe"))
     val scored = v.join(broadcast(queries), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
-        round(cosine(col("qe"), col("e")), 6).as("cos6"))
+        round(cosine("qe", "e"), 6).as("cos6"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos6").desc, col("nid").asc)
     orderAll(scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
@@ -292,6 +291,7 @@ object LlmOps {
     * queries to corpus within bucket only, top-3 per query. Rows-only
     * (bucket recall vs the q82 baseline is asserted in LlmOpsSpec). */
   val q91SimilarityIvf: Q = (spark, dir) => {
+    graft.functions.CosineSimilarity.register(spark)
     val v = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     def bucket(e: org.apache.spark.sql.Column) =
@@ -303,7 +303,7 @@ object LlmOps {
     val scored = corpus.join(broadcast(queries), Seq("bkt"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
-        round(cosine(col("qe"), col("e")), 6).as("cos6"))
+        round(cosine("qe", "e"), 6).as("cos6"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos6").desc, col("nid").asc)
     orderAll(scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
