@@ -116,6 +116,29 @@ object Joins {
         count(lit(1)).as("n_lines")))
   }
 
+  /** q18: the SAME as-of semantics as q16, through the engine's custom
+    * whole-operator (graft.plans.AsOfJoinExec: LogicalPlan + Strategy +
+    * BinaryExecNode — one shuffle per side, per-partition sorted merge,
+    * one buffered right row). q16 materializes every candidate pair and
+    * row_number-filters; this never materializes non-answers. Shares
+    * q16's DuckDB oracle — a custom physical operator held to the same
+    * correctness gate. */
+  val q18AsOfNative: Q = (spark, dir) => {
+    val ev = events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_eid"), col("ts").as("p_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("v_eid"), col("ts").as("v_ts"))
+    val joined = graft.plans.AsOf.join(purchases, views,
+      leftKey = "user_id", leftTime = "p_ts",
+      rightKey = "v_user", rightTime = "v_ts",
+      rightTieBreak = Some("v_eid"), outer = false)
+    orderAll(joined.select(col("user_id"), col("p_eid"),
+      unix_timestamp(col("p_ts")).as("p_epoch"),
+      col("v_eid"),
+      unix_timestamp(col("v_ts")).as("v_epoch")))
+  }
+
   val defs: Map[String, Q] = Map(
     "q10_join_inner_hash" -> q10InnerHash,
     "q11_join_broadcast" -> q11Broadcast,
@@ -124,7 +147,8 @@ object Joins {
     "q14_join_anti" -> q14Anti,
     "q15_join_theta_range" -> q15ThetaRange,
     "q16_join_asof" -> q16AsOf,
-    "q17_join_star" -> q17Star)
+    "q17_join_star" -> q17Star,
+    "q18_join_asof_native" -> q18AsOfNative)
 
   val oracles: Map[String, String] = Map(
     "q10_join_inner_hash" ->
@@ -162,6 +186,20 @@ object Joins {
         |GROUP BY e1.user_id
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "q16_join_asof" ->
+      """SELECT user_id, p_eid, p_epoch, v_eid, v_epoch FROM (
+        |  SELECT p.user_id, p.event_id AS p_eid,
+        |         CAST(floor(epoch(p.ts)) AS BIGINT) AS p_epoch,
+        |         v.event_id AS v_eid,
+        |         CAST(floor(epoch(v.ts)) AS BIGINT) AS v_epoch,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |                            ORDER BY v.ts DESC, v.event_id DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |    ON v.user_id = p.user_id AND v.ts <= p.ts
+        |) WHERE rn = 1
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
+    // q18 = same semantics as q16 through the custom physical operator
+    "q18_join_asof_native" ->
       """SELECT user_id, p_eid, p_epoch, v_eid, v_epoch FROM (
         |  SELECT p.user_id, p.event_id AS p_eid,
         |         CAST(floor(epoch(p.ts)) AS BIGINT) AS p_epoch,
