@@ -20,13 +20,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ScanProject.defs ++ Joins.defs ++ Aggregates.defs ++ Windows.defs ++
-      SortSetOps.defs ++ Functions.defs ++ StreamWindows.defs ++
-      LlmOps.defs ++ MultiModal.defs
+      SortSetOps.defs ++ Subqueries.defs ++ Functions.defs ++
+      StreamWindows.defs ++ LlmOps.defs ++ MultiModal.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ScanProject.oracles ++ Joins.oracles ++ Aggregates.oracles ++
-      Windows.oracles ++ SortSetOps.oracles ++ Functions.oracles ++
-      StreamWindows.oracles ++ LlmOps.oracles ++ MultiModal.oracles
+      Windows.oracles ++ SortSetOps.oracles ++ Subqueries.oracles ++
+      Functions.oracles ++ StreamWindows.oracles ++ LlmOps.oracles ++
+      MultiModal.oracles
 }

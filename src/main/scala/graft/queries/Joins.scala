@@ -139,6 +139,23 @@ object Joins {
       unix_timestamp(col("v_ts")).as("v_epoch")))
   }
 
+  /** q19: salted join for a manufactured hot key (30% of lineitem lands
+    * on key 0) — graft.operators.Skew scatters the hot key over 8 salted
+    * sub-keys; result is identical to the plain join, which is exactly
+    * what the oracle checks. */
+  val q19SaltedSkew: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+    val probe = li.select(col("l_orderkey"), col("l_linenumber"),
+      when(col("l_orderkey") % 10 < 3, lit(0L))
+        .otherwise(col("l_orderkey") % 97).as("hot_key"))
+    val build = t(spark, dir, "orders")
+      .groupBy((col("o_orderkey") % 97).as("bkey"))
+      .agg(count(lit(1)).as("grp_n"))
+    val joined = graft.operators.Skew.saltedJoin(
+      probe, build, "hot_key", "bkey", col("l_linenumber"), buckets = 8)
+    orderAll(joined.select("l_orderkey", "l_linenumber", "hot_key", "grp_n"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q10_join_inner_hash" -> q10InnerHash,
     "q11_join_broadcast" -> q11Broadcast,
@@ -148,7 +165,8 @@ object Joins {
     "q15_join_theta_range" -> q15ThetaRange,
     "q16_join_asof" -> q16AsOf,
     "q17_join_star" -> q17Star,
-    "q18_join_asof_native" -> q18AsOfNative)
+    "q18_join_asof_native" -> q18AsOfNative,
+    "q19_join_salted_skew" -> q19SaltedSkew)
 
   val oracles: Map[String, String] = Map(
     "q10_join_inner_hash" ->
@@ -212,6 +230,16 @@ object Joins {
         |    ON v.user_id = p.user_id AND v.ts <= p.ts
         |) WHERE rn = 1
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
+    "q19_join_salted_skew" ->
+      """SELECT l_orderkey, l_linenumber, hot_key, grp_n FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN l_orderkey % 10 < 3 THEN 0 ELSE l_orderkey % 97 END AS hot_key
+        |  FROM lineitem) p
+        |JOIN (
+        |  SELECT o_orderkey % 97 AS bkey, count(*) AS grp_n
+        |  FROM orders GROUP BY o_orderkey % 97) b
+        |  ON p.hot_key = b.bkey
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
     "q17_join_star" ->
       """SELECT r_name,
         |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(9,4)))), 2) AS DOUBLE) AS revenue,

@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Subquery surface [EXT]: IN / correlated EXISTS / scalar subqueries and
+  * HAVING, via the SQL entry point — exercising Catalyst's subquery
+  * decorrelation (RewritePredicateSubquery turns these into semi/anti
+  * joins; a correlated scalar subquery becomes an aggregate + join). At
+  * 100 TB that rewrite is the difference between one shuffle join and a
+  * per-row subquery storm, so the golden-plan suite asserts the rewrite
+  * actually happened. */
+object Subqueries {
+
+  private def viewName(dir: String, table: String): String = {
+    // one temp view per (table, sf) — safe across repeated calls
+    s"sq_${table}"
+  }
+
+  private def withView(spark: org.apache.spark.sql.SparkSession, dir: String,
+      tables: Seq[String])(sql: String): org.apache.spark.sql.DataFrame = {
+    tables.foreach(tb => t(spark, dir, tb).createOrReplaceTempView(viewName(dir, tb)))
+    spark.sql(sql)
+  }
+
+  /** q43: uncorrelated IN subquery → left semi join after rewrite. */
+  val q43SubqueryIn: Q = (spark, dir) =>
+    orderAll(withView(spark, dir, Seq("orders", "customer"))(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM sq_orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM sq_customer WHERE c_acctbal > 7000)
+        |""".stripMargin))
+
+  /** q44: correlated EXISTS with an inner predicate on the outer row. */
+  val q44SubqueryExists: Q = (spark, dir) =>
+    orderAll(withView(spark, dir, Seq("customer", "orders"))(
+      """SELECT c_custkey, c_name
+        |FROM sq_customer c
+        |WHERE EXISTS (SELECT 1 FROM sq_orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > c.c_acctbal * 100)
+        |""".stripMargin))
+
+  /** q45: correlated scalar subquery (per-customer max order) + an
+    * uncorrelated scalar subquery (global average) in one projection. */
+  val q45SubqueryScalar: Q = (spark, dir) =>
+    orderAll(withView(spark, dir, Seq("customer", "orders"))(
+      """SELECT c_custkey,
+        |  (SELECT max(o_totalprice) FROM sq_orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_order,
+        |  CAST((SELECT count(*) FROM sq_orders) AS BIGINT) AS total_orders
+        |FROM sq_customer c
+        |""".stripMargin))
+
+  /** q46: GROUP BY + HAVING over an exact-decimal aggregate. */
+  val q46Having: Q = (spark, dir) =>
+    orderAll(withView(spark, dir, Seq("orders"))(
+      """SELECT o_custkey, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM sq_orders
+        |GROUP BY o_custkey
+        |HAVING count(*) >= 8
+        |""".stripMargin))
+
+  val defs: Map[String, Q] = Map(
+    "q43_subquery_in" -> q43SubqueryIn,
+    "q44_subquery_exists" -> q44SubqueryExists,
+    "q45_subquery_scalar" -> q45SubqueryScalar,
+    "q46_having" -> q46Having)
+
+  val oracles: Map[String, String] = Map(
+    "q43_subquery_in" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 7000)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    "q44_subquery_exists" ->
+      """SELECT c_custkey, c_name
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > c.c_acctbal * 100)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "q45_subquery_scalar" ->
+      """SELECT c_custkey,
+        |  (SELECT max(o_totalprice) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_order,
+        |  CAST((SELECT count(*) FROM orders) AS BIGINT) AS total_orders
+        |FROM customer c
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    "q46_having" ->
+      """SELECT o_custkey, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING count(*) >= 8
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin)
+}

@@ -58,6 +58,18 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("subqueries decorrelate into joins (no per-row subquery execution)") {
+    // IN → semi join; correlated EXISTS → semi join; correlated scalar →
+    // aggregate + outer join. If decorrelation failed these plans would
+    // carry an InSubquery/Exists predicate into execution.
+    Seq("q43_subquery_in", "q44_subquery_exists", "q45_subquery_scalar")
+      .foreach { q =>
+        val p = plan(q)
+        assert(p.contains("Join") || p.contains("BroadcastHashJoin") ||
+          p.contains("SortMergeJoin"), s"$q: no join in plan\n$p")
+      }
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     // AQE reports WholeStageCodegen spans only in the finalized plan
     val df = graft.SparkEntry.queries("q20_agg_hash")(spark, sf)
