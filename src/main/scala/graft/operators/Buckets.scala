@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed (pre-partitioned) table utilities — the shuffle-free join
+  * story for repeated large⋈large joins on a stable key.
+  *
+  * Writing both sides bucketed by the join key into the same number of
+  * buckets lets every subsequent join read co-located buckets and skip
+  * BOTH Exchange nodes; at 100 TB with a fact table joined daily on the
+  * same key, that's the single largest shuffle you can delete. Bucketing
+  * goes through the session catalog (bucket metadata lives in the
+  * metastore, not in parquet), hence saveAsTable.
+  */
+object Buckets {
+
+  /** Write `df` as a bucketed, sorted managed table. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      numBuckets: Int = 8): Unit =
+    df.write
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two same-bucketed tables on their bucket key — plans with zero
+    * Exchange when bucket counts match. */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+      leftKey: String, rightKey: String): DataFrame = {
+    val l = spark.table(leftTable)
+    val r = spark.table(rightTable)
+    l.join(r, l(leftKey) === r(rightKey))
+  }
+}
