@@ -84,15 +84,39 @@ object Aggregates {
       approx_count_distinct(col("l_orderkey")).as("approx_orders")))
   }
 
+  /** q26: exact interpolated percentiles (same continuous-quantile
+    * definition as DuckDB's quantile_cont: rank = p·(n−1), linear
+    * interpolation). At 100 TB, exact percentile means a sort per group —
+    * q25's sketch (HLL) and approx_percentile are the scale alternatives;
+    * this pins the exact semantics. */
+  val q26Percentile: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+    orderAll(li.groupBy(col("l_returnflag")).agg(
+      round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
+      round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+      round(expr("percentile(l_quantity, 0.75)"), 6).as("p75"),
+      round(expr("percentile(l_extendedprice, 0.9)"), 6).as("price_p90")))
+  }
+
   val defs: Map[String, Q] = Map(
     "q20_agg_hash" -> q20Hash,
     "q21_agg_distinct" -> q21Distinct,
     "q22_agg_rollup" -> q22Rollup,
     "q23_agg_cube" -> q23Cube,
     "q24_agg_grouping_sets" -> q24GroupingSets,
-    "q25_agg_approx_distinct" -> q25ApproxDistinct)
+    "q25_agg_approx_distinct" -> q25ApproxDistinct,
+    "q26_agg_percentile" -> q26Percentile)
 
   val oracles: Map[String, String] = Map(
+    "q26_agg_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+        |  round(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
     "q20_agg_hash" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
