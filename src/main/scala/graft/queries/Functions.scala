@@ -104,8 +104,11 @@ object Functions {
     * mirroring the engines' double→DECIMAL(18,4) casts (valueOf =
     * shortest-string rounding, same as Spark's Cast), merged
     * associatively — a proper two-phase distributed aggregate. */
-  private case class WBuf(spq: BigDecimal, sq: BigDecimal)
-  private object WeightedAvg extends Aggregator[(Double, Double), WBuf, Double] {
+  // public: Janino-generated (un)safe projections access the buffer class
+  // reflectively-free; a private case class forces an interpreted fallback
+  // with a logged compile error on every task
+  case class WBuf(spq: BigDecimal, sq: BigDecimal)
+  object WeightedAvg extends Aggregator[(Double, Double), WBuf, Double] {
     private def d4(x: Double): BigDecimal =
       BigDecimal(java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP))
     def zero: WBuf = WBuf(BigDecimal(0), BigDecimal(0))
