@@ -98,6 +98,18 @@ object Aggregates {
       round(expr("percentile(l_extendedprice, 0.9)"), 6).as("price_p90")))
   }
 
+  /** q27: pivot — returnflag categories become columns (explicit value
+    * list, so the plan is a single aggregate pass; an unlisted-values
+    * pivot needs an extra distinct scan first, worth avoiding at scale). */
+  val q27Pivot: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+    orderAll(li.groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(dsum(col("l_quantity")))
+      .select(col("l_linestatus"), col("A").as("qty_a"),
+        col("N").as("qty_n"), col("R").as("qty_r")))
+  }
+
   val defs: Map[String, Q] = Map(
     "q20_agg_hash" -> q20Hash,
     "q21_agg_distinct" -> q21Distinct,
@@ -105,9 +117,18 @@ object Aggregates {
     "q23_agg_cube" -> q23Cube,
     "q24_agg_grouping_sets" -> q24GroupingSets,
     "q25_agg_approx_distinct" -> q25ApproxDistinct,
-    "q26_agg_percentile" -> q26Percentile)
+    "q26_agg_percentile" -> q26Percentile,
+    "q27_agg_pivot" -> q27Pivot)
 
   val oracles: Map[String, String] = Map(
+    "q27_agg_pivot" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_a,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_n,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_r
+        |FROM lineitem
+        |GROUP BY l_linestatus
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
     "q26_agg_percentile" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.25), 6) AS p25,
