@@ -31,15 +31,27 @@ import graft.core.Schemas
   * `app.py:149` — one of the places a columnar engine just does better).
   *
   * Null policy (SURVEY.md §7.3): the .avsc is authoritative — a null in
-  * one of the 9 required fields raises (counted upstream as a bad record),
-  * instead of the reference's swallowed per-chunk log line
-  * (`app.py:157-158`).
+  * one of the 9 required fields raises by default (strict mode, so bad
+  * data is loud), instead of the reference's swallowed per-chunk log line
+  * (`app.py:157-158`). With `lenient = true` the poison row is nulled out
+  * and COUNTED through the accumulator instead of killing the batch —
+  * the bad-record metric SURVEY §7.3 promises. (Accumulator caveat: task
+  * retries can over-count; it is a monitoring metric, not a ledger.)
   */
-case class AvroEncodeExpression(child: Expression, avscJson: String)
+case class AvroEncodeExpression(child: Expression, avscJson: String,
+    lenient: Boolean = false,
+    badRecords: Option[org.apache.spark.util.LongAccumulator] = None)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = BinaryType
-  override def nullable: Boolean = child.nullable
+  override def nullable: Boolean = child.nullable || lenient
+
+  /** Lenient mode has a side effect (the counter), so advertise
+    * non-determinism: it stops Catalyst from duplicating the expression
+    * (e.g. pushing a `value IS NOT NULL` filter through the projection),
+    * which would double-count bad records. */
+  override lazy val deterministic: Boolean =
+    !lenient && children.forall(_.deterministic)
 
   private def structType = child.dataType.asInstanceOf[StructType]
 
@@ -58,10 +70,16 @@ case class AvroEncodeExpression(child: Expression, avscJson: String)
       i += 1
     }
     out.reset()
-    val enc = EncoderFactory.get().directBinaryEncoder(out, null)
-    writer.write(rec, enc)
-    enc.flush()
-    out.toByteArray
+    try {
+      val enc = EncoderFactory.get().directBinaryEncoder(out, null)
+      writer.write(rec, enc)
+      enc.flush()
+      out.toByteArray
+    } catch {
+      case scala.util.control.NonFatal(e) if lenient =>
+        badRecords.foreach(_.add(1L))
+        null
+    }
   }
 
   override protected def withNewChildInternal(newChild: Expression): AvroEncodeExpression =
@@ -113,6 +131,25 @@ object AvroCodec {
     canonical
       .select(struct(Schemas.reclamacoesColumns.map(canonical.col): _*).as("r"))
       .select(expr("avro_encode(r)").as("value"))
+  }
+
+  /** Lenient flavor: rows that violate the wire schema (null in a
+    * required field) are dropped and counted instead of failing the
+    * batch/micro-batch — returns the value frame plus the live
+    * bad-record counter (SURVEY §7.3's promised metric). */
+  def encodeFrameLenient(spark: SparkSession, canonical: DataFrame)
+      : (DataFrame, org.apache.spark.util.LongAccumulator) = {
+    val acc = spark.sparkContext.longAccumulator("graft.avro.bad_records")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "avro_encode_lenient",
+      exprs => AvroEncodeExpression(exprs.head, Schemas.reclamacoesAvsc,
+        lenient = true, badRecords = Some(acc)),
+      "scala_udf")
+    val values = canonical
+      .select(struct(Schemas.reclamacoesColumns.map(canonical.col): _*).as("r"))
+      .select(expr("avro_encode_lenient(r)").as("value"))
+      .filter(expr("value IS NOT NULL")) // nulled-out poison rows: counted, not shipped
+    (values, acc)
   }
 
   /** value column → canonical wire columns (round-trip/test path). */

@@ -77,15 +77,23 @@ object Functions {
   }
 
   /** q54 [EXT]: array builtins over embeddings (elements cast to double on
-    * BOTH sides so float32 printing can't diverge). */
+    * BOTH sides so float32 printing can't diverge). Output is scalar-only:
+    * the driver's pandas-based hash harness cannot sort array columns, so
+    * `slice` is exercised through per-element projections and array_max /
+    * array_min pin the whole-array reductions. */
   val q54ArrayFuncs: Q = (spark, dir) => {
     val e = t(spark, dir, "embeddings")
+    val head3 = slice(col("embedding"), 1, 3)
     orderAll(e.select(
       col("vec_id"), col("label"),
       size(col("embedding")).as("dim"),
       element_at(col("embedding"), 1).cast("double").as("first"),
       element_at(col("embedding"), 64).cast("double").as("last"),
-      slice(col("embedding"), 1, 3).cast("array<double>").as("head3")))
+      element_at(head3, 1).cast("double").as("h1"),
+      element_at(head3, 2).cast("double").as("h2"),
+      element_at(head3, 3).cast("double").as("h3"),
+      array_max(col("embedding")).cast("double").as("vmax"),
+      array_min(col("embedding")).cast("double").as("vmin")))
   }
 
   /** q55 [EXT]: JSON extraction + map functions over events.props. */
@@ -200,9 +208,13 @@ object Functions {
         |  CAST(len(embedding) AS INT) AS dim,
         |  CAST(embedding[1] AS DOUBLE) AS first,
         |  CAST(embedding[64] AS DOUBLE) AS last,
-        |  CAST(embedding[1:3] AS DOUBLE[]) AS head3
+        |  CAST((embedding[1:3])[1] AS DOUBLE) AS h1,
+        |  CAST((embedding[1:3])[2] AS DOUBLE) AS h2,
+        |  CAST((embedding[1:3])[3] AS DOUBLE) AS h3,
+        |  CAST(list_max(embedding) AS DOUBLE) AS vmax,
+        |  CAST(list_min(embedding) AS DOUBLE) AS vmin
         |FROM embeddings
-        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST, 8 NULLS FIRST, 9 NULLS FIRST, 10 NULLS FIRST""".stripMargin,
     "q55_json_map_funcs" ->
       """SELECT event_id,
         |  json_extract_string(props, '$.k') AS k_str,

@@ -136,7 +136,7 @@ object LlmOps {
     orderAll(d.groupBy(col("lang"), col("source")).agg(
       count(lit(1)).as("n_docs"),
       sum(col("n_chars")).as("sum_chars"),
-      (sum(col("n_tok")).cast("double") / count(lit(1))).as("avg_tok"),
+      round(sum(col("n_tok")).cast("double") / count(lit(1)), 6).as("avg_tok"),
       max(col("n_chars")).as("max_chars")))
   }
 
@@ -208,14 +208,25 @@ object LlmOps {
     orderAll(d.select(col("doc_id"), fp.as("fingerprint")))
   }
 
+  /** Shingles with document frequency above this carry no near-dup signal
+    * (they're corpus boilerplate) but dominate the inverted-index
+    * self-join, whose work is Σ df² over shingles — at sf0.1 the uncapped
+    * join produced ~11 M pair rows from 10 k docs, and hot-shingle df
+    * grows with corpus duplication, so uncapped work grows quadratically.
+    * The cap bounds per-shingle join fan-out at df² ≤ 400 rows, making
+    * total work linear in corpus size. Jaccard is then computed over the
+    * informative-shingle sets on BOTH engines (cap mirrored in the
+    * oracle). */
+  private val ShingleDfCap = 20
   /** q88: n-gram Jaccard near-dup via shingle inverted index — the join
     * key is the 3-token shingle (candidate generation), never a cross
-    * join; Jaccard is computed from exact distinct-shingle counts. */
+    * join; Jaccard is computed from exact distinct-shingle counts, over
+    * shingles with df ≤ [[ShingleDfCap]]. */
   val q88DedupNgram: Q = (spark, dir) => {
     val d = docsWithNearDups(spark, dir)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
-    val shingles = d.select(col("doc_id"),
+    val allShingles = d.select(col("doc_id"),
       explode(transform(sequence(lit(1), size(col("toks")) - 2),
         i => concat_ws(" ",
           element_at(col("toks"), i),
@@ -223,6 +234,14 @@ object LlmOps {
           element_at(col("toks"), i + 2))))
         .as("sh"))
       .distinct()
+    // df filter: groupBy-on-sh (map-side combinable) + join back on sh —
+    // the same key as the self-join below, so the hash partitioning on sh
+    // is computed once and reused across all three operators.
+    val informative = allShingles.groupBy("sh")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= ShingleDfCap)
+      .select("sh")
+    val shingles = allShingles.join(informative, Seq("sh"))
     val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = shingles.as("a").join(shingles.as("b"), Seq("sh"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -238,13 +257,23 @@ object LlmOps {
     orderAll(j.select(col("d1"), col("d2"), col("common"), col("jacc")))
   }
 
-  /** q89: SimHash near-dup — 32-bit simhash over distinct tokens, banded
-    * into 4×8-bit prefixes for candidate generation, verified by hamming
-    * distance (bit_count(xor)). The sketch itself is a typed map: one
-    * pass per document with a local vote array (the explode + 32
-    * aggregate formulation shuffles |tokens| rows per doc and ran 6×
-    * slower). Like MinHash (q81), the sketch is over 3-token SHINGLES:
-    * unigram distinct-token sets over a small vocabulary are
+  /** q89 banding geometry. Band width must grow ~log2(corpus size) for
+    * the within-band join to stay sub-quadratic: non-dup docs collide on
+    * a band with probability ~2^-SimhashBandBits, so expected bucket
+    * occupancy is n · NumBands / 2^BandBits — at 16 bits that's ~15 k
+    * docs/bucket at 1 B docs (vs ~4 M with the 8-bit bands this
+    * replaced). For larger corpora raise BandBits (and the hash width)
+    * rather than the band count. */
+  private val SimhashBandBits = 16
+  private val SimhashNumBands = 4 // 4 × 16 = the full 64-bit sketch
+
+  /** q89: SimHash near-dup — 64-bit simhash over distinct shingles,
+    * banded into 4×16-bit slices for candidate generation, verified by
+    * hamming distance (bit_count(xor)). The sketch itself is a typed
+    * map: one pass per document with a local vote array (the explode +
+    * per-bit aggregate formulation shuffles |tokens| rows per doc and
+    * ran 6× slower). Like MinHash (q81), the sketch is over 3-token
+    * SHINGLES: unigram distinct-token sets over a small vocabulary are
     * near-identical across documents, which drives every pairwise
     * hamming distance under the threshold and turns the candidate join
     * into all-pairs (observed: 14 M candidate rows at sf0.1).
@@ -257,23 +286,28 @@ object LlmOps {
       .as[(Long, Seq[String])]
       .map { case (id, raw) =>
         val toks = raw.sliding(3).map(_.mkString(" ")).toArray.distinct
-        val votes = new Array[Int](32)
+        val votes = new Array[Int](64)
         toks.foreach { t =>
-          val h = scala.util.hashing.MurmurHash3.stringHash(t, 42)
+          // 64 hash bits from two independent murmur seeds
+          val lo = scala.util.hashing.MurmurHash3.stringHash(t, 42)
+          val hi = scala.util.hashing.MurmurHash3.stringHash(t, 7919)
+          val h = (hi.toLong << 32) | (lo.toLong & 0xFFFFFFFFL)
           var b = 0
-          while (b < 32) {
-            if (((h >>> b) & 1) == 1) votes(b) += 1 else votes(b) -= 1
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
             b += 1
           }
         }
         var sh = 0L
         var b = 0
-        while (b < 32) { if (votes(b) > 0) sh |= (1L << b); b += 1 }
+        while (b < 64) { if (votes(b) > 0) sh |= (1L << b); b += 1 }
         (id, sh)
       }.toDF("doc_id", "simhash")
+    val bandMask = (1L << SimhashBandBits) - 1
     val banded = simhash.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(k =>
-        concat_ws(":", lit(k), shiftright(col("simhash"), k * 8).bitwiseAND(0xFF))): _*))
+      explode(array((0 until SimhashNumBands).map(k =>
+        concat_ws(":", lit(k),
+          shiftright(col("simhash"), k * SimhashBandBits).bitwiseAND(bandMask))): _*))
         .as("band"))
     val cands = banded.as("x").join(banded.as("y"), Seq("band"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -282,24 +316,58 @@ object LlmOps {
       .distinct()
     orderAll(cands
       .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= 6) // 6/64 ≈ the 3/32 threshold this replaced
       .select(col("d1"), col("d2"), col("hamming")))
   }
 
-  /** q91: bucketed ANN (signed-random-projection flavor) — the 100 TB
-    * similarity path: bucket = sign bits of the first 4 dimensions, join
-    * queries to corpus within bucket only, top-3 per query. Rows-only
-    * (bucket recall vs the q82 baseline is asserted in LlmOpsSpec). */
+  /** q91 bucketing geometry. SrpBits is the knob that scales with corpus
+    * size (buckets = 2^SrpBits; expected occupancy n/2^bits — pick bits ≈
+    * log2(n / target_bucket_size), e.g. 20 bits for 1 B vectors at ~1 k
+    * per bucket). 8 bits = 256 buckets here, vs the 16-buckets-ever
+    * first-4-dim-signs scheme this replaced. Recall is recovered by
+    * multi-probing: each query also probes every bucket within hamming
+    * distance ProbeRadius of its own code (1 + 8 + 28 = 37 probes at
+    * radius 2 — a 37/256 ≈ 14% bucket scan per query, vs 100% for brute
+    * force; the radius is the recall-vs-work knob and shrinks relative
+    * to 2^bits as bits grow with corpus size). */
+  private val SrpBits = 8
+  private val ProbeRadius = 2
+  private val EmbeddingDim = 64
+
+  /** Deterministic ±1 projection matrix (murmur of (bit, dim) — no RNG so
+    * plans are reproducible across sessions and engines). */
+  private lazy val srpWeights: IndexedSeq[Seq[Double]] =
+    (0 until SrpBits).map { b =>
+      (0 until EmbeddingDim).map { dim =>
+        if (scala.util.hashing.MurmurHash3.productHash((b, dim)) >= 0) 1.0 else -1.0
+      }
+    }
+
+  /** q91: bucketed ANN (signed-random-projection LSH) — the 100 TB
+    * similarity path: bucket = sign pattern of SrpBits random ±1
+    * projections of the full vector, join queries to corpus within
+    * probed buckets only, top-3 per query. The corpus side stays
+    * partitioned (one bucket pass, no per-query scan); only the tiny
+    * query side fans out ×|probes| and is broadcast. Rows-only
+    * (score agreement + recall vs the q82 baseline asserted in
+    * LlmOpsSpec). */
   val q91SimilarityIvf: Q = (spark, dir) => {
     graft.functions.CosineSimilarity.register(spark)
     val v = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    def proj(e: org.apache.spark.sql.Column, w: Seq[Double]) =
+      aggregate(zip_with(e, typedLit(w), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
     def bucket(e: org.apache.spark.sql.Column) =
-      (0 until 4).map(i => when(element_at(e, i + 1) > 0, lit(1 << i)).otherwise(lit(0)))
+      (0 until SrpBits).map(b => when(proj(e, srpWeights(b)) > 0, lit(1 << b)).otherwise(lit(0)))
         .reduce(_ + _)
     val corpus = v.withColumn("bkt", bucket(col("e")))
+    // multi-probe: every code mask within hamming distance ProbeRadius
+    val masks = (0 until (1 << SrpBits))
+      .filter(m => Integer.bitCount(m) <= ProbeRadius)
+    val probes = array(masks.map(m => col("bkt").bitwiseXOR(lit(m))): _*)
     val queries = corpus.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("e").as("qe"), col("bkt"))
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+        explode(probes).as("bkt"))
     val scored = corpus.join(broadcast(queries), Seq("bkt"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
@@ -347,8 +415,8 @@ object LlmOps {
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
     "q83_text_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
-        |  sum(n_chars) AS sum_chars,
-        |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avg_tok,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  round(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / count(*), 6) AS avg_tok,
         |  max(n_chars) AS max_chars
         |FROM documents GROUP BY lang, source
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""".stripMargin,
@@ -404,10 +472,12 @@ object LlmOps {
         |    string_split(text, ' ')[1:len(string_split(text, ' ')) - 1]
         |  FROM documents),
         |docs AS (SELECT * FROM dd WHERE len(toks) >= 3),
-        |sh AS (
+        |sh_all AS (
         |  SELECT DISTINCT doc_id,
         |    toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS sh
         |  FROM docs, unnest(range(1, len(toks) - 1)) AS t(i)),
+        |informative AS (SELECT sh FROM sh_all GROUP BY sh HAVING count(*) <= 20),
+        |sh AS (SELECT s.doc_id, s.sh FROM sh_all s JOIN informative i USING (sh)),
         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
         |pairs AS (
         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common

@@ -11,55 +11,59 @@ import org.apache.spark.sql.functions._
   * actually happened. */
 object Subqueries {
 
-  private def viewName(dir: String, table: String): String = {
-    // one temp view per (table, sf) — safe across repeated calls
-    s"sq_${table}"
-  }
+  /** One temp view per (table, sf dir): the dir tag keeps concurrent
+    * callers on different scale-factor dirs from racing on a shared view
+    * name within one session. */
+  private def viewName(dir: String, table: String): String =
+    s"sq_${table}_" + dir.replaceAll("[^A-Za-z0-9]", "_")
 
-  private def withView(spark: org.apache.spark.sql.SparkSession, dir: String,
-      tables: Seq[String])(sql: String): org.apache.spark.sql.DataFrame = {
-    tables.foreach(tb => t(spark, dir, tb).createOrReplaceTempView(viewName(dir, tb)))
-    spark.sql(sql)
+  /** Registers the views and hands their (dir-scoped) names to the SQL
+    * builder. */
+  private def withViews(spark: org.apache.spark.sql.SparkSession, dir: String,
+      tables: Seq[String])(sql: Map[String, String] => String): org.apache.spark.sql.DataFrame = {
+    val names = tables.map(tb => tb -> viewName(dir, tb)).toMap
+    tables.foreach(tb => t(spark, dir, tb).createOrReplaceTempView(names(tb)))
+    spark.sql(sql(names))
   }
 
   /** q43: uncorrelated IN subquery → left semi join after rewrite. */
   val q43SubqueryIn: Q = (spark, dir) =>
-    orderAll(withView(spark, dir, Seq("orders", "customer"))(
-      """SELECT o_orderkey, o_custkey, o_totalprice
-        |FROM sq_orders
-        |WHERE o_custkey IN (SELECT c_custkey FROM sq_customer WHERE c_acctbal > 7000)
-        |""".stripMargin))
+    orderAll(withViews(spark, dir, Seq("orders", "customer"))(v =>
+      s"""SELECT o_orderkey, o_custkey, o_totalprice
+         |FROM ${v("orders")}
+         |WHERE o_custkey IN (SELECT c_custkey FROM ${v("customer")} WHERE c_acctbal > 7000)
+         |""".stripMargin))
 
   /** q44: correlated EXISTS with an inner predicate on the outer row. */
   val q44SubqueryExists: Q = (spark, dir) =>
-    orderAll(withView(spark, dir, Seq("customer", "orders"))(
-      """SELECT c_custkey, c_name
-        |FROM sq_customer c
-        |WHERE EXISTS (SELECT 1 FROM sq_orders o
-        |              WHERE o.o_custkey = c.c_custkey
-        |                AND o.o_totalprice > c.c_acctbal * 100)
-        |""".stripMargin))
+    orderAll(withViews(spark, dir, Seq("customer", "orders"))(v =>
+      s"""SELECT c_custkey, c_name
+         |FROM ${v("customer")} c
+         |WHERE EXISTS (SELECT 1 FROM ${v("orders")} o
+         |              WHERE o.o_custkey = c.c_custkey
+         |                AND o.o_totalprice > c.c_acctbal * 100)
+         |""".stripMargin))
 
   /** q45: correlated scalar subquery (per-customer max order) + an
     * uncorrelated scalar subquery (global average) in one projection. */
   val q45SubqueryScalar: Q = (spark, dir) =>
-    orderAll(withView(spark, dir, Seq("customer", "orders"))(
-      """SELECT c_custkey,
-        |  (SELECT max(o_totalprice) FROM sq_orders o
-        |   WHERE o.o_custkey = c.c_custkey) AS max_order,
-        |  CAST((SELECT count(*) FROM sq_orders) AS BIGINT) AS total_orders
-        |FROM sq_customer c
-        |""".stripMargin))
+    orderAll(withViews(spark, dir, Seq("customer", "orders"))(v =>
+      s"""SELECT c_custkey,
+         |  (SELECT max(o_totalprice) FROM ${v("orders")} o
+         |   WHERE o.o_custkey = c.c_custkey) AS max_order,
+         |  CAST((SELECT count(*) FROM ${v("orders")}) AS BIGINT) AS total_orders
+         |FROM ${v("customer")} c
+         |""".stripMargin))
 
   /** q46: GROUP BY + HAVING over an exact-decimal aggregate. */
   val q46Having: Q = (spark, dir) =>
-    orderAll(withView(spark, dir, Seq("orders"))(
-      """SELECT o_custkey, count(*) AS n,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
-        |FROM sq_orders
-        |GROUP BY o_custkey
-        |HAVING count(*) >= 8
-        |""".stripMargin))
+    orderAll(withViews(spark, dir, Seq("orders"))(v =>
+      s"""SELECT o_custkey, count(*) AS n,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+         |FROM ${v("orders")}
+         |GROUP BY o_custkey
+         |HAVING count(*) >= 8
+         |""".stripMargin))
 
   val defs: Map[String, Q] = Map(
     "q43_subquery_in" -> q43SubqueryIn,

@@ -62,6 +62,16 @@ class AvroCodecSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("lenient encode: poison row is counted and dropped, batch completes") {
+    val badRow = Row("2022", null, "x", "x", null, "x", "x", "0",
+      null, null, "0", "0", "0", null) // trimestre (required) is null
+    val (values, bad) = AvroCodec.encodeFrameLenient(spark, frame(sample, badRow))
+    val rows = values.collect() // must NOT throw: the poison row is metered out
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Array[Byte]]("value")(0) == 8) // the good row, intact
+    assert(bad.value == 1L, s"bad-record metric = ${bad.value}, want 1")
+  }
+
   test("raw body has no container framing (starts with field data)") {
     val bytes = AvroCodec.encodeFrame(spark, frame(sample))
       .collect().head.getAs[Array[Byte]]("value")
