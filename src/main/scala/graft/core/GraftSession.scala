@@ -34,6 +34,15 @@ object GraftSession {
     extra.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
   }
 
+  /** Builder pre-wired with the settings' S3A credential mapping — the
+    * production path for reading the reference's `s3a://` source root.
+    * (spark.hadoop.* keys are read at SparkContext creation, so this
+    * must run before the first session exists.) */
+  def builderFor(settings: Settings, master: String = "local[*]",
+      shufflePartitions: Int = Runtime.getRuntime.availableProcessors(),
+      extra: Map[String, String] = Map.empty): SparkSession.Builder =
+    builder(master, shufflePartitions, settings.s3aConfigs ++ extra)
+
   /** Build the session and register the engine's SQL functions. */
   def getOrCreate(master: String = "local[*]",
       shufflePartitions: Int = Runtime.getRuntime.availableProcessors(),

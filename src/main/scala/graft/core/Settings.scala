@@ -32,6 +32,19 @@ final case class Settings(
   /** `s3a://bucket/prefix` source root (batch or streaming). */
   def sourceRoot: String =
     s"s3a://${s3BucketName.getOrElse("")}/$s3PathPrefix"
+
+  /** Hadoop S3A configuration derived from the reference's AWS env
+    * surface (`settings.py:11-16`, consumed by the boto3 client at
+    * `app.py:41-57`) — the Spark-native deployment path for the
+    * `s3a://` reads behind [[sourceRoot]]. Only present values are
+    * emitted: absent keys fall back to the provider-chain default
+    * (instance profile etc.), matching boto3's behavior. */
+  def s3aConfigs: Map[String, String] = (
+    awsAccessKeyId.map("spark.hadoop.fs.s3a.access.key" -> _) ++
+      awsSecretAccessKey.map("spark.hadoop.fs.s3a.secret.key" -> _) ++
+      awsEndpointUrl.map("spark.hadoop.fs.s3a.endpoint" -> _) ++
+      awsDefaultRegion.map("spark.hadoop.fs.s3a.endpoint.region" -> _)
+  ).toMap
 }
 
 object Settings {

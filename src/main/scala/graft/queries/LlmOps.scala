@@ -58,7 +58,12 @@ object LlmOps {
     *      minhash collides, and LSH degenerates to an all-pairs join —
     *      spark.ml's MinHashLSH.approxSimilarityJoin showed exactly that,
     *      plus ~30 s of join overhead even shingled, vs ~3 s here);
-    *   2. k=12 minhashes per doc, one typed-map pass;
+    *   2. k=12 minhashes per doc — entirely in codegen'd expressions:
+    *      hash family h is `hash(h, shingle)` (Spark's murmur3 chained
+    *      from the family id), min'd per doc with array_min∘transform —
+    *      no typed map, no JVM object churn, stays in WholeStageCodegen
+    *      (the typed-map formulation this replaced cost an
+    *      encode/decode of every token seq);
     *   3. 4 bands × 3 rows — docs agreeing on ALL 3 hashes of any band
     *      become candidates (band value is the join key: candidate
     *      generation is a bucket join, never cross);
@@ -69,25 +74,20 @@ object LlmOps {
     * candidates. No oracle (murmur hashing is engine-local); planted-pair
     * recall is asserted in LlmOpsSpec. */
   val q81DedupMinhash: Q = (spark, dir) => {
-    import spark.implicits._
     val NumHashes = 12
     val RowsPerBand = 3
+    val toks = split(col("text"), " ")
     val docs = docsWithNearDups(spark, dir)
-      .withColumn("toks", split(col("text"), " "))
+      .withColumn("toks", toks)
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), col("toks")).as[(Long, Seq[String])]
-    val sigs = docs.map { case (id, raw) =>
-      val shingles = raw.sliding(3).map(_.mkString(" ")).toArray.distinct
-      val sig = Array.tabulate(NumHashes) { h =>
-        var m = Int.MaxValue
-        shingles.foreach { s =>
-          val v = scala.util.hashing.MurmurHash3.stringHash(s, h)
-          if (v < m) m = v
-        }
-        m
-      }
-      (id, shingles, sig)
-    }.toDF("doc_id", "shingles", "sig")
+    val sigs = docs.select(col("doc_id"),
+      array_distinct(transform(sequence(lit(1), size(col("toks")) - 2),
+        i => concat_ws(" ",
+          element_at(col("toks"), i),
+          element_at(col("toks"), i + 1),
+          element_at(col("toks"), i + 2)))).as("shingles"))
+      .withColumn("sig", array((0 until NumHashes).map(h =>
+        array_min(transform(col("shingles"), s => hash(lit(h), s)))): _*))
     val bands = sigs.select(col("doc_id"), col("shingles"),
       explode(transform(sequence(lit(0), lit(NumHashes / RowsPerBand - 1)),
         b => concat_ws(":", b +: (0 until RowsPerBand).map(r =>
@@ -226,14 +226,16 @@ object LlmOps {
     val d = docsWithNearDups(spark, dir)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
+    // per-doc dedup happens NARROW (array_distinct inside the row) —
+    // a row-level `.distinct()` here would be a full extra shuffle of
+    // every (doc, shingle) pair for something each row can do locally
     val allShingles = d.select(col("doc_id"),
-      explode(transform(sequence(lit(1), size(col("toks")) - 2),
+      explode(array_distinct(transform(sequence(lit(1), size(col("toks")) - 2),
         i => concat_ws(" ",
           element_at(col("toks"), i),
           element_at(col("toks"), i + 1),
-          element_at(col("toks"), i + 2))))
+          element_at(col("toks"), i + 2)))))
         .as("sh"))
-      .distinct()
     // df filter: groupBy-on-sh (map-side combinable) + join back on sh —
     // the same key as the self-join below, so the hash partitioning on sh
     // is computed once and reused across all three operators.
@@ -343,6 +345,28 @@ object LlmOps {
       }
     }
 
+  /** SRP bucket code of an embedding column — shared by q91 (ANN) and
+    * q92 (embedding dedup). Sign summation is a sequential fold; the
+    * SQL mirror ([[srpBucketSql]]) uses list_dot_product, whose
+    * different summation order could only flip a sign at |proj| ≲ 1e-14
+    * (probability ~1e-14 per projection on unit vectors — ignorable). */
+  private def srpBucket(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def proj(w: Seq[Double]) =
+      aggregate(zip_with(e, typedLit(w), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    (0 until SrpBits).map(b => when(proj(srpWeights(b)) > 0, lit(1 << b)).otherwise(lit(0)))
+      .reduce(_ + _)
+  }
+
+  /** The same bucket code as DuckDB SQL over a DOUBLE[] column: the ±1
+    * matrix is serialized into list literals so candidate generation in
+    * the oracle matches the engine bit-for-bit. */
+  private def srpBucketSql(col: String): String =
+    (0 until SrpBits).map { b =>
+      val w = srpWeights(b).map(x => if (x > 0) "1.0" else "-1.0")
+        .mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product($col, $w) > 0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString(" + ")
+
   /** q91: bucketed ANN (signed-random-projection LSH) — the 100 TB
     * similarity path: bucket = sign pattern of SrpBits random ±1
     * projections of the full vector, join queries to corpus within
@@ -355,12 +379,7 @@ object LlmOps {
     graft.functions.CosineSimilarity.register(spark)
     val v = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-    def proj(e: org.apache.spark.sql.Column, w: Seq[Double]) =
-      aggregate(zip_with(e, typedLit(w), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    def bucket(e: org.apache.spark.sql.Column) =
-      (0 until SrpBits).map(b => when(proj(e, srpWeights(b)) > 0, lit(1 << b)).otherwise(lit(0)))
-        .reduce(_ + _)
-    val corpus = v.withColumn("bkt", bucket(col("e")))
+    val corpus = v.withColumn("bkt", srpBucket(col("e")))
     // multi-probe: every code mask within hamming distance ProbeRadius
     val masks = (0 until (1 << SrpBits))
       .filter(m => Integer.bitCount(m) <= ProbeRadius)
@@ -378,6 +397,51 @@ object LlmOps {
       .select(col("qid"), col("rnk"), col("nid"), col("cos6")))
   }
 
+  /** q92: embedding-cosine near-dup dedup — the fifth dedup modality
+    * (exact q80, minhash q81, ngram q88, simhash q89, and now vector
+    * space): a deterministic "re-embedding" copy of each vector (one
+    * dimension nudged +0.05, id + 1e6) is planted, candidates are
+    * generated by a self equi-join on the q91 SRP bucket code (never a
+    * cross join — at 100 TB the join fans out per bucket, occupancy
+    * n/2^bits), and candidates are verified with exact cosine ≥ 0.9
+    * (planted pairs score ≥ 0.9987 on this data; unrelated same-bucket
+    * pairs ≤ 0.514 — the threshold sits in a wide gap, so float noise
+    * can't flip membership). FULLY ORACLED, unlike the other
+    * hash-sketch dedups: the ±1 projection matrix is serialized into
+    * the DuckDB SQL, so both engines build identical buckets. */
+  val q92DedupEmbedding: Q = (spark, dir) => {
+    graft.functions.CosineSimilarity.register(spark)
+    val v = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val planted = v.select((col("vec_id") + 1000000).as("vec_id"),
+      concat(slice(col("e"), 1, EmbeddingDim - 1),
+        array(element_at(col("e"), EmbeddingDim) + lit(0.05))).as("e"))
+    val corpus = v.unionByName(planted).withColumn("bkt", srpBucket(col("e")))
+    val pairs = corpus.as("x").join(corpus.as("y"), Seq("bkt"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
+        round(cosine("x.e", "y.e"), 6).as("cos6"))
+      .filter(col("cos6") >= 0.9)
+    orderAll(pairs)
+  }
+
+  private def q92OracleSql: String = {
+    val cosSql = "round(list_dot_product(x.e, y.e) / " +
+      "(sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))), 6)"
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |all_v AS (
+       |  SELECT vec_id, e FROM v
+       |  UNION ALL
+       |  SELECT vec_id + 1000000,
+       |    list_concat(e[1:${EmbeddingDim - 1}], [e[$EmbeddingDim] + 0.05])
+       |  FROM v),
+       |b AS (SELECT vec_id, e, ${srpBucketSql("e")} AS bkt FROM all_v)
+       |SELECT x.vec_id AS v1, y.vec_id AS v2, $cosSql AS cos6
+       |FROM b x JOIN b y ON x.bkt = y.bkt AND x.vec_id < y.vec_id
+       |WHERE $cosSql >= 0.9
+       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
     "q80_dedup_exact" -> q80DedupExact,
     "q81_dedup_minhash" -> q81DedupMinhash,
@@ -389,9 +453,11 @@ object LlmOps {
     "q87_fingerprint" -> q87Fingerprint,
     "q88_dedup_ngram" -> q88DedupNgram,
     "q89_dedup_simhash" -> q89DedupSimhash,
-    "q91_similarity_ivf" -> q91SimilarityIvf)
+    "q91_similarity_ivf" -> q91SimilarityIvf,
+    "q92_dedup_embedding" -> q92DedupEmbedding)
 
   val oracles: Map[String, String] = Map(
+    "q92_dedup_embedding" -> q92OracleSql,
     "q80_dedup_exact" ->
       """WITH dd AS (
         |  SELECT doc_id, text FROM documents
