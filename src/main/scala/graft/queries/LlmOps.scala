@@ -80,6 +80,9 @@ object LlmOps {
     val docs = docsWithNearDups(spark, dir)
       .withColumn("toks", toks)
       .filter(size(col("toks")) >= 3)
+    // persisted: three consumers below (band explode + two verify joins)
+    // would otherwise each recompute shingling + 12 minhash passes from
+    // the scan — Spark reuses exchanges, not arbitrary subtrees
     val sigs = docs.select(col("doc_id"),
       array_distinct(transform(sequence(lit(1), size(col("toks")) - 2),
         i => concat_ws(" ",
@@ -88,17 +91,24 @@ object LlmOps {
           element_at(col("toks"), i + 2)))).as("shingles"))
       .withColumn("sig", array((0 until NumHashes).map(h =>
         array_min(transform(col("shingles"), s => hash(lit(h), s)))): _*))
-    val bands = sigs.select(col("doc_id"), col("shingles"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // band rows carry ONLY (doc_id, band): shuffling the shingle arrays
+    // through the candidate join would move ~the whole corpus per band —
+    // verification re-joins the arrays by id instead (broadcast-able
+    // candidate list at any scale where near-dup pairs << corpus)
+    val bands = sigs.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(NumHashes / RowsPerBand - 1)),
         b => concat_ws(":", b +: (0 until RowsPerBand).map(r =>
           element_at(col("sig"), b * RowsPerBand + r + 1)): _*)))
         .as("band"))
     val cands = bands.as("x").join(bands.as("y"), Seq("band"))
       .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-        col("x.shingles").as("sh1"), col("y.shingles").as("sh2"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .dropDuplicates("d1", "d2")
-    val verified = cands.withColumn("common",
+    val verified = cands
+      .join(sigs.select(col("doc_id").as("d1"), col("shingles").as("sh1")), Seq("d1"))
+      .join(sigs.select(col("doc_id").as("d2"), col("shingles").as("sh2")), Seq("d2"))
+      .withColumn("common",
         size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn("jacc", round(col("common").cast("double") /
         (size(col("sh1")) + size(col("sh2")) - col("common")), 6))
@@ -229,6 +239,10 @@ object LlmOps {
     // per-doc dedup happens NARROW (array_distinct inside the row) —
     // a row-level `.distinct()` here would be a full extra shuffle of
     // every (doc, shingle) pair for something each row can do locally
+    // persisted: consumed by the df aggregation AND the df-filter join —
+    // unpersisted, each consumer re-runs the explode + string building
+    // from the scan (measured: the subtree appeared 6× in the physical
+    // plan, dominating runtime)
     val allShingles = d.select(col("doc_id"),
       explode(array_distinct(transform(sequence(lit(1), size(col("toks")) - 2),
         i => concat_ws(" ",
@@ -236,6 +250,7 @@ object LlmOps {
           element_at(col("toks"), i + 1),
           element_at(col("toks"), i + 2)))))
         .as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // df filter: groupBy-on-sh (map-side combinable) + join back on sh —
     // the same key as the self-join below, so the hash partitioning on sh
     // is computed once and reused across all three operators.
@@ -243,7 +258,9 @@ object LlmOps {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= ShingleDfCap)
       .select("sh")
+    // persisted: feeds sizes + both sides of the pair self-join
     val shingles = allShingles.join(informative, Seq("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = shingles.as("a").join(shingles.as("b"), Seq("sh"))
       .filter(col("a.doc_id") < col("b.doc_id"))
