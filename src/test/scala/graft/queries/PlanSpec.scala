@@ -70,6 +70,23 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("q88/q81: shared LSH intermediates are cache-served, not recomputed") {
+    // the shingle/signature tables feed 3-4 consumers; without the
+    // persist the explode subtree appears once PER consumer (measured
+    // 6× at sf0.1) — InMemoryTableScan in the plan proves reuse
+    Seq("q88_dedup_ngram", "q81_dedup_minhash").foreach { q =>
+      assert(plan(q).contains("InMemoryTableScan"), s"$q: no cache reuse")
+    }
+  }
+
+  test("q91/q92: SRP bucket joins are equi joins (bucket-local work only)") {
+    Seq("q91_similarity_ivf", "q92_dedup_embedding").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+        p.contains("ShuffledHashJoin"), s"$q: no equi join on bkt\n$p")
+    }
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     // AQE reports WholeStageCodegen spans only in the finalized plan
     val df = graft.SparkEntry.queries("q20_agg_hash")(spark, sf)
