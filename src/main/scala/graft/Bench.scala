@@ -16,6 +16,7 @@ object Bench {
     // query runs first. Touch each path class once (scan, csv, shuffle).
     System.err.println("[bench] warm: fixture + session init")
     val fixture = graft.ingest.Fixtures.messyLineitemCsv(spark, sfDir)
+    graft.ingest.Fixtures.lineitemJson(spark, sfDir)
     graft.ingest.CsvSource.readBatch(spark, fixture).limit(1000).count()
     spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_regionkey").count().count()

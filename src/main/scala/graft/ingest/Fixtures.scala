@@ -36,22 +36,40 @@ object Fixtures {
 
   /** Write (once) a `;`/ISO-8859-1 CSV copy of `$sfDir/lineitem.parquet`
     * with messy headers + a droppable `Extra Col!` — returns its path. */
-  def messyLineitemCsv(spark: SparkSession, sfDir: String): String = {
+  def messyLineitemCsv(spark: SparkSession, sfDir: String): String =
+    once(sfDir, "lineitem_csv") { out =>
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val messy = li.columns.map(c => col(c).as(messyLineitemHeaders.getOrElse(c, c)))
+      li.select(messy.toIndexedSeq: _*)
+        .withColumn("Extra.Col!", lit("drop-me"))
+        .write.mode("overwrite")
+        .option("sep", ";")
+        .option("encoding", "ISO-8859-1")
+        .option("header", "true")
+        .csv(out)
+    }
+
+  /** Columns of the JSON-lines fixture (int/string only — lossless
+    * through a text format on both engines). */
+  val lineitemJsonCols: Seq[String] =
+    Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
+
+  /** Write (once) a JSON-lines copy of the lossless lineitem columns —
+    * returns its path. */
+  def lineitemJson(spark: SparkSession, sfDir: String): String =
+    once(sfDir, "lineitem_json") { out =>
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(lineitemJsonCols.map(col): _*)
+        .write.mode("overwrite").json(out)
+    }
+
+  /** Generate-once guard shared by the fixture writers. */
+  private def once(sfDir: String, name: String)(write: String => Unit): String = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_fixtures/$tag/lineitem_csv"
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_fixtures/$tag/$name"
     val done = Paths.get(out, "_SUCCESS")
     if (!Files.exists(done)) synchronized {
-      if (!Files.exists(done)) {
-        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-        val messy = li.columns.map(c => col(c).as(messyLineitemHeaders.getOrElse(c, c)))
-        li.select(messy.toIndexedSeq: _*)
-          .withColumn("Extra.Col!", lit("drop-me"))
-          .write.mode("overwrite")
-          .option("sep", ";")
-          .option("encoding", "ISO-8859-1")
-          .option("header", "true")
-          .csv(out)
-      }
+      if (!Files.exists(done)) write(out)
     }
     out
   }

@@ -39,6 +39,18 @@ object Pipeline {
     AvroCodec.encodeFrame(spark, canonicalize(raw))
   }
 
+  /** Lenient streaming flavor: rows violating the wire schema (null in a
+    * required Avro field — the reference's latent serialization bug,
+    * `README.md:208`) are dropped and counted via the returned metric
+    * instead of failing the micro-batch. This is the production posture:
+    * one poison row in a 100 TB backfill should cost one counter tick,
+    * not the query. */
+  def valuesStreamLenient(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 1): (DataFrame, org.apache.spark.util.LongAccumulator) = {
+    val raw = CsvSource.readStream(spark, path, rawCsvSchema(spark, path), maxFilesPerTrigger)
+    AvroCodec.encodeFrameLenient(spark, canonicalize(raw))
+  }
+
   /** Streaming schema bootstrap: one batch peek at the header (the
     * streaming analog of DictReader's first-row header read). */
   private def rawCsvSchema(spark: SparkSession, path: String) =

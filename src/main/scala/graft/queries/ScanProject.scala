@@ -84,9 +84,25 @@ object ScanProject {
       s.try_cast(IntegerType).as("cast_i")))
   }
 
+  /** q07 [EXT]: JSON-lines source scan with an explicit schema (streaming
+    * sources can't infer, and a schema-less batch scan double-reads the
+    * data) — round-trips the lossless lineitem columns through a JSON
+    * fixture and is oracled against the parquet source it came from. */
+  val q07ScanJson: Q = (spark, dir) => {
+    val path = Fixtures.lineitemJson(spark, dir)
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_linenumber", IntegerType),
+      StructField("l_returnflag", StringType),
+      StructField("l_linestatus", StringType)))
+    orderAll(spark.read.schema(schema).json(path)
+      .select(Fixtures.lineitemJsonCols.map(col): _*))
+  }
+
   val defs: Map[String, Q] = Map(
     "q01_scan_csv" -> q01ScanCsv,
     "q02_scan_parquet" -> q02ScanParquet,
+    "q07_scan_json" -> q07ScanJson,
     "q03_project_rename" -> q03ProjectRename,
     "q04_null_normalize" -> q04NullNormalize,
     "q05_filter_predicate" -> q05FilterPredicate,
@@ -99,6 +115,10 @@ object ScanProject {
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
     "q02_scan_parquet" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+        |FROM lineitem
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
+    "q07_scan_json" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus
         |FROM lineitem
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
     "q03_project_rename" ->

@@ -51,6 +51,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s70b: lenient ingest — a poison row costs one counter tick, not the batch") {
+    val dir = tmpDir("s70b_src")
+    // row 2 has an empty Trimestre: R5 nullifies it, and Trimestre is one
+    // of the 9 REQUIRED wire fields — strict mode would kill the batch
+    writeCsv(dir, "a.csv",
+      "2022;1º;C;B;1;BANCO A;2;3;4;5;6;7;8;9",
+      "2022;;C;B;2;BANCO RUIM;3;4;5;6;7;8;9;10")
+    val (values, bad) = Pipeline.valuesStreamLenient(spark, dir, maxFilesPerTrigger = 1)
+    val q = Sinks.start(values, MemorySink("s70b_out"), Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable() // must NOT throw
+      val vals = spark.table("s70b_out")
+      assert(vals.count() == 1, "only the good row ships")
+      val decoded = AvroCodec.decodeFrame(spark, vals).collect()
+      assert(decoded.head.getAs[String]("instituicao_financeira") == "BANCO A")
+      assert(bad.value == 1L, s"bad-record metric = ${bad.value}, want 1")
+    } finally q.stop()
+  }
+
   test("s71: watermark drops late rows beyond the 10-minute bound") {
     val in = MemoryStream[(Timestamp, Long)](spark)
     val agg = in.toDF().toDF("ts", "v")
