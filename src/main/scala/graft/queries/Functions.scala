@@ -146,6 +146,19 @@ object Functions {
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok")))
   }
 
+  /** q58 [EXT]: ordered collection aggregate — collect_list → sort_array
+    * → concat_ws, the deterministic form of "array_agg per group". The
+    * value is emitted as a string because the driver's hash harness
+    * cannot compare array cells (the q54 lesson); DuckDB mirrors it with
+    * ordered string_agg. Two-phase: collect_list partials merge like any
+    * other aggregation buffer. */
+  val q58StringAgg: Q = (spark, dir) => {
+    val o = t(spark, dir, "orders")
+    orderAll(o.groupBy(col("o_custkey")).agg(
+      concat_ws(",", sort_array(collect_list(col("o_orderpriority")))).as("prios"),
+      count(lit(1)).as("n")))
+  }
+
   val defs: Map[String, Q] = Map(
     "q50_string_sanitize" -> q50StringSanitize,
     "q51_string_funcs" -> q51StringFuncs,
@@ -154,7 +167,8 @@ object Functions {
     "q54_array_funcs" -> q54ArrayFuncs,
     "q55_json_map_funcs" -> q55JsonMapFuncs,
     "q56_udaf_weighted_avg" -> q56UdafWeightedAvg,
-    "q57_explode_tokens" -> q57ExplodeTokens)
+    "q57_explode_tokens" -> q57ExplodeTokens,
+    "q58_string_agg" -> q58StringAgg)
 
   val oracles: Map[String, String] = Map(
     "q50_string_sanitize" ->
@@ -235,5 +249,12 @@ object Functions {
         |  CAST(generate_subscripts(string_split(text, ' '), 1) AS INT) AS pos,
         |  unnest(string_split(text, ' ')) AS tok
         |FROM documents
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    "q58_string_agg" ->
+      """SELECT o_custkey,
+        |  string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS prios,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY o_custkey
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin)
 }

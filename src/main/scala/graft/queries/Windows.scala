@@ -51,10 +51,32 @@ object Windows {
         .cast("double").as("sum_10m")))
   }
 
+  /** q33 [EXT]: batch sessionization — the gap-based session id every
+    * event pipeline needs: a session starts when the gap to the user's
+    * previous event exceeds 30 minutes; the id is the running count of
+    * session starts. Two stacked window functions over ONE partitioning
+    * (user_id), so it still costs a single shuffle; at 100 TB this is
+    * the batch mirror of s72's streaming session_window. */
+  val q33Sessionize: Q = (spark, dir) => {
+    val e = events(spark, dir)
+    val withEpoch = e.withColumn("epoch_s", unix_timestamp(col("ts")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("epoch_s").asc, col("event_id").asc)
+    val gap = col("epoch_s") - lag(col("epoch_s"), 1).over(w)
+    val isStart = when(gap.isNull || gap > 1800, 1).otherwise(0)
+    orderAll(withEpoch
+      .withColumn("is_start", isStart)
+      .withColumn("session_id",
+        sum(col("is_start")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("event_id"), col("epoch_s"),
+        col("is_start"), col("session_id")))
+  }
+
   val defs: Map[String, Q] = Map(
     "q30_window_rank" -> q30Rank,
     "q31_window_analytic" -> q31Analytic,
-    "q32_window_range_frame" -> q32RangeFrame)
+    "q32_window_range_frame" -> q32RangeFrame,
+    "q33_sessionize" -> q33Sessionize)
 
   val oracles: Map[String, String] = Map(
     "q30_window_rank" ->
@@ -83,5 +105,20 @@ object Windows {
         |             CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
         |             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
+    "q33_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |             CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM events),
+        |g AS (SELECT user_id, event_id, epoch_s,
+        |        CASE WHEN lag(epoch_s) OVER w IS NULL
+        |               OR epoch_s - lag(epoch_s) OVER w > 1800
+        |             THEN 1 ELSE 0 END AS is_start
+        |      FROM e
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s ASC, event_id ASC))
+        |SELECT user_id, event_id, epoch_s, is_start,
+        |  CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY epoch_s ASC, event_id ASC
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_id
+        |FROM g
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""".stripMargin)
 }

@@ -163,4 +163,33 @@ class StreamingSpec extends SparkSpec {
       assert(last(2L) == ((1L, 10.0)))
     } finally q.stop()
   }
+
+  test("s75: stream-stream interval join matches within the band, drops outside") {
+    // clicks attributed to a view by the same user within the previous
+    // 5 minutes — the canonical stream-stream interval join; watermarks
+    // on BOTH sides bound the join state
+    val clicks = MemoryStream[(Timestamp, Long)](spark)
+    val views = MemoryStream[(Timestamp, Long)](spark)
+    val c = clicks.toDF().toDF("cts", "cuser").withWatermark("cts", "10 minutes")
+    val v = views.toDF().toDF("vts", "vuser").withWatermark("vts", "10 minutes")
+    val joined = c.join(v,
+      expr("cuser = vuser AND vts BETWEEN cts - interval 5 minutes AND cts"))
+      .select(col("cuser").as("user"), col("cts"), col("vts"))
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("s75_out").start()
+    try {
+      views.addData((ts(0), 1L), (ts(0), 2L), (ts(20), 1L))
+      clicks.addData((ts(3), 1L), (ts(3), 2L), (ts(8), 1L), (ts(22), 1L))
+      q.processAllAvailable()
+      val rows = spark.table("s75_out")
+        .select(col("user"), col("cts"), col("vts")).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+      // ts(3) clicks match the ts(0) views (3 min gap, in band); the
+      // ts(8) click does NOT match ts(0) (8 min > 5); ts(22) matches ts(20)
+      assert(rows == Set(
+        (1L, ts(3), ts(0)),
+        (2L, ts(3), ts(0)),
+        (1L, ts(22), ts(20))), rows)
+    } finally q.stop()
+  }
 }
