@@ -40,14 +40,23 @@ object LlmOps {
     d.unionByName(mutated)
   }
 
-  /** q80: exact dedup — groupBy normalized text, keep min doc_id. The
-    * deterministic alternative to dropDuplicates (which keeps an
-    * arbitrary row). */
+  /** q80: exact dedup — group by a digest of the normalized text, keep
+    * min doc_id (the deterministic alternative to dropDuplicates, which
+    * keeps an arbitrary row). The shuffle key is (xxhash64(norm),
+    * length(norm)) — ~12 bytes/row — NOT the document body: the digest
+    * builds the same groups as the text (a false merge needs equal hash
+    * AND equal length, ~2^-64 per pair), and at 100 TB it is the
+    * difference between shuffling the corpus and shuffling a fingerprint
+    * table. The oracle groups by the text itself; outputs are
+    * identical. */
   val q80DedupExact: Q = (spark, dir) => {
     val d = docsWithDups(spark, dir)
-    orderAll(d.groupBy(lower(trim(col("text"))).as("norm_text"))
+    val norm = lower(trim(col("text")))
+    orderAll(d
+      .select(col("doc_id"), xxhash64(norm).as("h"), length(norm).as("text_len"))
+      .groupBy(col("h"), col("text_len"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-      .select(col("keep_id"), col("n_copies"), length(col("norm_text")).as("text_len")))
+      .select(col("keep_id"), col("n_copies"), col("text_len")))
   }
 
   /** q81: MinHash + LSH near-dup detection, the classic
