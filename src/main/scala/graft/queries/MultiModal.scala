@@ -71,6 +71,54 @@ object MultiModal {
   val q90Multimodal: Q = (spark, dir) =>
     orderAll(extractFeatures(spark, dir).toDF())
 
-  val defs: Map[String, Q] = Map("q90_multimodal_features" -> q90Multimodal)
-  val oracles: Map[String, String] = Map.empty
+  private val FrameBytes = 32
+  private val MaxFrames = 8
+
+  /** q93: frame sampling — the video flavor of the multimodal surface:
+    * up to [[MaxFrames]] fixed-stride byte-slice "frames" per payload,
+    * computed ENTIRELY with codegen'd expressions (sequence → posexplode
+    * → substr on the binary column). The sampling plan is the part that
+    * must scale — it never leaves whole-stage codegen and fans out rows
+    * instead of decoding; per-frame decode would then batch through the
+    * q90 per-partition path. Oracled: payloads are ASCII stand-ins, so
+    * DuckDB's VARCHAR substring arithmetic mirrors the binary slicing
+    * byte-for-byte. */
+  val q93FrameSample: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+      .filter(col("doc_id") % 3 === 2) // the "video/mp4" rows of q90
+      .withColumn("payload", col("text").cast(BinaryType))
+    val nFrames = least(lit(MaxFrames),
+      ceil(length(col("payload")).cast("double") / FrameBytes).cast("int"))
+    val offs = transform(sequence(lit(0), nFrames - 1), i => i * FrameBytes)
+    orderAll(d
+      .select(col("doc_id"), col("payload"),
+        length(col("payload")).as("n_bytes"), posexplode(offs))
+      .select(col("doc_id"), col("n_bytes"),
+        col("pos").as("frame_idx"), col("col").as("off"),
+        length(col("payload").substr(col("col") + 1, lit(FrameBytes)))
+          .as("frame_len"),
+        col("payload").substr(col("col") + 1, lit(8)).cast(StringType)
+          .as("frame_prefix")))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q90_multimodal_features" -> q90Multimodal,
+    "q93_multimodal_framesample" -> q93FrameSample)
+
+  val oracles: Map[String, String] = Map(
+    "q93_multimodal_framesample" ->
+      s"""WITH v AS (
+         |  SELECT doc_id, text, CAST(length(text) AS INT) AS n_bytes
+         |  FROM documents WHERE doc_id % 3 = 2),
+         |f AS (
+         |  SELECT doc_id, text, n_bytes, CAST(i AS INT) AS frame_idx,
+         |    CAST(i * $FrameBytes AS INT) AS off
+         |  FROM v, unnest(range(0,
+         |    CAST(least($MaxFrames, ceil(CAST(n_bytes AS DOUBLE) / $FrameBytes)) AS BIGINT)))
+         |    AS t(i))
+         |SELECT doc_id, n_bytes, frame_idx, off,
+         |  CAST(length(substring(text, off + 1, $FrameBytes)) AS INT) AS frame_len,
+         |  substring(text, off + 1, 8) AS frame_prefix
+         |FROM f
+         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""".stripMargin)
 }
