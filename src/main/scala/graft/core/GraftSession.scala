@@ -24,6 +24,9 @@ object GraftSession {
     val b = SparkSession.builder()
       .master(master)
       .appName("graft-engine")
+      // same wiring as spark.sql.extensions=graft.GraftExtensions —
+      // as-of join strategy + engine SQL functions at session build
+      .withExtensions(new graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -72,11 +72,39 @@ object Windows {
         col("is_start"), col("session_id")))
   }
 
+  /** q34 [EXT]: time-series resample + gap-fill — the hourly grid per
+    * user (sequence over the user's own span, so grid size is bounded
+    * by activity, not by global min/max), left-joined with the hourly
+    * aggregate, missing hours forward-filled with the last observation
+    * (`last(_, ignoreNulls)` over a running frame). One shuffle for the
+    * hourly agg, one for the span, one window — all on user_id, so AQE
+    * can reuse the partitioning. */
+  val q34GapFill: Q = (spark, dir) => {
+    val e = events(spark, dir)
+    val hourly = e.groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n_events"))
+    val spans = e.groupBy(col("user_id")).agg(
+      date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val grid = spans.select(col("user_id"),
+      explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hr"))
+    val joined = grid.join(hourly, Seq("user_id", "hr"), "left")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hr").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orderAll(joined.select(
+      col("user_id"),
+      unix_timestamp(col("hr")).as("hr_s"),
+      col("n_events").isNull.as("was_gap"),
+      coalesce(col("n_events"), lit(0L)).as("n_events"),
+      last(col("n_events"), ignoreNulls = true).over(w).as("n_filled")))
+  }
+
   val defs: Map[String, Q] = Map(
     "q30_window_rank" -> q30Rank,
     "q31_window_analytic" -> q31Analytic,
     "q32_window_range_frame" -> q32RangeFrame,
-    "q33_sessionize" -> q33Sessionize)
+    "q33_sessionize" -> q33Sessionize,
+    "q34_gap_fill" -> q34GapFill)
 
   val oracles: Map[String, String] = Map(
     "q30_window_rank" ->
@@ -120,5 +148,29 @@ object Windows {
         |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS session_id
         |FROM g
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
+    "q34_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hr, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (
+        |  SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+        |         date_trunc('hour', max(ts)) AS h1
+        |  FROM events GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+        |  FROM spans),
+        |j AS (
+        |  SELECT g.user_id, g.hr, h.n
+        |  FROM grid g LEFT JOIN hourly h ON h.user_id = g.user_id AND h.hr = g.hr)
+        |SELECT user_id,
+        |  CAST(floor(epoch(hr)) AS BIGINT) AS hr_s,
+        |  (n IS NULL) AS was_gap,
+        |  CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+        |  CAST(last_value(n IGNORE NULLS)
+        |       OVER (PARTITION BY user_id ORDER BY hr
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_filled
+        |FROM j
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""".stripMargin)
 }
