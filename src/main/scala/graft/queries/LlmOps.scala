@@ -92,9 +92,12 @@ object LlmOps {
     // persisted: three consumers below (band explode + two verify joins)
     // would otherwise each recompute shingling + 12 minhash passes from
     // the scan — Spark reuses exchanges, not arbitrary subtrees
+    // shingle = 64-bit xxhash of the 3 tokens (equality is all minhash
+    // and Jaccard need — skips string building, and the verify-join
+    // arrays below are long[] instead of string[])
     val sigs = docs.select(col("doc_id"),
       array_distinct(transform(sequence(lit(1), size(col("toks")) - 2),
-        i => concat_ws(" ",
+        i => xxhash64(
           element_at(col("toks"), i),
           element_at(col("toks"), i + 1),
           element_at(col("toks"), i + 2)))).as("shingles"))
@@ -248,13 +251,19 @@ object LlmOps {
     // per-doc dedup happens NARROW (array_distinct inside the row) —
     // a row-level `.distinct()` here would be a full extra shuffle of
     // every (doc, shingle) pair for something each row can do locally
+    // Shingles are 64-bit xxhash fingerprints, not strings: the inverted
+    // index only needs equality, so hashing at creation skips the
+    // per-shingle string build and moves 8-byte keys (vs ~30-byte
+    // strings) through every exchange below. A false shingle merge
+    // needs an xxhash64 collision (~2e-11 across this corpus's 27 k
+    // distinct shingles) — the DuckDB oracle joins on the string form,
+    // so any collision would surface as a hash-gate mismatch.
     // persisted: consumed by the df aggregation AND the df-filter join —
-    // unpersisted, each consumer re-runs the explode + string building
-    // from the scan (measured: the subtree appeared 6× in the physical
-    // plan, dominating runtime)
+    // unpersisted, each consumer re-runs the explode from the scan
+    // (measured: the subtree appeared 6× in the physical plan)
     val allShingles = d.select(col("doc_id"),
       explode(array_distinct(transform(sequence(lit(1), size(col("toks")) - 2),
-        i => concat_ws(" ",
+        i => xxhash64(
           element_at(col("toks"), i),
           element_at(col("toks"), i + 1),
           element_at(col("toks"), i + 2)))))
