@@ -72,6 +72,39 @@ class AvroCodecSpec extends SparkSpec {
     assert(bad.value == 1L, s"bad-record metric = ${bad.value}, want 1")
   }
 
+  test("property: decode(encode(r)) == r for arbitrary conforming rows") {
+    // SURVEY §5.2 item 3 — direct expression eval (no Spark job per
+    // sample) over generated rows: required fields get any string
+    // (including empty/accented/long), the 5 nullable fields also draw
+    // None
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+    val enc = AvroEncodeExpression(Literal(null, Schemas.reclamacoesWire), Schemas.reclamacoesAvsc)
+    val dec = AvroDecodeExpression(Literal(null, BinaryType), Schemas.reclamacoesAvsc)
+    val anyString = Gen.frequency(
+      3 -> Gen.asciiPrintableStr,
+      1 -> Gen.const(""),
+      1 -> Gen.oneOf("1º", "ção çã é ã", "Quantidade – CCS", "x" * 500))
+    val rowGen: Gen[Seq[Option[String]]] = Gen.sequence[Seq[Option[String]], Option[String]](
+      Schemas.reclamacoesWire.fields.toSeq.map { f =>
+        if (f.nullable) Gen.option(anyString) else anyString.map(Some(_))
+      })
+    val prop = Prop.forAll(rowGen) { vals =>
+      val in = InternalRow.fromSeq(vals.map(_.map(UTF8String.fromString).orNull))
+      val bytes = enc.nullSafeEval(in).asInstanceOf[Array[Byte]]
+      val back = dec.nullSafeEval(bytes).asInstanceOf[InternalRow]
+      val out = vals.indices.map(i =>
+        Option(back.get(i, StringType)).map(_.toString))
+      out == vals
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("raw body has no container framing (starts with field data)") {
     val bytes = AvroCodec.encodeFrame(spark, frame(sample))
       .collect().head.getAs[Array[Byte]]("value")
