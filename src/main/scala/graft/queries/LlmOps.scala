@@ -477,6 +477,22 @@ object LlmOps {
        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
   }
 
+  /** q94: deterministic train/val/test split — reproducible assignment
+    * is table stakes for a training pipeline: bucket = (doc_id · K) mod
+    * 100 with a Knuth multiplicative constant, exact BIGINT arithmetic
+    * identical on every engine (no engine-local RNG or hash), 80/10/10.
+    * Pure projection: no shuffle at any scale, and the split is stable
+    * under corpus growth (a doc's assignment never changes when rows
+    * are added — unlike randomSplit or salted sampling). */
+  val q94TrainTestSplit: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(100L))
+    val split = when(bucket < 80, lit("train"))
+      .when(bucket < 90, lit("val"))
+      .otherwise(lit("test"))
+    orderAll(d.select(col("doc_id"), bucket.as("bucket"), split.as("split")))
+  }
+
   val defs: Map[String, Q] = Map(
     "q80_dedup_exact" -> q80DedupExact,
     "q81_dedup_minhash" -> q81DedupMinhash,
@@ -489,9 +505,18 @@ object LlmOps {
     "q88_dedup_ngram" -> q88DedupNgram,
     "q89_dedup_simhash" -> q89DedupSimhash,
     "q91_similarity_ivf" -> q91SimilarityIvf,
-    "q92_dedup_embedding" -> q92DedupEmbedding)
+    "q92_dedup_embedding" -> q92DedupEmbedding,
+    "q94_train_test_split" -> q94TrainTestSplit)
 
   val oracles: Map[String, String] = Map(
+    "q94_train_test_split" ->
+      """SELECT doc_id,
+        |  (doc_id * 2654435761) % 100 AS bucket,
+        |  CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+        |       WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "q92_dedup_embedding" -> q92OracleSql,
     "q80_dedup_exact" ->
       """WITH dd AS (
