@@ -253,7 +253,7 @@ object Functions {
     "q58_string_agg" ->
       """SELECT o_custkey,
         |  string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS prios,
-        |  count(*) AS n
+        |  CAST(count(*) AS BIGINT) AS n
         |FROM orders
         |GROUP BY o_custkey
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin)
