@@ -3,7 +3,8 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,6 +18,7 @@ object Bench {
     System.err.println("[bench] warm: fixture + session init")
     val fixture = graft.ingest.Fixtures.messyLineitemCsv(spark, sfDir)
     graft.ingest.Fixtures.lineitemJson(spark, sfDir)
+    graft.ingest.Fixtures.lineitemOrc(spark, sfDir)
     graft.ingest.CsvSource.readBatch(spark, fixture).limit(1000).count()
     spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_regionkey").count().count()

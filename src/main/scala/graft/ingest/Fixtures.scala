@@ -63,6 +63,15 @@ object Fixtures {
         .write.mode("overwrite").json(out)
     }
 
+  /** Write (once) an ORC copy of the lossless lineitem columns —
+    * returns its path. */
+  def lineitemOrc(spark: SparkSession, sfDir: String): String =
+    once(sfDir, "lineitem_orc") { out =>
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(lineitemJsonCols.map(col): _*)
+        .write.mode("overwrite").orc(out)
+    }
+
   /** Generate-once guard shared by the fixture writers. */
   private def once(sfDir: String, name: String)(write: String => Unit): String = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")

@@ -99,10 +99,20 @@ object ScanProject {
       .select(Fixtures.lineitemJsonCols.map(col): _*))
   }
 
+  /** q08 [EXT]: ORC source scan — Spark's other native columnar format,
+    * with the same pruning/pushdown machinery as parquet; round-trips
+    * the lossless lineitem columns and shares q07's oracle shape. */
+  val q08ScanOrc: Q = (spark, dir) => {
+    val path = Fixtures.lineitemOrc(spark, dir)
+    orderAll(spark.read.orc(path)
+      .select(Fixtures.lineitemJsonCols.map(col): _*))
+  }
+
   val defs: Map[String, Q] = Map(
     "q01_scan_csv" -> q01ScanCsv,
     "q02_scan_parquet" -> q02ScanParquet,
     "q07_scan_json" -> q07ScanJson,
+    "q08_scan_orc" -> q08ScanOrc,
     "q03_project_rename" -> q03ProjectRename,
     "q04_null_normalize" -> q04NullNormalize,
     "q05_filter_predicate" -> q05FilterPredicate,
@@ -118,6 +128,10 @@ object ScanProject {
         |FROM lineitem
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
     "q07_scan_json" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus
+        |FROM lineitem
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
+    "q08_scan_orc" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus
         |FROM lineitem
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
