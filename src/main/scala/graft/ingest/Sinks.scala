@@ -56,6 +56,17 @@ final case class KafkaSink(bootstrapServers: String, topic: String,
       .save()
 }
 
+/** foreachBatch escape hatch: per-micro-batch custom writes with the
+  * batchId for idempotence — the standard production path for sinks
+  * Spark has no native connector for (the reference's Kafka-like
+  * at-least-once delivery becomes exactly-once when the writer
+  * dedupes on batchId). */
+final case class ForeachBatchSink(write: (DataFrame, Long) => Unit) extends GraftSink {
+  def configure(w: DataStreamWriter[Row]): DataStreamWriter[Row] =
+    w.foreachBatch((df: org.apache.spark.sql.Dataset[Row], id: Long) => write(df.toDF(), id))
+  def writeBatch(df: DataFrame): Unit = write(df, -1L)
+}
+
 object Sinks {
   /** Start a value frame into a sink with the reference's 60 s cadence
     * (`PROCESS_INTERVAL`, `settings.py:5`) as the trigger. */

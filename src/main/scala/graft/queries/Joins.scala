@@ -69,6 +69,11 @@ object Joins {
       e1("user_id") === e2("user_id2") &&
         e2("ts2") > e1("ts1") &&
         e2("ts2") <= e1("ts1") + expr("INTERVAL 10 MINUTES"))
+    // count + countDistinct in one agg plans an Expand over the pair
+    // rows; the two-level (user,eid1)→user alternative was measured
+    // SLOWER here (1.5s vs 1.2s at sf0.1) — the extra shuffle costs
+    // more than Expand saves, and the Expand doubles only the join
+    // output, which the 10-minute band already bounds
     orderAll(joined.groupBy("user_id")
       .agg(count(lit(1)).as("pair_cnt"), countDistinct(col("eid1")).as("starters")))
   }

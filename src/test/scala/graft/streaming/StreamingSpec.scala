@@ -192,4 +192,42 @@ class StreamingSpec extends SparkSpec {
         (1L, ts(22), ts(20))), rows)
     } finally q.stop()
   }
+
+  test("s76: stream-static broadcast enrichment joins each micro-batch against the dim") {
+    val sf = "/root/testdata/sf0.001"
+    val dim = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey").as("user_key"), col("c_mktsegment"))
+    val in = MemoryStream[(Long, Double)](spark)
+    val enriched = in.toDF().toDF("user_key", "v")
+      .join(broadcast(dim), Seq("user_key"), "left")
+    val q = enriched.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("s76_out").start()
+    try {
+      in.addData((1L, 1.0), (2L, 2.0), (999999L, 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("s76_out").collect()
+        .map(r => r.getLong(0) -> Option(r.getAs[String]("c_mktsegment"))).toMap
+      assert(rows.size == 3)
+      assert(rows(1L).nonEmpty && rows(2L).nonEmpty)
+      assert(rows(999999L).isEmpty) // unmatched stream row survives (left join)
+    } finally q.stop()
+  }
+
+  test("s77: foreachBatch sink receives batch ids and every row exactly once") {
+    val in = MemoryStream[Long](spark)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Long])]()
+    val sink = graft.ingest.ForeachBatchSink((df, id) =>
+      seen.add(id -> df.collect().map(_.getLong(0)).toSeq.sorted))
+    val q = Sinks.start(in.toDF(), sink, Trigger.ProcessingTime(0))
+    try {
+      in.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      in.addData(4L)
+      q.processAllAvailable()
+      val batches = seen.toArray(Array.empty[(Long, Seq[Long])]).toSeq
+        .filter(_._2.nonEmpty)
+      assert(batches.map(_._2) == Seq(Seq(1L, 2L, 3L), Seq(4L)))
+      assert(batches.map(_._1).distinct.size == batches.size, "batch ids must be unique")
+    } finally q.stop()
+  }
 }
