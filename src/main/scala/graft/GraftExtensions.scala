@@ -37,5 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("avro_decode"),
       new ExpressionInfo(classOf[AvroDecodeExpression].getName, "avro_decode"),
       (exprs: Seq[Expression]) => AvroDecodeExpression(exprs.head, Schemas.reclamacoesAvsc)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[graft.functions.MinHashSignature].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => graft.functions.MinHashSignature(
+        exprs(0), exprs(1).eval().asInstanceOf[Int])))
   }
 }

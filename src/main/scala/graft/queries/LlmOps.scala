@@ -92,17 +92,20 @@ object LlmOps {
     // persisted: three consumers below (band explode + two verify joins)
     // would otherwise each recompute shingling + 12 minhash passes from
     // the scan — Spark reuses exchanges, not arbitrary subtrees
+    graft.functions.MinHashSignature.register(spark)
     // shingle = 64-bit xxhash of the 3 tokens (equality is all minhash
     // and Jaccard need — skips string building, and the verify-join
-    // arrays below are long[] instead of string[])
+    // arrays below are long[] instead of string[]); the k signature
+    // minima come from the native minhash_sig kernel — one codegen'd
+    // pass over the shingle array instead of k array_min∘transform
+    // trees (k walks + k intermediate arrays per row)
     val sigs = docs.select(col("doc_id"),
       array_distinct(transform(sequence(lit(1), size(col("toks")) - 2),
         i => xxhash64(
           element_at(col("toks"), i),
           element_at(col("toks"), i + 1),
           element_at(col("toks"), i + 2)))).as("shingles"))
-      .withColumn("sig", array((0 until NumHashes).map(h =>
-        array_min(transform(col("shingles"), s => hash(lit(h), s)))): _*))
+      .withColumn("sig", expr(s"minhash_sig(shingles, $NumHashes)"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band rows carry ONLY (doc_id, band): shuffling the shingle arrays
     // through the candidate join would move ~the whole corpus per band —
