@@ -42,5 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.MinHashSignature].getName, "minhash_sig"),
       (exprs: Seq[Expression]) => graft.functions.MinHashSignature(
         exprs(0), exprs(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => graft.functions.SimHash64(exprs.head)))
   }
 }

@@ -307,42 +307,39 @@ object LlmOps {
   private val SimhashBandBits = 16
   private val SimhashNumBands = 4 // 4 × 16 = the full 64-bit sketch
 
-  /** q89: SimHash near-dup — 64-bit simhash over distinct shingles,
-    * banded into 4×16-bit slices for candidate generation, verified by
-    * hamming distance (bit_count(xor)). The sketch itself is a typed
-    * map: one pass per document with a local vote array (the explode +
-    * per-bit aggregate formulation shuffles |tokens| rows per doc and
-    * ran 6× slower). Like MinHash (q81), the sketch is over 3-token
-    * SHINGLES: unigram distinct-token sets over a small vocabulary are
+  /** q89: SimHash near-dup — 64-bit simhash over distinct shingle
+    * fingerprints (the xxhash64 values' own bits are the per-shingle
+    * hash vector), banded into 4×16-bit slices for candidate
+    * generation, verified by hamming distance (bit_count(xor)). The
+    * sketch is the native `simhash64` expression — one codegen'd pass
+    * per document (this replaced a typed map, which paid an encoder
+    * round-trip per document, which in turn had replaced an explode +
+    * per-bit aggregate that shuffled |tokens| rows per doc and ran 6×
+    * slower). Like MinHash (q81), the sketch is over 3-token SHINGLES:
+    * unigram distinct-token sets over a small vocabulary are
     * near-identical across documents, which drives every pairwise
     * hamming distance under the threshold and turns the candidate join
     * into all-pairs (observed: 14 M candidate rows at sf0.1).
     * No oracle (hash is engine-local); rows-only. */
   val q89DedupSimhash: Q = (spark, dir) => {
-    import spark.implicits._
+    graft.functions.SimHash64.register(spark)
     val d = docsWithNearDups(spark, dir)
       .withColumn("toks", split(col("text"), " "))
-    val simhash = d.select(col("doc_id"), col("toks"))
-      .as[(Long, Seq[String])]
-      .map { case (id, raw) =>
-        val toks = raw.sliding(3).map(_.mkString(" ")).toArray.distinct
-        val votes = new Array[Int](64)
-        toks.foreach { t =>
-          // 64 hash bits from two independent murmur seeds
-          val lo = scala.util.hashing.MurmurHash3.stringHash(t, 42)
-          val hi = scala.util.hashing.MurmurHash3.stringHash(t, 7919)
-          val h = (hi.toLong << 32) | (lo.toLong & 0xFFFFFFFFL)
-          var b = 0
-          while (b < 64) {
-            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-            b += 1
-          }
-        }
-        var sh = 0L
-        var b = 0
-        while (b < 64) { if (votes(b) > 0) sh |= (1L << b); b += 1 }
-        (id, sh)
-      }.toDF("doc_id", "simhash")
+      .filter(size(col("toks")) >= 3)
+    // persisted: beyond the two consumers (x/y band sides), the cache is
+    // an optimizer barrier — the hamming residual's inferred
+    // isnotnull(simhash) constraint otherwise substitutes the WHOLE
+    // sketch expression into the scan filters and re-evaluates it per
+    // row per side (measured: 2s → 28s at sf0.1 without the persist)
+    val simhash = d
+      .withColumn("shingles",
+        array_distinct(transform(sequence(lit(1), size(col("toks")) - 2),
+          i => xxhash64(
+            element_at(col("toks"), i),
+            element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2)))))
+      .select(col("doc_id"), expr("simhash64(shingles)").as("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandMask = (1L << SimhashBandBits) - 1
     val banded = simhash.select(col("doc_id"), col("simhash"),
       explode(array((0 until SimhashNumBands).map(k =>
@@ -417,7 +414,11 @@ object LlmOps {
     graft.functions.CosineSimilarity.register(spark)
     val v = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    // persisted: consumed by both the corpus side and the query probes,
+    // and the cache keeps the 8-projection bucket expression from being
+    // substituted into downstream filter constraints
     val corpus = v.withColumn("bkt", srpBucket(col("e")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // multi-probe: every code mask within hamming distance ProbeRadius
     val masks = (0 until (1 << SrpBits))
       .filter(m => Integer.bitCount(m) <= ProbeRadius)
@@ -454,7 +455,10 @@ object LlmOps {
     val planted = v.select((col("vec_id") + 1000000).as("vec_id"),
       concat(slice(col("e"), 1, EmbeddingDim - 1),
         array(element_at(col("e"), EmbeddingDim) + lit(0.05))).as("e"))
+    // persisted: both self-join sides read it, and the cache barrier
+    // keeps the bucket projection out of inferred scan constraints
     val corpus = v.unionByName(planted).withColumn("bkt", srpBucket(col("e")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = corpus.as("x").join(corpus.as("y"), Seq("bkt"))
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
