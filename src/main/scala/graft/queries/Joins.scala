@@ -41,6 +41,17 @@ object Joins {
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice")))
   }
 
+  /** q36: full outer — null-padded on BOTH sides: high-balance customers
+    * without big orders AND big orders whose customers miss the balance
+    * filter each survive with nulls. Plans as SMJ (full outer can't
+    * broadcast); one shuffle per side on the join key. */
+  val q36FullOuter: Q = (spark, dir) => {
+    val c = t(spark, dir, "customer").filter(col("c_acctbal") > 9000)
+    val o = t(spark, dir, "orders").filter(col("o_totalprice") > 350000)
+    orderAll(c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice")))
+  }
+
   /** q13: left semi ≡ EXISTS. */
   val q13Semi: Q = (spark, dir) => {
     val c = t(spark, dir, "customer")
@@ -168,6 +179,7 @@ object Joins {
     "q13_join_semi" -> q13Semi,
     "q14_join_anti" -> q14Anti,
     "q15_join_theta_range" -> q15ThetaRange,
+    "q36_join_full_outer" -> q36FullOuter,
     "q16_join_asof" -> q16AsOf,
     "q17_join_star" -> q17Star,
     "q18_join_asof_native" -> q18AsOfNative,
@@ -200,6 +212,12 @@ object Joins {
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    "q36_join_full_outer" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM (SELECT * FROM customer WHERE c_acctbal > 9000) c
+        |FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 350000) o
+        |  ON c.c_custkey = o.o_custkey
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
     "q15_join_theta_range" ->
       """SELECT e1.user_id, count(*) AS pair_cnt, count(DISTINCT e1.event_id) AS starters
         |FROM events e1 JOIN events e2
