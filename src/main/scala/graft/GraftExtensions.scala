@@ -17,7 +17,8 @@ import graft.plans.AsOfJoinStrategy
   *
   * wires the custom planner strategy (the distributed as-of join,
   * `graft.plans.AsOfJoinExec`) and the engine's SQL functions
-  * (`cosine_sim`, `avro_encode`, `avro_decode`) into every session of
+  * (`cosine_sim`, `avro_encode`, `avro_decode`, `minhash_sig`,
+  * `simhash64`) into every session of
   * the cluster — the declarative alternative to the imperative
   * `GraftSession.getOrCreate()` / `AsOfJoin.install(spark)` calls, and
   * the standard way a Spark library ships Catalyst extensions. */
@@ -41,7 +42,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[graft.functions.MinHashSignature].getName, "minhash_sig"),
       (exprs: Seq[Expression]) => graft.functions.MinHashSignature(
-        exprs(0), exprs(1).eval().asInstanceOf[Int])))
+        exprs(0), graft.functions.MinHashSignature.kOf(exprs(1)))))
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),

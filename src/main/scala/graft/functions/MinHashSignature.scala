@@ -72,12 +72,30 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 }
 
 object MinHashSignature {
+
+  /** Validated k from the SQL call's second argument: must be a foldable
+    * positive integer (Int or Long literal). NULL / columns / other
+    * types get a real error instead of a silent k=0 or an opaque
+    * ClassCastException. */
+  def kOf(e: Expression): Int = {
+    require(e.foldable, s"minhash_sig: k must be a literal, got ${e.sql}")
+    val k = e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case other =>
+        throw new IllegalArgumentException(
+          s"minhash_sig: k must be an integer literal, got $other (${e.dataType})")
+    }
+    require(k > 0, s"minhash_sig: k must be positive, got $k")
+    k
+  }
+
   /** Session-scoped SQL registration: `minhash_sig(arr, k)` (k must be a
-    * foldable int literal). */
+    * foldable positive int literal). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig",
-      exprs => MinHashSignature(exprs(0),
-        exprs(1).eval().asInstanceOf[Int]),
+      exprs => MinHashSignature(exprs(0), kOf(exprs(1))),
       "scala_udf")
 }

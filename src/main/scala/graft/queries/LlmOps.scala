@@ -98,7 +98,12 @@ object LlmOps {
     // arrays below are long[] instead of string[]); the k signature
     // minima come from the native minhash_sig kernel — one codegen'd
     // pass over the shingle array instead of k array_min∘transform
-    // trees (k walks + k intermediate arrays per row)
+    // trees (k walks + k intermediate arrays per row).
+    // Persist lifetime (here and in q88/q89/q91/q92): entries live for
+    // the session, bounded per (query, sf dir) — CacheManager matches
+    // canonicalized plans, so re-invocations REUSE the entry rather
+    // than stacking new ones; the cached frames are fingerprint-sized
+    // (KBs–MBs), not corpus-sized.
     val sigs = docs.select(col("doc_id"),
       array_distinct(transform(sequence(lit(1), size(col("toks")) - 2),
         i => xxhash64(
@@ -485,15 +490,22 @@ object LlmOps {
   }
 
   /** q94: deterministic train/val/test split — reproducible assignment
-    * is table stakes for a training pipeline: bucket = (doc_id · K) mod
-    * 100 with a Knuth multiplicative constant, exact BIGINT arithmetic
-    * identical on every engine (no engine-local RNG or hash), 80/10/10.
-    * Pure projection: no shuffle at any scale, and the split is stable
-    * under corpus growth (a doc's assignment never changes when rows
-    * are added — unlike randomSplit or salted sampling). */
+    * is table stakes for a training pipeline: bucket =
+    * ((doc_id mod P) · K mod P) mod 100 with P = 1e9+7 and the Knuth
+    * multiplicative constant K, exact BIGINT arithmetic identical on
+    * every engine (no engine-local RNG or hash), 80/10/10. The mod-P
+    * reduction BEFORE the multiply keeps the product < 2.7e18 for ANY
+    * int64 doc_id (a straight doc_id·K wraps silently in non-ANSI Spark
+    * and errors in DuckDB/ANSI at doc_id ≥ ~3.5e9, and its mod-100
+    * would collapse to a function of doc_id mod 100 anyway); the mod-P
+    * product mixes the full id range before bucketing. Pure projection:
+    * no shuffle at any scale, and the split is stable under corpus
+    * growth (a doc's assignment never changes when rows are added —
+    * unlike randomSplit or salted sampling). */
   val q94TrainTestSplit: Q = (spark, dir) => {
     val d = t(spark, dir, "documents")
-    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(100L))
+    val P = 1000000007L
+    val bucket = pmod(pmod(pmod(col("doc_id"), lit(P)) * lit(2654435761L), lit(P)), lit(100L))
     val split = when(bucket < 80, lit("train"))
       .when(bucket < 90, lit("val"))
       .otherwise(lit("test"))
@@ -517,12 +529,15 @@ object LlmOps {
 
   val oracles: Map[String, String] = Map(
     "q94_train_test_split" ->
-      """SELECT doc_id,
-        |  (doc_id * 2654435761) % 100 AS bucket,
-        |  CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
-        |       WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    (((doc_id % 1000000007) * 2654435761) % 1000000007) % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val'
         |       ELSE 'test' END AS split
-        |FROM documents
+        |FROM b
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "q92_dedup_embedding" -> q92OracleSql,
     "q80_dedup_exact" ->
@@ -598,7 +613,7 @@ object LlmOps {
         |FROM documents
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "q88_dedup_ngram" ->
-      """WITH dd AS (
+      s"""WITH dd AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
         |  UNION ALL
         |  SELECT doc_id + 1000000,
@@ -609,7 +624,7 @@ object LlmOps {
         |  SELECT DISTINCT doc_id,
         |    toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS sh
         |  FROM docs, unnest(range(1, len(toks) - 1)) AS t(i)),
-        |informative AS (SELECT sh FROM sh_all GROUP BY sh HAVING count(*) <= 20),
+        |informative AS (SELECT sh FROM sh_all GROUP BY sh HAVING count(*) <= $ShingleDfCap),
         |sh AS (SELECT s.doc_id, s.sh FROM sh_all s JOIN informative i USING (sh)),
         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
         |pairs AS (

@@ -89,7 +89,12 @@ object MultiModal {
       .withColumn("payload", col("text").cast(BinaryType))
     val nFrames = least(lit(MaxFrames),
       ceil(length(col("payload")).cast("double") / FrameBytes).cast("int"))
-    val offs = transform(sequence(lit(0), nFrames - 1), i => i * FrameBytes)
+    // empty payload ⇒ nFrames = 0 ⇒ sequence(0, -1) would DESCEND (two
+    // bogus frames where the oracle's range(0,0) emits none) — emit an
+    // empty array instead so posexplode yields zero rows on both engines
+    val offs = when(nFrames > 0,
+      transform(sequence(lit(0), nFrames - 1), i => i * FrameBytes))
+      .otherwise(array().cast("array<int>"))
     orderAll(d
       .select(col("doc_id"), col("payload"),
         length(col("payload")).as("n_bytes"), posexplode(offs))

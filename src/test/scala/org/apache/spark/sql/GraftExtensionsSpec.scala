@@ -21,14 +21,28 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(ext.buildPlannerStrategies(spark).contains(graft.plans.AsOfJoinStrategy))
 
     val reg = ext.registerFunctions(spark.sessionState.functionRegistry)
-    Seq("cosine_sim", "avro_encode", "avro_decode").foreach { f =>
-      assert(reg.functionExists(FunctionIdentifier(f)), s"$f not registered")
-    }
+    Seq("cosine_sim", "avro_encode", "avro_decode", "minhash_sig", "simhash64")
+      .foreach { f =>
+        assert(reg.functionExists(FunctionIdentifier(f)), s"$f not registered")
+      }
 
-    // the injected builder must yield a working expression end-to-end
+    // the injected builders must yield working expressions end-to-end
     val cos = spark.sql(
       "SELECT cosine_sim(array(3.0D, 4.0D), array(3.0D, 4.0D)) AS c")
       .collect().head.getDouble(0)
     assert(math.abs(cos - 1.0) < 1e-12)
+    val sig = spark.sql("SELECT minhash_sig(array(1L, 2L), 4) AS s")
+      .collect().head.getSeq[Int](0)
+    assert(sig.length == 4)
+    val sh = spark.sql("SELECT simhash64(array(-1L)) AS h")
+      .collect().head.getLong(0)
+    assert(sh == -1L) // one all-ones fingerprint votes every bit up
+  }
+
+  test("minhash_sig rejects non-literal, null, and non-positive k") {
+    intercept[Exception](spark.sql("SELECT minhash_sig(array(1L), NULL)").collect())
+    intercept[Exception](spark.sql("SELECT minhash_sig(array(1L), 0)").collect())
+    intercept[Exception](
+      spark.sql("SELECT minhash_sig(array(1L), 'twelve')").collect())
   }
 }
