@@ -98,6 +98,17 @@ object Aggregates {
       round(expr("percentile(l_extendedprice, 0.9)"), 6).as("price_p90")))
   }
 
+  /** q28: approximate percentiles — percentile_approx (GK sketch, the
+    * mergeable no-sort-per-group scale path q26's Scaladoc points to).
+    * No oracle (sketch internals are engine-local); rows-only, with
+    * accuracy vs exact percentiles asserted in ApproxSpec. */
+  val q28ApproxPercentile: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+    orderAll(li.groupBy(col("l_returnflag")).agg(
+      round(expr("percentile_approx(l_extendedprice, 0.5, 1000)"), 2).as("p50_approx"),
+      round(expr("percentile_approx(l_extendedprice, 0.95, 1000)"), 2).as("p95_approx")))
+  }
+
   /** q27: pivot — returnflag categories become columns (explicit value
     * list, so the plan is a single aggregate pass; an unlisted-values
     * pivot needs an extra distinct scan first, worth avoiding at scale). */
@@ -118,7 +129,8 @@ object Aggregates {
     "q24_agg_grouping_sets" -> q24GroupingSets,
     "q25_agg_approx_distinct" -> q25ApproxDistinct,
     "q26_agg_percentile" -> q26Percentile,
-    "q27_agg_pivot" -> q27Pivot)
+    "q27_agg_pivot" -> q27Pivot,
+    "q28_agg_approx_percentile" -> q28ApproxPercentile)
 
   val oracles: Map[String, String] = Map(
     "q27_agg_pivot" ->

@@ -1,0 +1,38 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Accuracy bounds for the no-oracle approximate aggregates: the
+  * sketches must land near their exact counterparts, or they are not
+  * useful as the documented 100 TB alternatives. */
+class ApproxSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.01"
+
+  test("q28 approx percentiles land within 2% of the exact percentiles") {
+    val approx = Aggregates.q28ApproxPercentile(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val exact = t(spark, sf, "lineitem").groupBy(col("l_returnflag")).agg(
+      expr("percentile(l_extendedprice, 0.5)").as("p50"),
+      expr("percentile(l_extendedprice, 0.95)").as("p95")).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    exact.foreach { case (flag, (p50, p95)) =>
+      val (a50, a95) = approx(flag)
+      assert(math.abs(a50 - p50) / p50 < 0.02, s"$flag p50: $a50 vs $p50")
+      assert(math.abs(a95 - p95) / p95 < 0.02, s"$flag p95: $a95 vs $p95")
+    }
+  }
+
+  test("q25 approx distinct lands within 5% of the exact counts") {
+    val approx = Aggregates.q25ApproxDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = t(spark, sf, "lineitem").groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (flag, n) =>
+      assert(math.abs(approx(flag) - n).toDouble / n < 0.05,
+        s"$flag: approx ${approx(flag)} vs exact $n")
+    }
+  }
+}
