@@ -99,12 +99,27 @@ object Windows {
       last(col("n_events"), ignoreNulls = true).over(w).as("n_filled")))
   }
 
+  /** q37 [EXT]: distribution window functions — ntile buckets,
+    * percent_rank, cume_dist (the quartile/percentile-position trio) over
+    * the same single partitioning as q30. */
+  val q37WindowDistribution: Q = (spark, dir) => {
+    val o = t(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    orderAll(o.select(
+      col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+      ntile(4).over(w).as("quartile"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cume")))
+  }
+
   val defs: Map[String, Q] = Map(
     "q30_window_rank" -> q30Rank,
     "q31_window_analytic" -> q31Analytic,
     "q32_window_range_frame" -> q32RangeFrame,
     "q33_sessionize" -> q33Sessionize,
-    "q34_gap_fill" -> q34GapFill)
+    "q34_gap_fill" -> q34GapFill,
+    "q37_window_distribution" -> q37WindowDistribution)
 
   val oracles: Map[String, String] = Map(
     "q30_window_rank" ->
@@ -149,6 +164,14 @@ object Windows {
         |    AS session_id
         |FROM g
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
+    "q37_window_distribution" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""".stripMargin,
     "q34_gap_fill" ->
       """WITH hourly AS (
         |  SELECT user_id, date_trunc('hour', ts) AS hr, count(*) AS n
