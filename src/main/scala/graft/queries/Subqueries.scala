@@ -65,17 +65,35 @@ object Subqueries {
          |HAVING count(*) >= 8
          |""".stripMargin))
 
+  /** q47: NOT IN — the null-aware anti join: NOT IN's three-valued
+    * logic (any NULL in the subquery list annihilates the predicate)
+    * cannot be a plain anti join; Catalyst's single-column NAAJ rewrite
+    * plans it as a BroadcastHashJoin with isNullAwareAntiJoin=true
+    * instead of a nested loop (PlanSpec asserts this). */
+  val q47SubqueryNotIn: Q = (spark, dir) =>
+    orderAll(withViews(spark, dir, Seq("orders", "customer"))(v =>
+      s"""SELECT o_orderkey, o_custkey, o_totalprice
+         |FROM ${v("orders")}
+         |WHERE o_custkey NOT IN (SELECT c_custkey FROM ${v("customer")} WHERE c_acctbal > 7000)
+         |""".stripMargin))
+
   val defs: Map[String, Q] = Map(
     "q43_subquery_in" -> q43SubqueryIn,
     "q44_subquery_exists" -> q44SubqueryExists,
     "q45_subquery_scalar" -> q45SubqueryScalar,
-    "q46_having" -> q46Having)
+    "q46_having" -> q46Having,
+    "q47_subquery_not_in" -> q47SubqueryNotIn)
 
   val oracles: Map[String, String] = Map(
     "q43_subquery_in" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 7000)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    "q47_subquery_not_in" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal > 7000)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "q44_subquery_exists" ->
       """SELECT c_custkey, c_name

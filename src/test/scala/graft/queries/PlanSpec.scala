@@ -70,6 +70,15 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("q47: NOT IN plans as a null-aware anti hash join, not a nested loop") {
+    // NOT IN's three-valued logic needs null-awareness; the single-column
+    // NAAJ rewrite keeps it a hash join — without it this is a
+    // BroadcastNestedLoopJoin that melts at scale
+    val p = plan("q47_subquery_not_in")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q88/q81: shared LSH intermediates are cache-served, not recomputed") {
     // the shingle/signature tables feed 3-4 consumers; without the
     // persist the explode subtree appears once PER consumer (measured
