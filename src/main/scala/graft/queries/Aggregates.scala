@@ -109,6 +109,20 @@ object Aggregates {
       round(expr("percentile_approx(l_extendedprice, 0.95, 1000)"), 2).as("p95_approx")))
   }
 
+  /** q29: statistical aggregates — stddev/variance (sample), Pearson
+    * correlation and sample covariance per group. Rounded to 4 dp: both
+    * engines use numerically stable (merge-able) moment formulas, but
+    * partial-merge order differs across engines, so agreement is to
+    * ~1e-8 relative, not bit-exact. */
+  val q29AggStats: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+    orderAll(li.groupBy(col("l_returnflag")).agg(
+      round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+      round(var_samp(col("l_quantity")), 4).as("var_qty"),
+      round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+      round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qp")))
+  }
+
   /** q27: pivot — returnflag categories become columns (explicit value
     * list, so the plan is a single aggregate pass; an unlisted-values
     * pivot needs an extra distinct scan first, worth avoiding at scale). */
@@ -130,9 +144,19 @@ object Aggregates {
     "q25_agg_approx_distinct" -> q25ApproxDistinct,
     "q26_agg_percentile" -> q26Percentile,
     "q27_agg_pivot" -> q27Pivot,
-    "q28_agg_approx_percentile" -> q28ApproxPercentile)
+    "q28_agg_approx_percentile" -> q28ApproxPercentile,
+    "q29_agg_stats" -> q29AggStats)
 
   val oracles: Map[String, String] = Map(
+    "q29_agg_stats" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
+        |  round(var_samp(l_quantity), 4) AS var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
     "q27_agg_pivot" ->
       """SELECT l_linestatus,
         |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_a,
