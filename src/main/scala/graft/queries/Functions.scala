@@ -146,6 +146,19 @@ object Functions {
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok")))
   }
 
+  /** q59 [EXT]: structured extraction — regexp capture groups and
+    * split_part-style field access, the workhorse of log/ID parsing. */
+  val q59RegexpExtract: Q = (spark, dir) => {
+    val c = t(spark, dir, "customer")
+    orderAll(c.select(
+      col("c_custkey"),
+      regexp_extract(col("c_name"), "Customer#(\\d+)", 1).as("id_str"),
+      regexp_extract(col("c_name"), "Customer#(\\d+)", 1).cast("long").as("id_num"),
+      element_at(split(col("c_name"), "#"), 1).as("prefix"),
+      element_at(split(col("c_name"), "#"), 2).as("suffix"),
+      regexp_extract(col("c_mktsegment"), "^([A-Z]+)", 1).as("seg_word")))
+  }
+
   /** q58 [EXT]: ordered collection aggregate — collect_list → sort_array
     * → concat_ws, the deterministic form of "array_agg per group". The
     * value is emitted as a string because the driver's hash harness
@@ -168,7 +181,8 @@ object Functions {
     "q55_json_map_funcs" -> q55JsonMapFuncs,
     "q56_udaf_weighted_avg" -> q56UdafWeightedAvg,
     "q57_explode_tokens" -> q57ExplodeTokens,
-    "q58_string_agg" -> q58StringAgg)
+    "q58_string_agg" -> q58StringAgg,
+    "q59_regexp_extract" -> q59RegexpExtract)
 
   val oracles: Map[String, String] = Map(
     "q50_string_sanitize" ->
@@ -250,6 +264,15 @@ object Functions {
         |  unnest(string_split(text, ' ')) AS tok
         |FROM documents
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    "q59_regexp_extract" ->
+      """SELECT c_custkey,
+        |  regexp_extract(c_name, 'Customer#(\d+)', 1) AS id_str,
+        |  CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT) AS id_num,
+        |  split_part(c_name, '#', 1) AS prefix,
+        |  split_part(c_name, '#', 2) AS suffix,
+        |  regexp_extract(c_mktsegment, '^([A-Z]+)', 1) AS seg_word
+        |FROM customer
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""".stripMargin,
     "q58_string_agg" ->
       """SELECT o_custkey,
         |  string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS prios,
