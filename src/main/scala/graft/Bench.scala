@@ -26,6 +26,7 @@ object Bench {
       val t0 = System.nanoTime()
       System.err.println(s"[bench] start $name")
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      graft.core.CacheScope.drain() // per-query cache lifecycle: reuse inside, none after
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] done  $name in $dt%.2f s")
       name -> dt
@@ -33,7 +34,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // stdout tail-capture can truncate long runs; the file copy is the
+    // durable record (driver picks up either)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line + "\n")
     spark.stop()
   }
 }

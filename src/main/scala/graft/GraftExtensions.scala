@@ -24,28 +24,54 @@ import graft.plans.AsOfJoinStrategy
   * the standard way a Spark library ships Catalyst extensions. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  import GraftExtensions.checkArity
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+      checkArity("cosine_sim", 2)(exprs => CosineSimilarity(exprs(0), exprs(1)))))
     ext.injectFunction((
       FunctionIdentifier("avro_encode"),
       new ExpressionInfo(classOf[AvroEncodeExpression].getName, "avro_encode"),
-      (exprs: Seq[Expression]) => AvroEncodeExpression(exprs.head, Schemas.reclamacoesAvsc)))
+      checkArity("avro_encode", 1)(exprs =>
+        AvroEncodeExpression(exprs.head, Schemas.reclamacoesAvsc))))
     ext.injectFunction((
       FunctionIdentifier("avro_decode"),
       new ExpressionInfo(classOf[AvroDecodeExpression].getName, "avro_decode"),
-      (exprs: Seq[Expression]) => AvroDecodeExpression(exprs.head, Schemas.reclamacoesAvsc)))
+      checkArity("avro_decode", 1)(exprs =>
+        AvroDecodeExpression(exprs.head, Schemas.reclamacoesAvsc))))
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[graft.functions.MinHashSignature].getName, "minhash_sig"),
-      (exprs: Seq[Expression]) => graft.functions.MinHashSignature(
-        exprs(0), graft.functions.MinHashSignature.kOf(exprs(1)))))
+      checkArity("minhash_sig", 2)(exprs => graft.functions.MinHashSignature(
+        exprs(0), graft.functions.MinHashSignature.kOf(exprs(1))))))
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
-      (exprs: Seq[Expression]) => graft.functions.SimHash64(exprs.head)))
+      checkArity("simhash64", 1)(exprs => graft.functions.SimHash64(exprs.head))))
   }
+}
+
+object GraftExtensions {
+
+  /** Arity guard for injected function builders: a wrong-arity SQL call
+    * (`minhash_sig(arr)`, `cosine_sim(a)`) surfaces as the standard
+    * WRONG_NUM_ARGS AnalysisException naming the function — not an
+    * IndexOutOfBoundsException escaping the analyzer. */
+  private def checkArity(name: String, expected: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != expected) {
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> s"`$name`",
+            "expectedNum" -> expected.toString,
+            "actualNum" -> exprs.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      }
+      build(exprs)
+    }
 }

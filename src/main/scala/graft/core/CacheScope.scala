@@ -1,0 +1,42 @@
+package graft.core
+
+import org.apache.spark.sql.Dataset
+
+/** Session-wide lifecycle for the persisted intermediates the LLM ops
+  * create (q81/q88/q89/q91/q92 each cache fingerprint-sized frames so
+  * their 2-4 consumers don't recompute the sketch subtree from the scan).
+  *
+  * The caches are load-bearing *within* one query execution, but a
+  * long-lived session that runs the whole surface (Bench, Verify, a
+  * notebook) would otherwise accumulate entries forever — Spark never
+  * evicts an explicit `.persist` on its own. Every cache a query creates
+  * is registered here at persist time; the harness calls [[drain]] after
+  * each query's action completes, which keeps intra-query reuse (the
+  * consumers all run inside that action) while bounding the session's
+  * cache footprint to one query's worth.
+  *
+  * Thread-safety: tracked under a lock — harness drains are coarse
+  * (between queries), so a racing reader at worst re-persists.
+  */
+object CacheScope {
+
+  private val tracked = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
+
+  /** Persist `ds` at the given level and register it for the next drain. */
+  def persist[T <: Dataset[_]](ds: T,
+      level: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): T = {
+    ds.persist(level)
+    synchronized { tracked += ds }
+    ds
+  }
+
+  /** Unpersist every tracked dataset (non-blocking) and forget them. */
+  def drain(): Unit = synchronized {
+    tracked.foreach(_.unpersist(blocking = false))
+    tracked.clear()
+  }
+
+  /** Number of datasets currently tracked (for specs). */
+  def size: Int = synchronized(tracked.size)
+}

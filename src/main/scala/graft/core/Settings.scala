@@ -43,8 +43,73 @@ final case class Settings(
     awsAccessKeyId.map("spark.hadoop.fs.s3a.access.key" -> _) ++
       awsSecretAccessKey.map("spark.hadoop.fs.s3a.secret.key" -> _) ++
       awsEndpointUrl.map("spark.hadoop.fs.s3a.endpoint" -> _) ++
+      // a custom endpoint (MinIO etc.) usually can't resolve
+      // virtual-host bucket names; boto3 auto-falls-back to path-style
+      // for such endpoints, so the reference works where virtual-host
+      // S3A would fail bucket resolution — mirror that fallback
+      awsEndpointUrl.map(_ => "spark.hadoop.fs.s3a.path.style.access" -> "true") ++
       awsDefaultRegion.map("spark.hadoop.fs.s3a.endpoint.region" -> _)
   ).toMap
+}
+
+/** [EXT] Env-backed sketch geometry for the LLM-pipeline dedup/ANN ops
+  * (q81/q88/q89/q91/q92) — the reference's config idiom
+  * (`settings.py:1-20`: env with defaults) applied to the knobs that must
+  * scale with corpus size. The scaling derivations live at the use sites
+  * in `graft.queries.LlmOps`; the operational rule of thumb:
+  *
+  *  - `simhashBandBits`, `srpBits` grow ~log2(corpus) to keep expected
+  *    bucket occupancy (n·bands/2^bits resp. n/2^bits) bounded;
+  *  - `minhashK`/`minhashRowsPerBand` set the LSH S-curve threshold
+  *    (~(1/bands)^(1/rows)) — tune to the target Jaccard cut;
+  *  - `shingleDfCap` bounds the q88 inverted-index fan-out (work is
+  *    Σ df² per shingle ⇒ capped at df·cap, linear in corpus);
+  *  - `bandOccupancyCap` bounds candidate fan-out from hot LSH bands
+  *    (boilerplate-heavy corpora): a band with occupancy b yields b²/2
+  *    pairs, so dropping bands past the cap keeps candidate generation
+  *    linear; near-dup clusters smaller than the cap are unaffected.
+  *
+  * A 100× corpus is a new env, not a recompile.
+  */
+final case class SketchGeometry(
+    minhashK: Int,
+    minhashRowsPerBand: Int,
+    shingleDfCap: Int,
+    simhashBandBits: Int,
+    srpBits: Int,
+    bandOccupancyCap: Int) {
+  require(minhashK > 0 && minhashRowsPerBand > 0 && minhashK % minhashRowsPerBand == 0,
+    s"minhashK ($minhashK) must be a positive multiple of minhashRowsPerBand ($minhashRowsPerBand)")
+  require(simhashBandBits > 0 && 64 % simhashBandBits == 0,
+    s"simhashBandBits ($simhashBandBits) must divide 64")
+  require(srpBits > 0 && srpBits <= 30, s"srpBits ($srpBits) out of range (1..30)")
+  require(shingleDfCap > 1, s"shingleDfCap ($shingleDfCap) must exceed 1")
+  require(bandOccupancyCap > 1, s"bandOccupancyCap ($bandOccupancyCap) must exceed 1")
+
+  /** LSH bands for MinHash (q81). */
+  def minhashBands: Int = minhashK / minhashRowsPerBand
+  /** Band slices of the 64-bit SimHash sketch (q89). */
+  def simhashBands: Int = 64 / simhashBandBits
+  /** SRP bucket count (q91/q92). */
+  def srpBuckets: Int = 1 << srpBits
+}
+
+object SketchGeometry {
+  /** The sf0.001–0.1 geometry every CORRECTNESS/BENCH run uses. */
+  val defaults: SketchGeometry = SketchGeometry(
+    minhashK = 12, minhashRowsPerBand = 3, shingleDfCap = 20,
+    simhashBandBits = 16, srpBits = 8, bandOccupancyCap = 1000)
+
+  def fromEnv(env: Map[String, String] = sys.env): SketchGeometry = {
+    def i(k: String, d: Int) = env.get(k).map(_.trim.toInt).getOrElse(d)
+    SketchGeometry(
+      minhashK = i("GRAFT_MINHASH_K", defaults.minhashK),
+      minhashRowsPerBand = i("GRAFT_MINHASH_ROWS_PER_BAND", defaults.minhashRowsPerBand),
+      shingleDfCap = i("GRAFT_SHINGLE_DF_CAP", defaults.shingleDfCap),
+      simhashBandBits = i("GRAFT_SIMHASH_BAND_BITS", defaults.simhashBandBits),
+      srpBits = i("GRAFT_SRP_BITS", defaults.srpBits),
+      bandOccupancyCap = i("GRAFT_BAND_OCCUPANCY_CAP", defaults.bandOccupancyCap))
+  }
 }
 
 object Settings {

@@ -137,17 +137,25 @@ object AvroCodec {
     * required field) are dropped and counted instead of failing the
     * batch/micro-batch — returns the value frame plus the live
     * bad-record counter (SURVEY §7.3's promised metric). */
+  /** Per-call suffix for the lenient function name: a session-global
+    * shared name would let two interleaved calls bind a frame to the
+    * other call's accumulator (register-then-analyze race), and the last
+    * registration would silently win for SQL users. Registry growth is
+    * bounded by call count (names are tiny). */
+  private val lenientSeq = new java.util.concurrent.atomic.AtomicLong()
+
   def encodeFrameLenient(spark: SparkSession, canonical: DataFrame)
       : (DataFrame, org.apache.spark.util.LongAccumulator) = {
     val acc = spark.sparkContext.longAccumulator("graft.avro.bad_records")
+    val fn = s"avro_encode_lenient_${lenientSeq.incrementAndGet()}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "avro_encode_lenient",
+      fn,
       exprs => AvroEncodeExpression(exprs.head, Schemas.reclamacoesAvsc,
         lenient = true, badRecords = Some(acc)),
       "scala_udf")
     val values = canonical
       .select(struct(Schemas.reclamacoesColumns.map(canonical.col): _*).as("r"))
-      .select(expr("avro_encode_lenient(r)").as("value"))
+      .select(expr(s"$fn(r)").as("value"))
       .filter(expr("value IS NOT NULL")) // nulled-out poison rows: counted, not shipped
     (values, acc)
   }

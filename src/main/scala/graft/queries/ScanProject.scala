@@ -108,8 +108,44 @@ object ScanProject {
       .select(Fixtures.lineitemJsonCols.map(col): _*))
   }
 
+  /** q09: R6 end-to-end, driver-visible — a canonical all-strings
+    * reclamações frame (built from customer's int/string columns; doubles
+    * excluded so string formatting can't diverge between engines) goes
+    * through the raw-body Avro encode (`AvroEncodeExpression`, mirroring
+    * `/root/reference/src/ex8_producer/app.py:145-152`) and back through
+    * the decode. The oracle is the identity SELECT of the same mapping,
+    * so the DuckDB gate certifies decode∘encode = id — including the
+    * null-union round-trip for the 5 nullable wire fields, which the
+    * planted CASE…NULL branches exercise on ~45% of rows. */
+  val q09AvroRoundtrip: Q = (spark, dir) => {
+    import graft.ingest.AvroCodec
+    val c = t(spark, dir, "customer")
+    val k = col("c_custkey")
+    def m(n: Int) = (k % n).cast(StringType)
+    def nullEvery(n: Int, v: org.apache.spark.sql.Column) =
+      when(k % n === 0, lit(null)).otherwise(v)
+    val canon = c.select(
+      k.cast(StringType).as("ano"),
+      (k % 4 + 1).cast(StringType).as("trimestre"),
+      col("c_mktsegment").as("categoria"),
+      col("c_name").as("tipo"),
+      nullEvery(5, (k * 100 + col("c_nationkey")).cast(StringType)).as("cnpj_if"),
+      concat(col("c_name"), lit("#"), col("c_mktsegment"))
+        .as("instituicao_financeira"),
+      col("c_nationkey").cast(StringType).as("indice"),
+      m(7).as("quantidade_de_reclamacoes_reguladas_procedentes"),
+      nullEvery(3, m(11)).as("quantidade_de_reclamacoes_reguladas_outras"),
+      nullEvery(4, m(13)).as("quantidade_de_reclamacoes_nao_reguladas"),
+      m(17).as("quantidade_total_de_reclamacoes"),
+      m(19).as("quantidade_total_de_clientes_ccs_e_scr"),
+      nullEvery(6, m(23)).as("quantidade_de_clientes_ccs"),
+      nullEvery(10, m(29)).as("quantidade_de_clientes_scr"))
+    orderAll(AvroCodec.decodeFrame(spark, AvroCodec.encodeFrame(spark, canon)))
+  }
+
   val defs: Map[String, Q] = Map(
     "q01_scan_csv" -> q01ScanCsv,
+    "q09_avro_roundtrip" -> q09AvroRoundtrip,
     "q02_scan_parquet" -> q02ScanParquet,
     "q07_scan_json" -> q07ScanJson,
     "q08_scan_orc" -> q08ScanOrc,
@@ -119,6 +155,31 @@ object ScanProject {
     "q06_cast_types" -> q06CastTypes)
 
   val oracles: Map[String, String] = Map(
+    "q09_avro_roundtrip" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS ano,
+        |  CAST(c_custkey % 4 + 1 AS VARCHAR) AS trimestre,
+        |  c_mktsegment AS categoria,
+        |  c_name AS tipo,
+        |  CASE WHEN c_custkey % 5 = 0 THEN NULL
+        |       ELSE CAST(c_custkey * 100 + c_nationkey AS VARCHAR) END AS cnpj_if,
+        |  c_name || '#' || c_mktsegment AS instituicao_financeira,
+        |  CAST(c_nationkey AS VARCHAR) AS indice,
+        |  CAST(c_custkey % 7 AS VARCHAR) AS quantidade_de_reclamacoes_reguladas_procedentes,
+        |  CASE WHEN c_custkey % 3 = 0 THEN NULL
+        |       ELSE CAST(c_custkey % 11 AS VARCHAR) END AS quantidade_de_reclamacoes_reguladas_outras,
+        |  CASE WHEN c_custkey % 4 = 0 THEN NULL
+        |       ELSE CAST(c_custkey % 13 AS VARCHAR) END AS quantidade_de_reclamacoes_nao_reguladas,
+        |  CAST(c_custkey % 17 AS VARCHAR) AS quantidade_total_de_reclamacoes,
+        |  CAST(c_custkey % 19 AS VARCHAR) AS quantidade_total_de_clientes_ccs_e_scr,
+        |  CASE WHEN c_custkey % 6 = 0 THEN NULL
+        |       ELSE CAST(c_custkey % 23 AS VARCHAR) END AS quantidade_de_clientes_ccs,
+        |  CASE WHEN c_custkey % 10 = 0 THEN NULL
+        |       ELSE CAST(c_custkey % 29 AS VARCHAR) END AS quantidade_de_clientes_scr
+        |FROM customer
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+        |  5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST, 8 NULLS FIRST,
+        |  9 NULLS FIRST, 10 NULLS FIRST, 11 NULLS FIRST, 12 NULLS FIRST,
+        |  13 NULLS FIRST, 14 NULLS FIRST""".stripMargin,
     "q01_scan_csv" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus
         |FROM lineitem

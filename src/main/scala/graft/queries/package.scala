@@ -44,6 +44,14 @@ package object queries {
     * `CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) / COUNT(x)`. */
   def dmean(c: Column): Column = dsum(c) / count(c)
 
+  /** `.scopedPersist` = `.persist(MEMORY_AND_DISK)` + registration with
+    * [[graft.core.CacheScope]] so the harness (Bench/Verify) can unpersist
+    * after each query's action — intra-query reuse intact, no session-long
+    * cache accumulation. */
+  implicit class ScopedPersist[T <: org.apache.spark.sql.Dataset[_]](private val ds: T) {
+    def scopedPersist: T = graft.core.CacheScope.persist(ds)
+  }
+
   /** Order by every column (ascending, nulls first — both engines'
     * default ASC null ordering differs: Spark NULLS FIRST, DuckDB NULLS
     * LAST — so pin NULLS FIRST explicitly in SQL). */

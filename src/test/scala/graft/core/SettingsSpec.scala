@@ -41,6 +41,7 @@ class SettingsSpec extends AnyFunSuite {
       "spark.hadoop.fs.s3a.access.key" -> "AKIAEXAMPLE",
       "spark.hadoop.fs.s3a.secret.key" -> "secret",
       "spark.hadoop.fs.s3a.endpoint" -> "http://minio:9000",
+      "spark.hadoop.fs.s3a.path.style.access" -> "true",
       "spark.hadoop.fs.s3a.endpoint.region" -> "us-east-1"))
   }
 
@@ -49,5 +50,45 @@ class SettingsSpec extends AnyFunSuite {
       "AWS_ACCESS_KEY_ID", "AWS_SECRET_ACCESS_KEY", "AWS_ENDPOINT_URL",
       "AWS_DEFAULT_REGION")).s3aConfigs
     assert(m.isEmpty)
+  }
+
+  test("path-style access follows the custom endpoint (boto3's MinIO fallback)") {
+    val withEndpoint = Settings.fromEnv(fullEnv).s3aConfigs
+    assert(withEndpoint.get("spark.hadoop.fs.s3a.path.style.access").contains("true"))
+    val noEndpoint = Settings.fromEnv(fullEnv - "AWS_ENDPOINT_URL").s3aConfigs
+    assert(!noEndpoint.contains("spark.hadoop.fs.s3a.path.style.access"),
+      "path-style must not be forced against real AWS (virtual-host default)")
+  }
+
+  test("SketchGeometry: defaults match the shipped sf0.001-0.1 geometry") {
+    val g = SketchGeometry.fromEnv(Map.empty)
+    assert(g == SketchGeometry.defaults)
+    assert(g.minhashBands == 4)
+    assert(g.simhashBands == 4)
+    assert(g.srpBuckets == 256)
+  }
+
+  test("SketchGeometry: env overrides change the derived bucket counts") {
+    val g = SketchGeometry.fromEnv(Map(
+      "GRAFT_SRP_BITS" -> "12",
+      "GRAFT_SIMHASH_BAND_BITS" -> "8",
+      "GRAFT_MINHASH_K" -> "20",
+      "GRAFT_MINHASH_ROWS_PER_BAND" -> "4",
+      "GRAFT_SHINGLE_DF_CAP" -> "50",
+      "GRAFT_BAND_OCCUPANCY_CAP" -> "200"))
+    assert(g.srpBuckets == 4096, "srp bucket count must follow GRAFT_SRP_BITS")
+    assert(g.simhashBands == 8)
+    assert(g.minhashBands == 5)
+    assert(g.shingleDfCap == 50)
+    assert(g.bandOccupancyCap == 200)
+  }
+
+  test("SketchGeometry rejects inconsistent geometry loudly") {
+    intercept[IllegalArgumentException](
+      SketchGeometry.fromEnv(Map("GRAFT_MINHASH_ROWS_PER_BAND" -> "5"))) // 12 % 5 != 0
+    intercept[IllegalArgumentException](
+      SketchGeometry.fromEnv(Map("GRAFT_SIMHASH_BAND_BITS" -> "7"))) // 64 % 7 != 0
+    intercept[IllegalArgumentException](
+      SketchGeometry.fromEnv(Map("GRAFT_SRP_BITS" -> "0")))
   }
 }

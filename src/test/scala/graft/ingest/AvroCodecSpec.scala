@@ -72,6 +72,20 @@ class AvroCodecSpec extends SparkSpec {
     assert(bad.value == 1L, s"bad-record metric = ${bad.value}, want 1")
   }
 
+  test("lenient encode: interleaved calls keep independent counters (no registry race)") {
+    val badRow = Row("2022", null, "x", "x", null, "x", "x", "0",
+      null, null, "0", "0", "0", null)
+    // interleave: build BOTH frames before collecting EITHER — with a
+    // shared registered name the second registration would capture the
+    // first frame's accumulator (or vice versa)
+    val (v1, bad1) = AvroCodec.encodeFrameLenient(spark, frame(sample, badRow))
+    val (v2, bad2) = AvroCodec.encodeFrameLenient(spark, frame(sample))
+    assert(v2.collect().length == 1)
+    assert(v1.collect().length == 1)
+    assert(bad1.value == 1L, s"call-1 counter = ${bad1.value}, want 1 (its own poison row)")
+    assert(bad2.value == 0L, s"call-2 counter = ${bad2.value}, want 0 (clean batch)")
+  }
+
   test("property: decode(encode(r)) == r for arbitrary conforming rows") {
     // SURVEY §5.2 item 3 — direct expression eval (no Spark job per
     // sample) over generated rows: required fields get any string

@@ -1,11 +1,68 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
+import graft.core.SketchGeometry
 
 /** Semantics checks for the no-oracle LLM ops (the oracled ones are
   * covered by the driver's DuckDB gate). */
 class LlmOpsSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
+
+  test("sketch geometry is env-driven: an SRP_BITS override changes live bucket counts") {
+    val v = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("embedding").cast("array<double>").as("e"))
+    val g4 = SketchGeometry.fromEnv(Map("GRAFT_SRP_BITS" -> "4"))
+    val b4 = v.select(LlmOps.srpBucket(col("e"), g4).as("b")).distinct().count()
+    val b8 = v.select(LlmOps.srpBucket(col("e"), LlmOps.geom).as("b")).distinct().count()
+    assert(b4 <= 16, s"4-bit geometry produced $b4 buckets (> 2^4)")
+    assert(b8 <= 256, s"8-bit geometry produced $b8 buckets (> 2^8)")
+    assert(b4 < b8, s"override had no effect: $b4 buckets at 4 bits vs $b8 at 8")
+  }
+
+  test("bandCandidates: bands hotter than the occupancy cap are dropped (bounded fan-out)") {
+    import spark.implicits._
+    // 100 docs collide on one boilerplate band (would yield 4950 pairs);
+    // two genuine near-dup pairs sit in cold bands
+    val bands = ((1L to 100L).map(i => (i, "hot")) ++
+      Seq((200L, "p1"), (201L, "p1"), (300L, "p2"), (301L, "p2")))
+      .toDF("doc_id", "band")
+    val out = LlmOps.bandCandidates(bands, cap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((200L, 201L), (300L, 301L)),
+      s"hot band leaked into candidates: ${out.size} pairs")
+  }
+
+  test("q94: Spark pmod and the oracle's ((x % m) + m) % m mirror agree on negative ids") {
+    import spark.implicits._
+    val P = 1000000007L
+    val K = 2654435761L
+    val ids = Seq(-1L, -5L, -99L, -1000000006L, -1000000008L, -123456789L,
+      0L, 7L, 3500000000L, Long.MinValue / 4)
+    val sparkBuckets = ids.toDF("doc_id")
+      .select(col("doc_id"),
+        pmod(pmod(pmod(col("doc_id"), lit(P)) * lit(K), lit(P)), lit(100L)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the DuckDB oracle's arithmetic, verbatim: sign-preserving % wrapped
+    // ((x % m) + m) % m at each step
+    def oracleBucket(x: Long): Long = {
+      val s1 = ((x % P) + P) % P
+      val s2 = ((s1 * K) % P + P) % P
+      (s2 % 100 + 100) % 100
+    }
+    ids.foreach { x =>
+      assert(oracleBucket(x) == sparkBuckets(x),
+        s"doc_id=$x: oracle ${oracleBucket(x)} != spark ${sparkBuckets(x)}")
+    }
+  }
+
+  test("documents.text is pure ASCII (q93's byte-substr = char-substring assumption)") {
+    val n = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(length(col("text")) =!= octet_length(col("text"))).count()
+    assert(n == 0,
+      s"$n non-ASCII documents — q93's binary-substr oracle equivalence no longer holds")
+  }
 
   test("q81 minhash-lsh finds the planted near-duplicate pairs") {
     val pairs = LlmOps.q81DedupMinhash(spark, sf)
@@ -45,6 +102,17 @@ class LlmOpsSpec extends SparkSpec {
     val recall = got.intersect(top3).size.toDouble / top3.size
     info(f"q91 recall vs q82 top-3: $recall%.2f (${got.intersect(top3).size}/${top3.size})")
     assert(recall >= 0.3, f"q91 recall collapsed: $recall%.2f")
+  }
+
+  test("CacheScope: LlmOps caches are tracked and fully released by drain") {
+    graft.core.CacheScope.drain() // clear anything earlier tests left behind
+    spark.sharedState.cacheManager.clearCache()
+    LlmOps.q81DedupMinhash(spark, sf).count()
+    assert(graft.core.CacheScope.size > 0, "q81's persisted intermediates were not tracked")
+    graft.core.CacheScope.drain()
+    assert(graft.core.CacheScope.size == 0)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "cache entries survived drain — session-long accumulation")
   }
 
   test("q90 multimodal features are deterministic and complete") {

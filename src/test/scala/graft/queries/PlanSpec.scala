@@ -96,6 +96,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q92: the bucket candidate join shuffles ids only, never vectors") {
+    // the 100 TB defect class: a candidate join that carries the 64-dim
+    // embedding arrays shuffles the corpus twice; candidates must be
+    // (vec_id, bkt) pairs, vectors re-joined by id for the verify
+    val df = graft.SparkEntry.queries("q92_dedup_embedding")(spark, sf)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists(_.references.exists(_.name == "bkt")) => j
+    }
+    assert(joins.nonEmpty, "no bucket equi-join found in q92's plan")
+    joins.foreach { j =>
+      val arrays = (j.left.output ++ j.right.output)
+        .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      assert(arrays.isEmpty,
+        s"bucket join carries array columns through the shuffle: ${arrays.map(_.name)}")
+    }
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     // AQE reports WholeStageCodegen spans only in the finalized plan
     val df = graft.SparkEntry.queries("q20_agg_hash")(spark, sf)

@@ -39,6 +39,25 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sh == -1L) // one all-ones fingerprint votes every bit up
   }
 
+  test("wrong-arity calls fail as named arity errors, not IndexOutOfBounds") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val reg = ext.registerFunctions(spark.sessionState.functionRegistry)
+    def arityError(sql: String, fname: String): Unit = {
+      val ex = intercept[AnalysisException](spark.sql(sql).collect())
+      assert(ex.getMessage.contains(fname),
+        s"error for $sql does not name $fname: ${ex.getMessage}")
+      assert(ex.getCondition != null && ex.getCondition.startsWith("WRONG_NUM_ARGS"),
+        s"unexpected error class ${ex.getCondition}")
+    }
+    // reg is the session registry with the injected builders in place
+    assert(reg.functionExists(FunctionIdentifier("cosine_sim")))
+    arityError("SELECT cosine_sim(array(1.0D))", "cosine_sim")
+    arityError("SELECT minhash_sig(array(1L))", "minhash_sig")
+    arityError("SELECT simhash64(array(1L), 2)", "simhash64")
+    arityError("SELECT avro_decode(x'00', 1)", "avro_decode")
+  }
+
   test("minhash_sig rejects non-literal, null, and non-positive k") {
     intercept[Exception](spark.sql("SELECT minhash_sig(array(1L), NULL)").collect())
     intercept[Exception](spark.sql("SELECT minhash_sig(array(1L), 0)").collect())
