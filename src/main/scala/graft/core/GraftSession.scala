@@ -18,9 +18,29 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** RocksDB-backed streaming state — the production posture once join/
+    * dedup/session state outgrows executor heap (the default HDFS-backed
+    * provider keeps every state row as JVM objects on-heap; at 100 TB a
+    * stream-stream join's buffer is tens of GB per executor). RocksDB
+    * spills to local disk, and changelog checkpointing ships per-batch
+    * deltas instead of re-uploading full SST snapshots. Flag-gated via
+    * `GRAFT_STATE_STORE=rocksdb` (the reference's env-config idiom) or
+    * the `largeState` builder parameter; the provider class is read per
+    * query start, so a spec can also opt in via `spark.conf.set`. */
+  val RocksDBProviderClass: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  def stateStoreConfigs(rocksdb: Boolean): Map[String, String] =
+    if (!rocksdb) Map.empty
+    else Map(
+      "spark.sql.streaming.stateStore.providerClass" -> RocksDBProviderClass,
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
+
   def builder(master: String = "local[*]",
       shufflePartitions: Int = Runtime.getRuntime.availableProcessors(),
-      extra: Map[String, String] = Map.empty): SparkSession.Builder = {
+      extra: Map[String, String] = Map.empty,
+      largeState: Boolean = sys.env.get("GRAFT_STATE_STORE").contains("rocksdb"))
+      : SparkSession.Builder = {
     val b = SparkSession.builder()
       .master(master)
       .appName("graft-engine")
@@ -34,7 +54,9 @@ object GraftSession {
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.compression.codec", "zstd")
-    extra.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+    (stateStoreConfigs(largeState) ++ extra).foldLeft(b) {
+      case (bb, (k, v)) => bb.config(k, v)
+    }
   }
 
   /** Builder pre-wired with the settings' S3A credential mapping — the

@@ -64,6 +64,14 @@ final case class Settings(
   *    (~(1/bands)^(1/rows)) — tune to the target Jaccard cut;
   *  - `shingleDfCap` bounds the q88 inverted-index fan-out (work is
   *    Σ df² per shingle ⇒ capped at df·cap, linear in corpus);
+  *  - `srpProbeRadius` is q91's recall-vs-work knob: each ANN query
+  *    probes every bucket within that hamming distance of its own code
+  *    (Σ C(srpBits, r) probes) — raise it to buy recall, shrink it as
+  *    srpBits grows with corpus size to keep the probed fraction of
+  *    2^srpBits small;
+  *  - `embeddingDim` is the corpus's embedding width (the SRP projection
+  *    matrix is embeddingDim wide) — a property of the upstream
+  *    embedding model, set once per corpus;
   *  - `bandOccupancyCap` bounds candidate fan-out from hot LSH bands
   *    (boilerplate-heavy corpora): a band with occupancy b yields b²/2
   *    pairs, so dropping bands past the cap keeps candidate generation
@@ -77,12 +85,17 @@ final case class SketchGeometry(
     shingleDfCap: Int,
     simhashBandBits: Int,
     srpBits: Int,
+    srpProbeRadius: Int,
+    embeddingDim: Int,
     bandOccupancyCap: Int) {
   require(minhashK > 0 && minhashRowsPerBand > 0 && minhashK % minhashRowsPerBand == 0,
     s"minhashK ($minhashK) must be a positive multiple of minhashRowsPerBand ($minhashRowsPerBand)")
   require(simhashBandBits > 0 && 64 % simhashBandBits == 0,
     s"simhashBandBits ($simhashBandBits) must divide 64")
   require(srpBits > 0 && srpBits <= 30, s"srpBits ($srpBits) out of range (1..30)")
+  require(srpProbeRadius >= 0 && srpProbeRadius <= srpBits,
+    s"srpProbeRadius ($srpProbeRadius) out of range (0..srpBits=$srpBits)")
+  require(embeddingDim > 0, s"embeddingDim ($embeddingDim) must be positive")
   require(shingleDfCap > 1, s"shingleDfCap ($shingleDfCap) must exceed 1")
   require(bandOccupancyCap > 1, s"bandOccupancyCap ($bandOccupancyCap) must exceed 1")
 
@@ -92,13 +105,18 @@ final case class SketchGeometry(
   def simhashBands: Int = 64 / simhashBandBits
   /** SRP bucket count (q91/q92). */
   def srpBuckets: Int = 1 << srpBits
+  /** q91 multi-probe masks per query: Σ_{r=0..radius} C(srpBits, r). */
+  def srpProbeCount: Int =
+    (0 to srpProbeRadius).map(r =>
+      (0 until r).foldLeft(1L)((acc, i) => acc * (srpBits - i) / (i + 1)).toInt).sum
 }
 
 object SketchGeometry {
   /** The sf0.001–0.1 geometry every CORRECTNESS/BENCH run uses. */
   val defaults: SketchGeometry = SketchGeometry(
     minhashK = 12, minhashRowsPerBand = 3, shingleDfCap = 20,
-    simhashBandBits = 16, srpBits = 8, bandOccupancyCap = 1000)
+    simhashBandBits = 16, srpBits = 8, srpProbeRadius = 2, embeddingDim = 64,
+    bandOccupancyCap = 1000)
 
   def fromEnv(env: Map[String, String] = sys.env): SketchGeometry = {
     def i(k: String, d: Int) = env.get(k).map(_.trim.toInt).getOrElse(d)
@@ -108,6 +126,8 @@ object SketchGeometry {
       shingleDfCap = i("GRAFT_SHINGLE_DF_CAP", defaults.shingleDfCap),
       simhashBandBits = i("GRAFT_SIMHASH_BAND_BITS", defaults.simhashBandBits),
       srpBits = i("GRAFT_SRP_BITS", defaults.srpBits),
+      srpProbeRadius = i("GRAFT_SRP_PROBE_RADIUS", defaults.srpProbeRadius),
+      embeddingDim = i("GRAFT_EMBEDDING_DIM", defaults.embeddingDim),
       bandOccupancyCap = i("GRAFT_BAND_OCCUPANCY_CAP", defaults.bandOccupancyCap))
   }
 }

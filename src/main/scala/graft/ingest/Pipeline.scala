@@ -1,6 +1,7 @@
 package graft.ingest
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.core.Schemas
@@ -30,6 +31,29 @@ object Pipeline {
   def valuesBatch(spark: SparkSession, path: String): DataFrame =
     AvroCodec.encodeFrame(spark, canonicalBatch(spark, path))
 
+  /** Data-quality metrics observed on the canonical frame: row volume,
+    * null rate of the reference's join/identity key (CNPJ), and quarter
+    * cardinality (HLL — DISTINCT aggregates are disallowed in observed
+    * metrics because they would break the single-pass guarantee). At
+    * 100 TB a metrics pass IS a corpus scan, so these must ride the
+    * shipping action, never re-scan (`CollectMetrics` folds them into
+    * the same task that ships each partition). */
+  val observedMetricsName = "canon_metrics"
+  private def qualityMetrics: Seq[Column] = Seq(
+    count(lit(1)).as("rows"),
+    sum(col("cnpj_if").isNull.cast("long")).as("null_cnpj"),
+    approx_count_distinct(col("trimestre")).as("quarters"))
+
+  /** Batch flavor of [[valuesBatch]] with quality metrics attached: the
+    * returned Observation resolves as a side effect of whatever action
+    * ships the values frame — one corpus pass for data AND metrics. */
+  def valuesBatchObserved(spark: SparkSession, path: String): (DataFrame, Observation) = {
+    val obs = Observation(observedMetricsName)
+    val canon = canonicalBatch(spark, path)
+      .observe(obs, qualityMetrics.head, qualityMetrics.tail: _*)
+    (AvroCodec.encodeFrame(spark, canon), obs)
+  }
+
   /** Streaming: unbounded CSV prefix → Avro `value` frame. The schema
     * must be declared up front (streaming sources cannot infer); the wire
     * StructType is exactly the csv.DictReader shape — all strings. */
@@ -49,6 +73,19 @@ object Pipeline {
       maxFilesPerTrigger: Int = 1): (DataFrame, org.apache.spark.util.LongAccumulator) = {
     val raw = CsvSource.readStream(spark, path, rawCsvSchema(spark, path), maxFilesPerTrigger)
     AvroCodec.encodeFrameLenient(spark, canonicalize(raw))
+  }
+
+  /** Streaming flavor of [[valuesBatchObserved]]: the same per-batch
+    * quality metrics surface in each `StreamingQueryProgress
+    * .observedMetrics(observedMetricsName)` — the Observation handle is
+    * batch-only, but the `CollectMetrics` node is the same, so
+    * production monitoring reads progress events instead of a handle. */
+  def valuesStreamObserved(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    val raw = CsvSource.readStream(spark, path, rawCsvSchema(spark, path), maxFilesPerTrigger)
+    val canon = canonicalize(raw)
+      .observe(observedMetricsName, qualityMetrics.head, qualityMetrics.tail: _*)
+    AvroCodec.encodeFrame(spark, canon)
   }
 
   /** Streaming schema bootstrap: one batch peek at the header (the

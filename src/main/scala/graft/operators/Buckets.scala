@@ -14,15 +14,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Buckets {
 
-  /** Write `df` as a bucketed, sorted managed table. */
+  /** Write `df` as a bucketed, sorted managed table. Drops any previous
+    * incarnation first: with the default in-memory catalog the table
+    * entry dies with the session but its warehouse directory does not,
+    * and a stale location fails CTAS validation on the next run. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      numBuckets: Int = 8): Unit =
+      numBuckets: Int = 8): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .bucketBy(numBuckets, key)
       .sortBy(key)
       .mode("overwrite")
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Join two same-bucketed tables on their bucket key — plans with zero
     * Exchange when bucket counts match. */

@@ -172,8 +172,29 @@ object Joins {
     orderAll(joined.select("l_orderkey", "l_linenumber", "hot_key", "grp_n"))
   }
 
+  /** q38: fact⋈fact join over tables pre-bucketed on the join key
+    * (graft.operators.Buckets): both sides are written
+    * `bucketBy(8, key).sortBy(key)`, so every subsequent join reads
+    * co-located buckets and plans with ZERO shuffle on either side —
+    * at 100 TB, for a fact table joined repeatedly on a stable key,
+    * bucketing deletes the two largest exchanges in the pipeline
+    * (bucket metadata lives in the catalog, hence the managed-table
+    * round-trip). PlanSpec pins the no-shuffle plan; the oracle (a plain
+    * join in DuckDB) pins that bucketing never changes results. */
+  val q38Bucketed: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val o = t(spark, dir, "orders").select("o_orderkey", "o_orderpriority")
+    graft.operators.Buckets.writeBucketed(li, "graft_b_lineitem", "l_orderkey")
+    graft.operators.Buckets.writeBucketed(o, "graft_b_orders", "o_orderkey")
+    val j = graft.operators.Buckets.bucketedJoin(spark,
+      "graft_b_lineitem", "graft_b_orders", "l_orderkey", "o_orderkey")
+    orderAll(j.select("l_orderkey", "l_linenumber", "l_quantity", "o_orderpriority"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q10_join_inner_hash" -> q10InnerHash,
+    "q38_join_bucketed" -> q38Bucketed,
     "q11_join_broadcast" -> q11Broadcast,
     "q12_join_left_outer" -> q12LeftOuter,
     "q13_join_semi" -> q13Semi,
@@ -186,6 +207,10 @@ object Joins {
     "q19_join_salted_skew" -> q19SaltedSkew)
 
   val oracles: Map[String, String] = Map(
+    "q38_join_bucketed" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
     "q10_join_inner_hash" ->
       """SELECT o_orderkey, o_custkey, c_name, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey

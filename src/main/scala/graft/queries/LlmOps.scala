@@ -400,19 +400,31 @@ object LlmOps {
     * first-4-dim-signs scheme this replaced. Recall is recovered by
     * multi-probing: each query also probes every bucket within hamming
     * distance ProbeRadius of its own code (1 + 8 + 28 = 37 probes at
-    * radius 2 — a 37/256 ≈ 14% bucket scan per query, vs 100% for brute
-    * force; the radius is the recall-vs-work knob and shrinks relative
-    * to 2^bits as bits grow with corpus size — env knob GRAFT_SRP_BITS). */
+    * the default radius 2 — a 37/256 ≈ 14% bucket scan per query, vs
+    * 100% for brute force; the radius is the recall-vs-work knob and
+    * shrinks relative to 2^bits as bits grow with corpus size). Both
+    * knobs are env-backed like the rest of the geometry: GRAFT_SRP_BITS
+    * and GRAFT_SRP_PROBE_RADIUS; the embedding width (a property of the
+    * upstream embedding model) is GRAFT_EMBEDDING_DIM. */
   private def SrpBits = geom.srpBits
-  private val ProbeRadius = 2
-  private val EmbeddingDim = 64
+  private def ProbeRadius = geom.srpProbeRadius
+  private def EmbeddingDim = geom.embeddingDim
+
+  /** All XOR masks within hamming distance `radius` of zero over `bits`
+    * bit positions — the q91 multi-probe set. Enumeration is
+    * combinatorial (Σ_{r≤radius} C(bits, r) masks materialized, never
+    * 2^bits scanned), so build cost tracks the probe count itself as
+    * geometry grows. */
+  private[graft] def probeMasks(bits: Int, radius: Int): Seq[Int] =
+    (0 to radius).flatMap(r =>
+      (0 until bits).combinations(r).map(_.foldLeft(0)((m, b) => m | (1 << b))))
 
   /** Deterministic ±1 projection matrix (murmur of (bit, dim) — no RNG so
     * plans are reproducible across sessions and engines), one row per SRP
     * bit of the given geometry. */
   private[graft] def srpWeights(g: SketchGeometry): IndexedSeq[Seq[Double]] =
     (0 until g.srpBits).map { b =>
-      (0 until EmbeddingDim).map { dim =>
+      (0 until g.embeddingDim).map { dim =>
         if (scala.util.hashing.MurmurHash3.productHash((b, dim)) >= 0) 1.0 else -1.0
       }
     }
@@ -448,22 +460,26 @@ object LlmOps {
     * partitioned (one bucket pass, no per-query scan); only the tiny
     * query side fans out ×|probes| and is broadcast. Rows-only
     * (score agreement + recall vs the q82 baseline asserted in
-    * LlmOpsSpec). */
-  val q91SimilarityIvf: Q = (spark, dir) => {
+    * LlmOpsSpec, which also drives the geometry-parameterized variant
+    * to prove recall responds to the probe-radius knob). */
+  val q91SimilarityIvf: Q = (spark, dir) => q91WithGeometry(geom)(spark, dir)
+
+  /** q91 with explicit geometry — the declared query binds the env-backed
+    * [[geom]]; specs pass overridden geometries to measure the
+    * recall-vs-work curve of `srpProbeRadius` live. */
+  private[graft] def q91WithGeometry(g: SketchGeometry): Q = (spark, dir) => {
     graft.functions.CosineSimilarity.register(spark)
     val v = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     // persisted: consumed by both the corpus side and the query probes,
     // and the cache keeps the 8-projection bucket expression from being
     // substituted into downstream filter constraints
-    val corpus = v.withColumn("bkt", srpBucket(col("e")))
+    val corpus = v.withColumn("bkt", srpBucket(col("e"), g))
       .scopedPersist
     // multi-probe: every code mask within hamming distance ProbeRadius,
-    // enumerated combinatorially (1 + bits + C(bits,2) masks) so the
-    // build cost is O(bits²), not O(2^bits), when geometry grows
-    val masks = Seq(0) ++
-      (0 until SrpBits).map(1 << _) ++
-      (for { i <- 0 until SrpBits; j <- i + 1 until SrpBits } yield (1 << i) | (1 << j))
+    // enumerated combinatorially so the build cost is Σ C(bits, r≤radius),
+    // not O(2^bits), when geometry grows
+    val masks = probeMasks(g.srpBits, g.srpProbeRadius)
     val probes = array(masks.map(m => col("bkt").bitwiseXOR(lit(m))): _*)
     val queries = corpus.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("e").as("qe"),

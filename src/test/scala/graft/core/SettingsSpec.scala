@@ -83,6 +83,17 @@ class SettingsSpec extends AnyFunSuite {
     assert(g.bandOccupancyCap == 200)
   }
 
+  test("SketchGeometry: probe radius and embedding dim are env knobs too") {
+    val d = SketchGeometry.fromEnv(Map.empty)
+    assert(d.srpProbeRadius == 2 && d.embeddingDim == 64)
+    assert(d.srpProbeCount == 37, "default 8 bits @ radius 2 = 1+8+28 probes")
+    val g = SketchGeometry.fromEnv(Map(
+      "GRAFT_SRP_PROBE_RADIUS" -> "1",
+      "GRAFT_EMBEDDING_DIM" -> "128"))
+    assert(g.srpProbeCount == 9, "radius 1 over 8 bits = 1+8 probes")
+    assert(g.embeddingDim == 128)
+  }
+
   test("SketchGeometry rejects inconsistent geometry loudly") {
     intercept[IllegalArgumentException](
       SketchGeometry.fromEnv(Map("GRAFT_MINHASH_ROWS_PER_BAND" -> "5"))) // 12 % 5 != 0
@@ -90,5 +101,9 @@ class SettingsSpec extends AnyFunSuite {
       SketchGeometry.fromEnv(Map("GRAFT_SIMHASH_BAND_BITS" -> "7"))) // 64 % 7 != 0
     intercept[IllegalArgumentException](
       SketchGeometry.fromEnv(Map("GRAFT_SRP_BITS" -> "0")))
+    intercept[IllegalArgumentException]( // probing past every bit is nonsense
+      SketchGeometry.fromEnv(Map("GRAFT_SRP_PROBE_RADIUS" -> "9")))
+    intercept[IllegalArgumentException](
+      SketchGeometry.fromEnv(Map("GRAFT_EMBEDDING_DIM" -> "0")))
   }
 }

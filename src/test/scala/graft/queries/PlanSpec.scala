@@ -114,6 +114,56 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q38: bucketed fact⋈fact join plans with no hash-partition shuffle") {
+    // the declared-surface proof of the Buckets story: with broadcast off
+    // (forcing the large×large SMJ path a 100 TB join would take), the
+    // join must read co-located buckets directly — the only Exchange
+    // allowed in the whole plan is orderAll's range partitioning for
+    // deterministic output, never a hashpartitioning on the join key
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.SparkEntry.queries("q38_join_bucketed")(spark, sf)
+      df.collect() // finalize the AQE plan
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles on the join key:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("AQE splits a planted-skew SMJ hot partition (when salting is unnecessary)") {
+    // q19 documents DETERMINISTIC salting; this pins the free runtime
+    // alternative: AQE detects the oversized shuffle partition and splits
+    // it across tasks. Thresholds are lowered so the planted hot key
+    // (95% of rows on k=0) trips detection at test scale.
+    import org.apache.spark.sql.functions._
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16k",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8k")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val probe = spark.range(0, 200000).select(
+        when(col("id") < 190000, lit(0L))
+          .otherwise(pmod(col("id"), lit(97)) + 1).as("k"),
+        col("id").as("v"))
+      val build = spark.range(0, 98).toDF("k")
+        .select(col("k"), (col("k") * 10).as("w"))
+      val joined = probe.join(build, "k")
+      val n = joined.collect().length // finalize the adaptive plan
+      assert(n == 200000, s"skew-split join lost/duplicated rows: $n")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true") || p.contains("skewed"),
+        s"AQE did not mark the hot partition as skewed:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     // AQE reports WholeStageCodegen spans only in the finalized plan
     val df = graft.SparkEntry.queries("q20_agg_hash")(spark, sf)

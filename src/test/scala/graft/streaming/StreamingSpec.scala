@@ -190,6 +190,27 @@ class StreamingSpec extends SparkSpec {
         (1L, ts(3), ts(0)),
         (2L, ts(3), ts(0)),
         (1L, ts(22), ts(20))), rows)
+
+      // the 100 TB streaming risk is UNBOUNDED join state: without the
+      // watermarks every view/click buffers forever. The progress history
+      // proves the bound: the data batch buffers all 7 input rows, then
+      // the watermark-driven no-data batch evicts everything older than
+      // (watermark − band), leaving only the newest view/click pair
+      val totals = q.recentProgress.toSeq.flatMap(_.stateOperators.map(_.numRowsTotal))
+      assert(totals.max >= 7, s"expected all 7 input rows buffered at the peak: $totals")
+      assert(totals.last < totals.max,
+        s"join state never shrank after watermark advance: $totals")
+      val removed = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
+      assert(removed >= 5,
+        s"watermark advance should evict the 5 out-of-band rows, removed=$removed")
+      // and a further watermark jump evicts the stragglers too — state
+      // stays O(rows-in-band), never O(rows-seen)
+      views.addData((ts(600), 9L))
+      clicks.addData((ts(600), 9L))
+      q.processAllAvailable() // data batch + the no-data batch applying eviction
+      val s1 = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(s1 <= 2, s"pre-watermark rows survived eviction: $s1 rows still in state")
     } finally q.stop()
   }
 
@@ -211,6 +232,39 @@ class StreamingSpec extends SparkSpec {
       assert(rows(1L).nonEmpty && rows(2L).nonEmpty)
       assert(rows(999999L).isEmpty) // unmatched stream row survives (left join)
     } finally q.stop()
+  }
+
+  test("s78: streaming dedup state runs on the RocksDB store (large-state posture)") {
+    import scala.jdk.CollectionConverters._
+    // the default HDFS-backed provider holds state as on-heap JVM objects;
+    // GraftSession.stateStoreConfigs(rocksdb = true) is the flag-gated
+    // production posture for state that outgrows the heap. The provider
+    // class is read at query start, so opt in on the shared session here.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    assert(graft.core.GraftSession.stateStoreConfigs(rocksdb = true)(key) ==
+      graft.core.GraftSession.RocksDBProviderClass)
+    assert(graft.core.GraftSession.stateStoreConfigs(rocksdb = false).isEmpty)
+    spark.conf.set(key, graft.core.GraftSession.RocksDBProviderClass)
+    val in = MemoryStream[(Timestamp, Long)](spark)
+    val dedup = in.toDF().toDF("ts", "event_id")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+    val q = dedup.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("s78_out").start()
+    try {
+      in.addData((ts(0), 100L), (ts(1), 101L), (ts(2), 100L))
+      q.processAllAvailable()
+      // same dedup semantics as s73, now with state in RocksDB
+      assert(spark.table("s78_out").collect().map(_.getLong(1)).toSet == Set(100L, 101L))
+      // and the progress proves which provider actually ran: RocksDB
+      // publishes its own custom metrics (sst file sizes, memtable etc.)
+      val metrics = q.lastProgress.stateOperators(0).customMetrics.keySet.asScala
+      assert(metrics.exists(_.toLowerCase.contains("rocksdb")),
+        s"no rocksdb metrics in state operator progress: $metrics")
+    } finally {
+      q.stop()
+      spark.conf.unset(key)
+    }
   }
 
   test("s77: foreachBatch sink receives batch ids and every row exactly once") {
