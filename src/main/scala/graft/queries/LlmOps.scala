@@ -577,8 +577,66 @@ object LlmOps {
     orderAll(d.select(col("doc_id"), bucket.as("bucket"), split.as("split")))
   }
 
+  /** q95: deterministic hash sampling — the reproducible-ablation
+    * subsampling primitive. A doc is in the 10% sample iff its Knuth
+    * multiplicative bucket (q94's arithmetic, mod 1000) lands under 100.
+    * No RNG, no shuffle beyond the output sort: the same doc is in the
+    * sample on every run, every cluster, every corpus size — unlike
+    * `df.sample`, whose membership shifts with partitioning, a backfill
+    * never silently changes which documents an ablation trained on. At
+    * 100 TB this is a pure scan-side filter (predicate on a projected
+    * expression, corpus never reshuffled). */
+  val q95SampleHash: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+    val P = 1000000007L
+    val bucket = pmod(pmod(pmod(col("doc_id"), lit(P)) * lit(2654435761L), lit(P)), lit(1000L))
+    orderAll(d.filter(bucket < 100)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        bucket.as("bucket")))
+  }
+
+  /** q96: per-language quota cap — corpus curation caps each language at
+    * K=50 docs, keeping the best under a deterministic order (longest
+    * first, doc_id tiebreak; in production the q85 quality score slots in
+    * as the ranking column). One shuffle on `lang`, then a per-group
+    * sort+rank: with K bounded and languages in the hundreds the group
+    * count is tiny relative to the corpus, so the skew risk is the big
+    * languages — exactly what AQE skew-split (PlanSpec) and, for
+    * pathological cases, a pre-aggregation per partition keeping only
+    * each partition's local top-K would address. */
+  val q96QuotaPerLang: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    orderAll(d.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 50)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("rk")))
+  }
+
+  /** q97: token-budget sequence packing — assign each doc to a training
+    * pack of ~512 whitespace tokens (q86's ws_tokens measure): pack_id =
+    * floor(running-token-total-before-this-doc / 512) within a `source`
+    * shard, docs in doc_id order. The floor-of-prefix-sum formulation is
+    * the window-expressible packing used at scale (a pack may overrun by
+    * at most one doc, vs the sequential greedy variant that cannot be
+    * parallelized); parallelism = #shards, the same sharding production
+    * packing jobs use. One shuffle on `source`; the prefix sum is a
+    * single window pass. */
+  val q97PackSequences: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+    val tok = size(split(col("text"), " ")).cast("long")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cumBefore = coalesce(sum(tok).over(w), lit(0L))
+    orderAll(d.select(col("doc_id"), col("source"), tok.as("n_tokens"),
+      floor(cumBefore / lit(512.0)).cast("long").as("pack_id")))
+  }
+
   val defs: Map[String, Q] = Map(
     "q80_dedup_exact" -> q80DedupExact,
+    "q95_sample_hash" -> q95SampleHash,
+    "q96_quota_per_lang" -> q96QuotaPerLang,
+    "q97_pack_sequences" -> q97PackSequences,
     "q81_dedup_minhash" -> q81DedupMinhash,
     "q82_similarity_topk" -> q82SimilarityTopk,
     "q83_text_stats" -> q83TextStats,
@@ -593,6 +651,35 @@ object LlmOps {
     "q94_train_test_split" -> q94TrainTestSplit)
 
   val oracles: Map[String, String] = Map(
+    "q95_sample_hash" ->
+      // q94's pmod-parity arithmetic, mod 1000 for a 10% cut
+      """WITH b AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    ((((((((doc_id % 1000000007) + 1000000007) % 1000000007)
+        |          * 2654435761) % 1000000007) + 1000000007) % 1000000007) % 1000
+        |     + 1000) % 1000 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, source, n_chars, bucket
+        |FROM b WHERE bucket < 100
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
+    "q96_quota_per_lang" ->
+      """SELECT doc_id, lang, n_chars, rk FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY n_chars DESC, doc_id ASC) AS rk
+        |  FROM documents)
+        |WHERE rk <= 50
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
+    "q97_pack_sequences" ->
+      """SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(floor(COALESCE(
+        |    SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+        |      OVER (PARTITION BY source ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) / 512.0) AS BIGINT) AS pack_id
+        |FROM documents
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
     "q94_train_test_split" ->
       // every % is wrapped ((x % m) + m) % m to mirror Spark's pmod:
       // DuckDB's % keeps the sign, so a negative doc_id would otherwise
