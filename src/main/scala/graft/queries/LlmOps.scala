@@ -600,15 +600,23 @@ object LlmOps {
     * first, doc_id tiebreak; in production the q85 quality score slots in
     * as the ranking column). One shuffle on `lang`, then a per-group
     * sort+rank: with K bounded and languages in the hundreds the group
-    * count is tiny relative to the corpus, so the skew risk is the big
-    * languages — exactly what AQE skew-split (PlanSpec) and, for
-    * pathological cases, a pre-aggregation per partition keeping only
-    * each partition's local top-K would address. */
+    * count is tiny relative to the corpus, so the naive window rank
+    * would shuffle the WHOLE corpus to keep 50 rows per language. The
+    * [[graft.operators.GroupTopK]] prefilter drops everything outside
+    * each partition's local top-50 map-side first (lossless: a global
+    * top-k row is a local top-k row in its partition), so the shuffle
+    * carries ≤ k·partitions rows per language, not the corpus. The
+    * window rank over the survivors is exact — the oracle is the plain
+    * whole-corpus rank in DuckDB, and GroupTopKSpec pins prefilter∘rank
+    * ≡ rank row-for-row. */
   val q96QuotaPerLang: Q = (spark, dir) => {
     val d = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val candidates = graft.operators.GroupTopK.prefilter(
+      d, Seq("lang"), Seq(("n_chars", false), ("doc_id", true)), k = 50)
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("n_chars").desc, col("doc_id").asc)
-    orderAll(d.withColumn("rk", row_number().over(w))
+    orderAll(candidates.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 50)
       .select(col("doc_id"), col("lang"), col("n_chars"), col("rk")))
   }
