@@ -172,24 +172,25 @@ object Joins {
     orderAll(joined.select("l_orderkey", "l_linenumber", "hot_key", "grp_n"))
   }
 
-  /** q38: fact⋈fact join over tables pre-bucketed on the join key
-    * (graft.operators.Buckets): both sides are written
-    * `bucketBy(8, key).sortBy(key)`, so every subsequent join reads
-    * co-located buckets and plans with ZERO shuffle on either side —
-    * at 100 TB, for a fact table joined repeatedly on a stable key,
-    * bucketing deletes the two largest exchanges in the pipeline
+  /** q38: q10's exact join (orders⋈customer), but over tables
+    * pre-bucketed on the join key (graft.operators.Buckets): both sides
+    * are written `bucketBy(8, key).sortBy(key)`, so every subsequent
+    * join reads co-located buckets and plans with ZERO shuffle on
+    * either side — at 100 TB, for tables joined repeatedly on a stable
+    * key, bucketing deletes the two largest exchanges in the pipeline
     * (bucket metadata lives in the catalog, hence the managed-table
-    * round-trip). PlanSpec pins the no-shuffle plan; the oracle (a plain
-    * join in DuckDB) pins that bucketing never changes results. */
+    * round-trip, the amortized write cost this query pays every run).
+    * PlanSpec pins the no-shuffle plan; the oracle is q10's — bucketing
+    * must never change results. */
   val q38Bucketed: Q = (spark, dir) => {
-    val li = t(spark, dir, "lineitem")
-      .select("l_orderkey", "l_linenumber", "l_quantity")
-    val o = t(spark, dir, "orders").select("o_orderkey", "o_orderpriority")
-    graft.operators.Buckets.writeBucketed(li, "graft_b_lineitem", "l_orderkey")
-    graft.operators.Buckets.writeBucketed(o, "graft_b_orders", "o_orderkey")
+    val o = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val c = t(spark, dir, "customer").select("c_custkey", "c_name")
+    graft.operators.Buckets.writeBucketed(o, "graft_b_orders", "o_custkey")
+    graft.operators.Buckets.writeBucketed(c, "graft_b_customer", "c_custkey")
     val j = graft.operators.Buckets.bucketedJoin(spark,
-      "graft_b_lineitem", "graft_b_orders", "l_orderkey", "o_orderkey")
-    orderAll(j.select("l_orderkey", "l_linenumber", "l_quantity", "o_orderpriority"))
+      "graft_b_orders", "graft_b_customer", "o_custkey", "c_custkey")
+    orderAll(j.select("o_orderkey", "o_custkey", "c_name", "o_totalprice"))
   }
 
   val defs: Map[String, Q] = Map(
@@ -208,8 +209,9 @@ object Joins {
 
   val oracles: Map[String, String] = Map(
     "q38_join_bucketed" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      // q10's oracle verbatim: bucketing must be invisible to results
+      """SELECT o_orderkey, o_custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
     "q10_join_inner_hash" ->
       """SELECT o_orderkey, o_custkey, c_name, o_totalprice
