@@ -209,7 +209,13 @@ class StreamingSpec extends SparkSpec {
       views.addData((ts(600), 9L))
       clicks.addData((ts(600), 9L))
       q.processAllAvailable() // data batch + the no-data batch applying eviction
-      val s1 = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      // the eviction no-data batch is scheduled after the watermark
+      // update; give the poller a bounded window to run it before
+      // asserting the floor
+      def stateNow = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      val deadline = System.currentTimeMillis + 10000
+      while (stateNow > 2 && System.currentTimeMillis < deadline) Thread.sleep(100)
+      val s1 = stateNow
       assert(s1 <= 2, s"pre-watermark rows survived eviction: $s1 rows still in state")
     } finally q.stop()
   }
