@@ -106,11 +106,50 @@ object MultiModal {
           .as("frame_prefix")))
   }
 
+  private val ResizeStride = 4
+
+  /** q98: resize — the downsample flavor of the multimodal surface:
+    * a stride-[[ResizeStride]] byte downsample of each payload (every
+    * k-th byte kept), computed entirely with codegen'd expressions
+    * (sequence → transform → substr → array_join), one output row per
+    * payload, no fan-out. On real media the pixel-level resample runs
+    * inside q90's per-partition decoder batch; the PLAN here is the
+    * part that must scale. ASCII stand-in payloads make DuckDB's
+    * substring arithmetic mirror the byte stride exactly — fully
+    * oracled. */
+  val q98MultimodalResize: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+      .filter(col("doc_id") % 3 === 0) // the "image/png" rows of q90
+    val n = length(col("text"))
+    val outN = ceil(n.cast("double") / ResizeStride).cast("int")
+    // empty payload ⇒ sequence(0, -1) would descend (same trap as q93)
+    val resized = when(outN > 0,
+      array_join(transform(sequence(lit(0), outN - 1),
+        i => col("text").substr(i * ResizeStride + 1, lit(1))), ""))
+      .otherwise(lit(""))
+    orderAll(d.select(col("doc_id"), n.as("n_bytes"),
+      outN.as("resized_bytes"), resized.as("resized")))
+  }
+
   val defs: Map[String, Q] = Map(
     "q90_multimodal_features" -> q90Multimodal,
-    "q93_multimodal_framesample" -> q93FrameSample)
+    "q93_multimodal_framesample" -> q93FrameSample,
+    "q98_multimodal_resize" -> q98MultimodalResize)
 
   val oracles: Map[String, String] = Map(
+    "q98_multimodal_resize" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS INT) AS n_bytes,
+         |  CAST(ceil(CAST(length(text) AS DOUBLE) / $ResizeStride) AS INT) AS resized_bytes,
+         |  CASE WHEN length(text) > 0 THEN
+         |    array_to_string(
+         |      list_transform(
+         |        range(0, CAST(ceil(CAST(length(text) AS DOUBLE) / $ResizeStride) AS BIGINT)),
+         |        i -> substring(text, CAST(i * $ResizeStride + 1 AS INT), 1)),
+         |      '')
+         |  ELSE '' END AS resized
+         |FROM documents WHERE doc_id % 3 = 0
+         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
     "q93_multimodal_framesample" ->
       s"""WITH v AS (
          |  SELECT doc_id, text, CAST(length(text) AS INT) AS n_bytes
