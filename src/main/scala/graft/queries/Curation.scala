@@ -36,15 +36,14 @@ object Curation {
     val deduped = gated.withColumn("__rn", row_number().over(dw))
       .filter(col("__rn") === 1).drop("__rn")
 
-    // 3. per-language quota — map-side GroupTopK prefilter bounds the
-    //    rank shuffle to ≤ quota·partitions rows per language
+    // 3. per-language quota — the rank filter plans a map-side
+    //    WindowGroupLimit(Partial), bounding the shuffle to ≤
+    //    quota·partitions rows per language (PlanSpec pins the rewrite)
     val slim = deduped.select(col("doc_id"), col("lang"), col("source"),
       col("n_chars"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    val candidates = graft.operators.GroupTopK.prefilter(
-      slim, Seq("lang"), Seq(("n_chars", false), ("doc_id", true)), quotaPerLang)
     val qw = Window.partitionBy(col("lang"))
       .orderBy(col("n_chars").desc, col("doc_id").asc)
-    val capped = candidates.withColumn("__rk", row_number().over(qw))
+    val capped = slim.withColumn("__rk", row_number().over(qw))
       .filter(col("__rk") <= quotaPerLang).drop("__rk")
 
     // 4. deterministic 80/10/10 split — q94's Knuth bucketing, projection

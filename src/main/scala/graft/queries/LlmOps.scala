@@ -600,23 +600,22 @@ object LlmOps {
     * first, doc_id tiebreak; in production the q85 quality score slots in
     * as the ranking column). One shuffle on `lang`, then a per-group
     * sort+rank: with K bounded and languages in the hundreds the group
-    * count is tiny relative to the corpus, so the naive window rank
-    * would shuffle the WHOLE corpus to keep 50 rows per language. The
-    * [[graft.operators.GroupTopK]] prefilter drops everything outside
-    * each partition's local top-50 map-side first (lossless: a global
-    * top-k row is a local top-k row in its partition), so the shuffle
-    * carries ≤ k·partitions rows per language, not the corpus. The
-    * window rank over the survivors is exact — the oracle is the plain
-    * whole-corpus rank in DuckDB, and GroupTopKSpec pins prefilter∘rank
-    * ≡ rank row-for-row. */
+    * count is tiny relative to the corpus, so the worry is the window
+    * rank shuffling the WHOLE corpus to keep 50 rows per language.
+    * Catalyst already prevents that: a rank filter over a window plans a
+    * `WindowGroupLimit(Partial)` BEFORE the exchange — each map task
+    * forwards at most k rows per language, the same bounded-heap trick a
+    * hand-written mapPartitions prefilter would do, minus the
+    * row-serialization cost (a GroupTopK operator built here was
+    * measured strictly worse and deleted — don't hand-schedule what the
+    * optimizer does). PlanSpec pins the Partial node so a regression in
+    * that rewrite can't silently reinstate the full-corpus shuffle. */
   val q96QuotaPerLang: Q = (spark, dir) => {
     val d = t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("n_chars"))
-    val candidates = graft.operators.GroupTopK.prefilter(
-      d, Seq("lang"), Seq(("n_chars", false), ("doc_id", true)), k = 50)
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("n_chars").desc, col("doc_id").asc)
-    orderAll(candidates.withColumn("rk", row_number().over(w))
+    orderAll(d.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 50)
       .select(col("doc_id"), col("lang"), col("n_chars"), col("rk")))
   }

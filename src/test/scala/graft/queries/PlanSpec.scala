@@ -164,6 +164,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q95/q96: curation ops that don't need document bodies never scan them") {
+    // documents.text dominates the table's bytes; sampling and quota
+    // ranking work on metadata columns only — at 100 TB, reading text
+    // here would multiply the scan cost ~10×
+    Seq("q95_sample_hash", "q96_quota_per_lang").foreach { q =>
+      val p = plan(q)
+      val scans = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+      assert(scans.nonEmpty, p)
+      assert(!scans.contains("text:string"),
+        s"$q reads the text column it never uses:\n$scans")
+    }
+  }
+
+  test("q96: the rank filter plans a map-side WindowGroupLimit (bounded shuffle)") {
+    // Catalyst rewrites rank<=k over a window into WindowGroupLimit
+    // Partial (before the exchange) + Final — each map task forwards at
+    // most k rows per group instead of the whole corpus. This rewrite IS
+    // q96's 100 TB story; pin it so it can't silently disappear.
+    val p = plan("q96_quota_per_lang")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial"), s"no map-side partial group limit:\n$p")
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     // AQE reports WholeStageCodegen spans only in the finalized plan
     val df = graft.SparkEntry.queries("q20_agg_hash")(spark, sf)
