@@ -67,6 +67,24 @@ final case class ForeachBatchSink(write: (DataFrame, Long) => Unit) extends Graf
   def writeBatch(df: DataFrame): Unit = write(df, -1L)
 }
 
+/** The batchId-idempotence pattern [[ForeachBatchSink]] describes, made
+  * concrete: each micro-batch lands in its own `batch_id=<id>` partition
+  * directory with overwrite mode. foreachBatch is at-least-once — a
+  * crash between the sink write and the checkpoint commit replays the
+  * batch — but a replay OVERWRITES its own partition instead of
+  * appending duplicates, upgrading delivery to exactly-once with no
+  * transaction log. Readers see `path` as an ordinary partitioned
+  * parquet table (batch_id becomes a partition column); at 100 TB the
+  * per-batch directories double as retention/compaction units. */
+final case class IdempotentParquetSink(path: String, checkpoint: String) extends GraftSink {
+  private[ingest] def writeOne(df: DataFrame, id: Long): Unit =
+    df.write.mode("overwrite").parquet(s"$path/batch_id=$id")
+  def configure(w: DataStreamWriter[Row]): DataStreamWriter[Row] =
+    w.option("checkpointLocation", checkpoint)
+      .foreachBatch((df: org.apache.spark.sql.Dataset[Row], id: Long) => writeOne(df.toDF(), id))
+  def writeBatch(df: DataFrame): Unit = writeOne(df, 0L)
+}
+
 object Sinks {
   /** Start a value frame into a sink with the reference's 60 s cadence
     * (`PROCESS_INTERVAL`, `settings.py:5`) as the trigger. */
