@@ -187,6 +187,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Partial"), s"no map-side partial group limit:\n$p")
   }
 
+  test("runtime bloom filter from a selective dim reaches the fact scan") {
+    // large×large join where one side carries a selective filter: Spark
+    // builds a bloom filter from the filtered side and probes it in the
+    // OTHER side's scan filter (might_contain) — rows that cannot join
+    // die before the shuffle. At 100 TB this is the difference between
+    // shuffling the fact table and shuffling the ~matching slice. The
+    // scan-size threshold is lowered because the benefit gate is sized
+    // for real tables, not sf0.001.
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val o = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_totalprice") > 500000)
+      val j = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"no runtime bloom filter probe in the fact scan:\n${p.take(3000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     // AQE reports WholeStageCodegen spans only in the finalized plan
     val df = graft.SparkEntry.queries("q20_agg_hash")(spark, sf)
