@@ -639,11 +639,33 @@ object LlmOps {
       floor(cumBefore / lit(512.0)).cast("long").as("pack_id")))
   }
 
+  /** q99: deterministic dataset mixture — the pretraining reweighting
+    * primitive: each source gets a sampling rate (upweighted curated
+    * sources kept in full, bulk web crawl cut hard), applied as
+    * `q94-bucket(doc_id) < rate` — no RNG, so the mixture is
+    * reproducible row-for-row across runs and clusters, and raising a
+    * source's rate later ADDS docs without reshuffling the ones already
+    * in (nested samples: rate 25 ⊂ rate 50 ⊂ rate 100). Pure
+    * projection + filter; the rate table is config, not data. */
+  val q99DatasetMixture: Q = (spark, dir) => {
+    val rates = Seq("src0" -> 100L, "src1" -> 50L, "src2" -> 25L) // % kept
+    val defaultRate = 10L
+    val P = 1000000007L
+    val bucket = pmod(pmod(pmod(col("doc_id"), lit(P)) * lit(2654435761L), lit(P)), lit(100L))
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
+      when(col("source") === s, lit(r)).otherwise(acc)
+    }
+    orderAll(t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), bucket.as("bucket"), rate.as("rate"))
+      .filter(col("bucket") < col("rate")))
+  }
+
   val defs: Map[String, Q] = Map(
     "q80_dedup_exact" -> q80DedupExact,
     "q95_sample_hash" -> q95SampleHash,
     "q96_quota_per_lang" -> q96QuotaPerLang,
     "q97_pack_sequences" -> q97PackSequences,
+    "q99_dataset_mixture" -> q99DatasetMixture,
     "q81_dedup_minhash" -> q81DedupMinhash,
     "q82_similarity_topk" -> q82SimilarityTopk,
     "q83_text_stats" -> q83TextStats,
@@ -658,6 +680,19 @@ object LlmOps {
     "q94_train_test_split" -> q94TrainTestSplit)
 
   val oracles: Map[String, String] = Map(
+    "q99_dataset_mixture" ->
+      // q94's pmod-parity bucket, gated per-source by the same rate CASE
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    ((((((((doc_id % 1000000007) + 1000000007) % 1000000007)
+        |          * 2654435761) % 1000000007) + 1000000007) % 1000000007) % 100
+        |     + 100) % 100 AS bucket,
+        |    CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
+        |                WHEN 'src2' THEN 25 ELSE 10 END AS rate
+        |  FROM documents)
+        |SELECT doc_id, source, bucket, CAST(rate AS BIGINT) AS rate
+        |FROM b WHERE bucket < rate
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
     "q95_sample_hash" ->
       // q94's pmod-parity arithmetic, mod 1000 for a 10% cut
       """WITH b AS (
