@@ -639,6 +639,30 @@ object LlmOps {
       floor(cumBefore / lit(512.0)).cast("long").as("pack_id")))
   }
 
+  /** q79: PII scrubbing — the redaction pass every training corpus runs
+    * before the tokenizer. The synthetic corpus carries no PII, so the
+    * query deterministically PLANTS an email on every 10th doc and then
+    * scrubs; the op under test is the scrubber, the plant makes its
+    * effect observable and oracle-checkable. The email pattern sticks to
+    * character classes + bounded quantifiers that mean the same thing in
+    * Java regex (Spark, codegen'd regexp_replace) and RE2 (DuckDB).
+    * `clean` pins that no match survives scrubbing — the property a
+    * redaction pass actually owes you. Row-local, no shuffle. */
+  val q79PiiScrub: Q = (spark, dir) => {
+    val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val raw = when(col("doc_id") % 10 === 0,
+      concat(col("text"), lit(" contact: user"), col("doc_id").cast("string"),
+        lit("@example.com now")))
+      .otherwise(col("text"))
+    val scrubbed = regexp_replace(raw, EmailRe, "<EMAIL>")
+    orderAll(t(spark, dir, "documents").select(
+      col("doc_id"),
+      regexp_count(raw, lit(EmailRe)).as("n_pii"),
+      length(raw).as("n_raw"),
+      length(scrubbed).as("n_scrubbed"),
+      !(scrubbed rlike EmailRe) as "clean"))
+  }
+
   /** q99: deterministic dataset mixture — the pretraining reweighting
     * primitive: each source gets a sampling rate (upweighted curated
     * sources kept in full, bulk web crawl cut hard), applied as
@@ -666,6 +690,7 @@ object LlmOps {
     "q96_quota_per_lang" -> q96QuotaPerLang,
     "q97_pack_sequences" -> q97PackSequences,
     "q99_dataset_mixture" -> q99DatasetMixture,
+    "q79_pii_scrub" -> q79PiiScrub,
     "q81_dedup_minhash" -> q81DedupMinhash,
     "q82_similarity_topk" -> q82SimilarityTopk,
     "q83_text_stats" -> q83TextStats,
@@ -680,6 +705,26 @@ object LlmOps {
     "q94_train_test_split" -> q94TrainTestSplit)
 
   val oracles: Map[String, String] = Map(
+    "q79_pii_scrub" ->
+      // same character-class email pattern (Java regex ≡ RE2 here);
+      // DuckDB needs the 'g' flag to match Spark's replace-all default
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0
+        |      THEN text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+        |      ELSE text END AS raw
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, raw,
+        |    regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS scrubbed
+        |  FROM p)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_pii,
+        |  CAST(length(raw) AS INT) AS n_raw,
+        |  CAST(length(scrubbed) AS INT) AS n_scrubbed,
+        |  NOT regexp_matches(scrubbed, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS clean
+        |FROM s
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
     "q99_dataset_mixture" ->
       // q94's pmod-parity bucket, gated per-source by the same rate CASE
       """WITH b AS (
