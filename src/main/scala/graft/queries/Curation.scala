@@ -62,4 +62,47 @@ object Curation {
       .withColumn("pack_id", floor(cumBefore / lit(packTokens.toDouble)).cast("long"))
       .select("doc_id", "lang", "source", "n_tokens", "split", "pack_id")
   }
+
+  /** q76: the WHOLE curation DAG as a declared, fully-oracled query —
+    * the composition itself is correctness-gated, not just its stages.
+    * (The oracle dedups by the normalized text where the engine groups
+    * by (xxhash64, length) — identical groups modulo a ~2^-64 collision,
+    * q80's accepted argument.) */
+  val q76CurationPipeline: Q = (spark, dir) =>
+    orderAll(curate(spark, dir))
+
+  val defs: Map[String, Q] = Map(
+    "q76_curation_pipeline" -> q76CurationPipeline)
+
+  val oracles: Map[String, String] = Map(
+    "q76_curation_pipeline" ->
+      """WITH gated AS (
+        |  SELECT * FROM documents WHERE n_chars >= 64),
+        |dedup AS (
+        |  SELECT * FROM gated
+        |  QUALIFY row_number() OVER (PARTITION BY lower(trim(text))
+        |                             ORDER BY doc_id ASC) = 1),
+        |slim AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM dedup),
+        |capped AS (
+        |  SELECT * FROM slim
+        |  QUALIFY row_number() OVER (PARTITION BY lang
+        |                             ORDER BY n_chars DESC, doc_id ASC) <= 200),
+        |tagged AS (
+        |  SELECT doc_id, lang, source, n_tokens,
+        |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT *,
+        |    ((((((((doc_id % 1000000007) + 1000000007) % 1000000007)
+        |          * 2654435761) % 1000000007) + 1000000007) % 1000000007) % 100
+        |     + 100) % 100 AS b FROM capped))
+        |SELECT doc_id, lang, source, n_tokens, split,
+        |  CAST(floor(COALESCE(
+        |    SUM(n_tokens) OVER (PARTITION BY split, source ORDER BY doc_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) / 512.0) AS BIGINT) AS pack_id
+        |FROM tagged
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""".stripMargin)
 }
