@@ -639,6 +639,24 @@ object LlmOps {
       floor(cumBefore / lit(512.0)).cast("long").as("pack_id")))
   }
 
+  /** q77: text normalization — the canonicalization pass that FEEDS
+    * dedup (q80 groups by `lower(trim(text))`; production corpora also
+    * need whitespace collapse and control-char stripping before any
+    * hash is stable). Pure row-local codegen'd expressions; the
+    * patterns stick to classes with identical Java-regex/RE2 meaning,
+    * so the op is fully oracled. */
+  val q77TextNormalize: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+    val norm = regexp_replace(
+      regexp_replace(lower(trim(col("text"))), "[\\x00-\\x1F]", " "),
+      "\\s+", " ")
+    orderAll(d.select(
+      col("doc_id"),
+      length(col("text")).as("n_raw"),
+      length(norm).as("n_norm"),
+      substring(norm, 1, 32).as("norm_prefix")))
+  }
+
   /** q79: PII scrubbing — the redaction pass every training corpus runs
     * before the tokenizer. The synthetic corpus carries no PII, so the
     * query deterministically PLANTS an email on every 10th doc and then
@@ -690,6 +708,7 @@ object LlmOps {
     "q96_quota_per_lang" -> q96QuotaPerLang,
     "q97_pack_sequences" -> q97PackSequences,
     "q99_dataset_mixture" -> q99DatasetMixture,
+    "q77_text_normalize" -> q77TextNormalize,
     "q79_pii_scrub" -> q79PiiScrub,
     "q81_dedup_minhash" -> q81DedupMinhash,
     "q82_similarity_topk" -> q82SimilarityTopk,
@@ -705,6 +724,19 @@ object LlmOps {
     "q94_train_test_split" -> q94TrainTestSplit)
 
   val oracles: Map[String, String] = Map(
+    "q77_text_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(
+        |      regexp_replace(lower(trim(text)), '[\x00-\x1F]', ' ', 'g'),
+        |      '\s+', ' ', 'g') AS norm
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(text) AS INT) AS n_raw,
+        |  CAST(length(norm) AS INT) AS n_norm,
+        |  substring(norm, 1, 32) AS norm_prefix
+        |FROM n
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
     "q79_pii_scrub" ->
       // same character-class email pattern (Java regex ≡ RE2 here);
       // DuckDB needs the 'g' flag to match Spark's replace-all default

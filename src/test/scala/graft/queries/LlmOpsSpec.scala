@@ -35,6 +35,23 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("probeMasks ≡ the hamming ball for ALL geometries (property)") {
+    // the combinatorial enumeration must agree with the exhaustive
+    // definition {m < 2^bits : popcount(m) <= r} for every geometry a
+    // user could configure, not just the shipped default
+    val prop = org.scalacheck.Prop.forAll(
+      org.scalacheck.Gen.choose(1, 12), org.scalacheck.Gen.choose(0, 4)) {
+      (bits: Int, rRaw: Int) =>
+        val r = math.min(rRaw, bits)
+        val masks = LlmOps.probeMasks(bits, r).toSet
+        val exhaustive = (0 until (1 << bits)).filter(Integer.bitCount(_) <= r).toSet
+        masks == exhaustive
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("bandCandidates: bands hotter than the occupancy cap are dropped (bounded fan-out)") {
     import spark.implicits._
     // 100 docs collide on one boilerplate band (would yield 4950 pairs);
