@@ -10,20 +10,33 @@ class CurationSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   private lazy val out = Curation.curate(spark, sf,
-    minChars = 64, quotaPerLang = 40, packTokens = 256).cache()
+    minQuality = 0.40, quotaPerLang = 40, packTokens = 256).cache()
 
-  test("curated corpus is deduped, gated, and capped per language") {
+  /** q85's quality formula, recomputed independently for the gate check. */
+  private def quality = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val punct = length(col("text")) - length(regexp_replace(col("text"), "[.!?,;]", ""))
+    val stopR = size(filter(toks,
+      tk => tk.isInCollection(Seq("the", "a", "of", "and")))).cast("double") / nTok
+    round(lit(0.4) * stopR +
+      lit(0.3) * least(lit(1.0), nTok.cast("double") / 100.0) +
+      lit(0.3) * (lit(1.0) - punct.cast("double") / length(col("text"))), 6)
+  }
+
+  test("curated corpus is deduped, quality-gated, and capped per language") {
     val rows = out.count()
     assert(rows > 0)
     assert(out.select("doc_id").distinct().count() == rows, "duplicate doc_ids")
     val maxPerLang = out.groupBy("lang").count()
       .agg(max("count")).collect()(0).getLong(0)
     assert(maxPerLang <= 40, s"language over quota: $maxPerLang docs")
-    // the gate ran: every surviving doc had >= 64 chars in the source table
-    val short = spark.read.parquet(s"$sf/documents.parquet")
-      .filter(col("n_chars") < 64).select(col("doc_id"))
-    assert(out.join(short, Seq("doc_id"), "left_semi").count() == 0,
-      "sub-minChars docs leaked through the gate")
+    // the gate ran: no surviving doc scores under the quality floor
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bad = docs.filter(quality < 0.40).select(col("doc_id"))
+    assert(bad.count() > 0, "fixture has no sub-floor docs; gate test is vacuous")
+    assert(out.join(bad, Seq("doc_id"), "left_semi").count() == 0,
+      "sub-quality docs leaked through the gate")
   }
 
   test("split tags follow q94's deterministic bucketing") {

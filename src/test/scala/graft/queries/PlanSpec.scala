@@ -177,6 +177,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q76: no curation window (and so no Exchange) ever carries a document body") {
+    // the composed DAG's scale contract: every body-derived column
+    // (quality, token count, dedup fingerprint) is computed in the scan
+    // projection and `text` dropped BEFORE the first window — a dedup
+    // Exchange that hash-partitions on the fingerprint but carries the
+    // body still shuffles the corpus at 100 TB
+    val df = graft.SparkEntry.queries("q76_curation_pipeline")(spark, sf)
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.size >= 3, s"expected dedup+quota+pack windows, got ${wins.size}")
+    wins.foreach { w =>
+      assert(!w.child.output.exists(_.name == "text"),
+        s"curation window input carries the document body: ${w.child.output.map(_.name)}")
+    }
+  }
+
   test("q96: the rank filter plans a map-side WindowGroupLimit (bounded shuffle)") {
     // Catalyst rewrites rank<=k over a window into WindowGroupLimit
     // Partial (before the exchange) + Final — each map task forwards at
