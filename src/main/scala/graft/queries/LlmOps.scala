@@ -112,8 +112,19 @@ object LlmOps {
     *
     * At 100 TB this shape holds: signatures are ~48 bytes/doc, the band
     * join shuffles doc-id+band rows, and verification touches only
-    * candidates. No oracle (murmur hashing is engine-local); planted-pair
-    * recall is asserted in LlmOpsSpec. */
+    * candidates.
+    *
+    * FULLY ORACLED even though the LSH internals are engine-local: the
+    * final stage is exact-Jaccard ≥ 0.5 on candidates, and the 4×3
+    * banding's candidate recall on this corpus's j ≥ 0.5 pairs is
+    * exactly 1 (measured: engine output ≡ the all-pairs exact-Jaccard
+    * set, 600/600 at sf0.01 — P(band miss) = (1-j³)⁴ ≈ 5.7e-5 at the
+    * planted pairs' j ≈ 0.97, and the natural dup pairs are exact-text
+    * copies at j = 1). The DuckDB oracle computes the same verified set
+    * from first principles (distinct string shingles, exact Jaccard);
+    * hashing shingles (xxhash64 here, strings there) is
+    * Jaccard-invariant modulo a ~2e-11 collision, q88's argument.
+    * Contrast q89, where the same recipe is measurably unsound. */
   val q81DedupMinhash: Q = (spark, dir) => {
     val NumHashes = geom.minhashK
     val RowsPerBand = geom.minhashRowsPerBand
@@ -355,7 +366,21 @@ object LlmOps {
     * near-identical across documents, which drives every pairwise
     * hamming distance under the threshold and turns the candidate join
     * into all-pairs (observed: 14 M candidate rows at sf0.1).
-    * No oracle (hash is engine-local); rows-only. */
+    *
+    * No oracle — and measurably CANNOT have one by q81's verified-pairs
+    * recipe: an exact-similarity oracle requires the candidate stage to
+    * have recall 1 above some threshold, and simhash banding does not
+    * (measured via tools/Q89Probe at sf0.01: 112 of the 600 exact-
+    * Jaccard ≥ 0.5 pairs agree on ZERO of the 4×16-bit bands, and the
+    * maximum Jaccard among those misses is 0.9895 — on ~100-shingle
+    * documents each per-bit majority margin is ~√|shingles| ≈ 10, so
+    * dropping one shingle flips every near-zero-margin bit and true
+    * near-dups land at hamming 4-15, spread across all four bands. A
+    * banding that GUARANTEES hamming ≤ 15 recall needs 16×4-bit bands =
+    * 16 bucket values per band — degenerate occupancy). SimHash's
+    * contract is hamming-on-sketch, not Jaccard; it stays rows-only
+    * with planted-pair recall + the hamming-ball property test, and
+    * q81/q88/q92 are the oracled near-dup modalities. */
   val q89DedupSimhash: Q = (spark, dir) => {
     graft.functions.SimHash64.register(spark)
     val d = docsWithNearDups(spark, dir)
@@ -889,6 +914,36 @@ object LlmOps {
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
         |FROM documents
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "q81_dedup_minhash" ->
+      // the verified-pairs set from first principles: distinct string
+      // shingles (the engine's xxhash64 fingerprints are Jaccard-
+      // invariant), exact Jaccard >= 0.5 — sound because the 4x3 minhash
+      // banding's candidate recall at j >= 0.5 is exactly 1 on this
+      // corpus (see q81DedupMinhash scaladoc); unlike q88 there is no
+      // df-cap, so the Jaccard is over ALL shingles
+      """WITH dd AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    string_split(text, ' ')[1:len(string_split(text, ' ')) - 1]
+        |  FROM documents),
+        |docs AS (SELECT * FROM dd WHERE len(toks) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS sh
+        |  FROM docs, unnest(range(1, len(toks) - 1)) AS t(i)),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2,
+        |  round(CAST(common AS DOUBLE) / (s1.n_sh + s2.n_sh - common), 6) AS jacc
+        |FROM pairs
+        |JOIN sizes s1 ON s1.doc_id = d1
+        |JOIN sizes s2 ON s2.doc_id = d2
+        |WHERE CAST(common AS DOUBLE) / (s1.n_sh + s2.n_sh - common) >= 0.5
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "q88_dedup_ngram" ->
       s"""WITH dd AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
