@@ -14,10 +14,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Buckets {
 
-  /** Write `df` as a bucketed, sorted managed table. Drops any previous
-    * incarnation first: with the default in-memory catalog the table
-    * entry dies with the session but its warehouse directory does not,
-    * and a stale location fails CTAS validation on the next run. */
+  /** Write `df` as a bucketed, sorted EXTERNAL table (explicit path in
+    * the warehouse dir): the layout's lifetime belongs to the file
+    * system, not the in-memory catalog — a later session (or a
+    * DROP TABLE) loses only the metadata, which [[ensureBucketed]]
+    * re-declares over the surviving files. Drops any previous
+    * incarnation first: a stale location fails CTAS validation on the
+    * next run. */
   def writeBucketed(df: DataFrame, table: String, key: String,
       numBuckets: Int = 8): Unit = {
     val spark = df.sparkSession
@@ -31,7 +34,41 @@ object Buckets {
       .sortBy(key)
       .mode("overwrite")
       .format("parquet")
+      .option("path", loc.toString)
       .saveAsTable(table)
+  }
+
+  /** Build-once guard around [[writeBucketed]]: bucket a production
+    * table ONCE, join against it daily — the write is amortized over
+    * every subsequent shuffle-free join, which is the entire economics
+    * of bucketing at 100 TB. Resolution order:
+    *
+    *  1. table already in this session's catalog → reuse as-is;
+    *  2. a completed layout exists in the warehouse from an earlier
+    *     session (bucketBy's committer left `_SUCCESS`) → re-register
+    *     it as an external bucketed table (`CREATE TABLE … CLUSTERED
+    *     BY … LOCATION`) — bucket METADATA lives in the catalog and
+    *     dies with the in-memory session, but the bucket-id-encoded
+    *     files do not, and re-declaring the same spec over them is
+    *     exactly how a metastore-less cluster re-attaches layouts;
+    *  3. nothing usable → write fresh via [[writeBucketed]].
+    *
+    * Callers must encode the source-data identity (e.g. the sf dir) in
+    * `table`: the guard trusts the name, like Fixtures.once. */
+  def ensureBucketed(df: DataFrame, table: String, key: String,
+      numBuckets: Int = 8): Unit = {
+    val spark = df.sparkSession
+    if (spark.catalog.tableExists(table)) return
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
+      val cols = df.schema.fields
+        .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      spark.sql(s"CREATE TABLE `$table` ($cols) USING parquet " +
+        s"CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $numBuckets BUCKETS " +
+        s"LOCATION '$loc'")
+    } else writeBucketed(df, table, key, numBuckets)
   }
 
   /** Join two same-bucketed tables on their bucket key — plans with zero

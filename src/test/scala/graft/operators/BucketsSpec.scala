@@ -38,4 +38,38 @@ class BucketsSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_orders")
     }
   }
+
+  test("ensureBucketed reattaches an existing layout instead of rewriting it") {
+    val sf = "/root/testdata/sf0.001"
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    try {
+      Buckets.ensureBucketed(o, "eb_orders", "o_orderkey", numBuckets = 4)
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), "eb_orders")
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      def mtimes = fs.listStatus(loc).map(s =>
+        s.getPath.getName -> s.getModificationTime).toMap
+      val before = mtimes
+      // simulate the next session: catalog entry gone, files still there
+      spark.sql("DROP TABLE eb_orders")
+      assert(fs.exists(loc), "DROP TABLE must not delete the layout for this test")
+      Buckets.ensureBucketed(o, "eb_orders", "o_orderkey", numBuckets = 4)
+      assert(mtimes == before, "ensureBucketed rewrote files it should have reused")
+      // the reattached table still carries the bucket spec: a self-join
+      // with broadcast off plans without exchanges
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val t1 = spark.table("eb_orders")
+        val t2 = spark.table("eb_orders")
+        val j = t1.as("a").join(t2.as("b"),
+          org.apache.spark.sql.functions.col("a.o_orderkey") ===
+            org.apache.spark.sql.functions.col("b.o_orderkey"))
+        assert(j.count() == o.count())
+        val p = j.queryExecution.executedPlan.toString
+        assert(!p.contains("Exchange"), s"reattached bucket table shuffles:\n$p")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally spark.sql("DROP TABLE IF EXISTS eb_orders")
+  }
 }
