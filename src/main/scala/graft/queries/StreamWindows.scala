@@ -27,9 +27,31 @@ object StreamWindows {
       .select(unix_timestamp(col("window.start")).as("ws"), col("n"), col("sum_value")))
   }
 
+  /** q62: `session_window` — s72's streaming operator run as a batch
+    * query over the events table, so the session-merge semantics the
+    * streaming suite exercises with MemoryStream are ALSO hash-gated
+    * against DuckDB: a session extends while the next event arrives
+    * strictly within 30 minutes of the last (Spark merges sessions when
+    * next.start < prev.end, the window end being exclusive — mirrored
+    * as `gap >= 30min ⇒ new session` in the oracle's gaps-and-islands
+    * SQL). Bounds are emitted as epoch-MICROSECOND BIGINTs because the
+    * fixture's timestamps are µs-grained — second-flooring would move
+    * the tie boundary. One shuffle on user_id, like s72 at scale. */
+  val q62SessionWindow: Q = (spark, dir) => {
+    val e = events(spark, dir)
+    orderAll(e.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("ws_us"),
+        unix_micros(col("session_window.end")).as("we_us"),
+        col("n"), col("sum_value")))
+  }
+
   val defs: Map[String, Q] = Map(
     "q60_window_tumbling" -> q60Tumbling,
-    "q61_window_sliding" -> q61Sliding)
+    "q61_window_sliding" -> q61Sliding,
+    "q62_window_session" -> q62SessionWindow)
 
   val oracles: Map[String, String] = Map(
     "q60_window_tumbling" ->
@@ -46,5 +68,31 @@ object StreamWindows {
         |  SELECT CAST(floor(epoch(ts)/900)*900 - k*900 AS BIGINT) AS ws, value
         |  FROM events, range(4) t(k))
         |GROUP BY ws
-        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    "q62_window_session" ->
+      // gaps-and-islands in µs: new session when the gap to the user's
+      // previous event is >= 30 min (session_window's exclusive end);
+      // session end = last event + gap
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS u, value FROM events),
+        |g AS (
+        |  SELECT user_id, u, value,
+        |    CASE WHEN lag(u) OVER w IS NULL
+        |           OR u - lag(u) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS st
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY u ASC)),
+        |sess AS (
+        |  SELECT user_id, u, value,
+        |    SUM(st) OVER (PARTITION BY user_id ORDER BY u ASC
+        |                  ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id,
+        |  min(u) AS ws_us,
+        |  max(u) + 1800000000 AS we_us,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM sess
+        |GROUP BY user_id, sid
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""".stripMargin)
 }

@@ -273,6 +273,62 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s79: the stream-stream join's state runs on RocksDB with the same eviction bound") {
+    import scala.jdk.CollectionConverters._
+    // s78 proves the RocksDB provider wiring on dedup state; the
+    // operator whose state actually outgrows the heap at 100 TB is the
+    // stream-stream join (it buffers BOTH sides within the watermark
+    // band). Same topology and eviction assertions as s75, now with the
+    // state store that spills to disk instead of growing the JVM heap.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key, graft.core.GraftSession.RocksDBProviderClass)
+    val clicks = MemoryStream[(Timestamp, Long)](spark)
+    val views = MemoryStream[(Timestamp, Long)](spark)
+    val c = clicks.toDF().toDF("cts", "cuser").withWatermark("cts", "10 minutes")
+    val v = views.toDF().toDF("vts", "vuser").withWatermark("vts", "10 minutes")
+    val joined = c.join(v,
+      expr("cuser = vuser AND vts BETWEEN cts - interval 5 minutes AND cts"))
+      .select(col("cuser").as("user"), col("cts"), col("vts"))
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("s79_out").start()
+    try {
+      views.addData((ts(0), 1L), (ts(0), 2L), (ts(20), 1L))
+      clicks.addData((ts(3), 1L), (ts(3), 2L), (ts(8), 1L), (ts(22), 1L))
+      q.processAllAvailable()
+      val rows = spark.table("s79_out")
+        .select(col("user"), col("cts"), col("vts")).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+      assert(rows == Set(
+        (1L, ts(3), ts(0)),
+        (2L, ts(3), ts(0)),
+        (1L, ts(22), ts(20))), rows)
+      // the provider that actually ran is RocksDB: its state operator
+      // publishes rocksdb-specific custom metrics
+      val metrics = q.lastProgress.stateOperators(0).customMetrics.keySet.asScala
+      assert(metrics.exists(_.toLowerCase.contains("rocksdb")),
+        s"no rocksdb metrics in state operator progress: $metrics")
+      // and the watermark still bounds the join state exactly as on the
+      // heap provider: state shrinks after the no-data eviction batch
+      val totals = q.recentProgress.toSeq.flatMap(_.stateOperators.map(_.numRowsTotal))
+      assert(totals.max >= 7, s"expected all 7 input rows buffered at the peak: $totals")
+      val removed = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
+      assert(removed >= 5,
+        s"watermark advance should evict the 5 out-of-band rows, removed=$removed")
+      views.addData((ts(600), 9L))
+      clicks.addData((ts(600), 9L))
+      q.processAllAvailable()
+      def stateNow = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      val deadline = System.currentTimeMillis + 10000
+      while (stateNow > 2 && System.currentTimeMillis < deadline) Thread.sleep(100)
+      assert(stateNow <= 2,
+        s"pre-watermark rows survived eviction on RocksDB: $stateNow rows still in state")
+    } finally {
+      q.stop()
+      spark.conf.unset(key)
+    }
+  }
+
   test("s77: foreachBatch sink receives batch ids and every row exactly once") {
     val in = MemoryStream[Long](spark)
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Long])]()
