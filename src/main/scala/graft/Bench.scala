@@ -33,6 +33,11 @@ object Bench {
       graft.core.CacheScope.drain() // per-query cache lifecycle: reuse inside, none after
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] done  $name in $dt%.2f s")
+      // Untimed heap quiesce: without it, GC debt accumulated by a heavy
+      // query bills to whichever sub-second query runs next — observed as
+      // r4→r5 "drift" on q29/q56 (0.22→0.71 s with no code change) and as
+      // whole-run swings between consecutive identical runs.
+      System.gc()
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -208,8 +208,38 @@ object Joins {
     orderAll(j.select("o_orderkey", "o_custkey", "c_name", "o_totalprice"))
   }
 
+  /** q39: MERGE / upsert (SCD type 1) — apply a deterministic change
+    * feed (every 10th order re-priced and re-statused; every 1000th-ish
+    * cloned as a new order above the key space) onto the base table.
+    *
+    * Formulated as `changes ∪ (base ANTI-JOIN changes)` rather than the
+    * textbook full-outer + coalesce: with unique change keys the two are
+    * row-identical, but the anti join can BROADCAST the (small) change
+    * feed, so the base table is never shuffled — at 100 TB a daily merge
+    * touches the corpus once, narrowly, instead of exchanging it on the
+    * key (a full outer join can never broadcast). When the feed outgrows
+    * broadcast, the same plan degrades gracefully to a shuffled anti
+    * join — still strictly cheaper than full-outer (no null-padding of
+    * the big side). The union is plan-level concatenation — free. */
+  val q39MergeUpsert: Q = (spark, dir) => {
+    val base = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val updates = base.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        lit("U").as("o_orderstatus"),
+        (col("o_totalprice") + 100).as("o_totalprice"))
+    val inserts = base.filter(col("o_orderkey") % 1000 === 7)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"), col("o_custkey"),
+        lit("N").as("o_orderstatus"), col("o_totalprice"))
+    val changes = updates.unionByName(inserts)
+    val merged = base.join(broadcast(changes), Seq("o_orderkey"), "left_anti")
+      .unionByName(changes)
+    orderAll(merged)
+  }
+
   val defs: Map[String, Q] = Map(
     "q10_join_inner_hash" -> q10InnerHash,
+    "q39_merge_upsert" -> q39MergeUpsert,
     "q38_join_bucketed" -> q38Bucketed,
     "q11_join_broadcast" -> q11Broadcast,
     "q12_join_left_outer" -> q12LeftOuter,
@@ -223,6 +253,25 @@ object Joins {
     "q19_join_salted_skew" -> q19SaltedSkew)
 
   val oracles: Map[String, String] = Map(
+    "q39_merge_upsert" ->
+      // same merge via the textbook formulation (changes win, base fills):
+      // row-identical to the engine's anti-union because change keys are
+      // unique and every change key is either in base (update) or new
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |changes AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |         o_totalprice + 100 AS o_totalprice
+        |  FROM base WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice
+        |  FROM base WHERE o_orderkey % 1000 = 7)
+        |SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |       COALESCE(c.o_custkey, b.o_custkey) AS o_custkey,
+        |       COALESCE(c.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+        |       COALESCE(c.o_totalprice, b.o_totalprice) AS o_totalprice
+        |FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
     "q38_join_bucketed" ->
       // q10's oracle verbatim: bucketing must be invisible to results
       """SELECT o_orderkey, o_custkey, c_name, o_totalprice

@@ -727,7 +727,119 @@ object LlmOps {
       .filter(col("bucket") < col("rate")))
   }
 
+  /** q63: benchmark decontamination — the pre-training hygiene pass that
+    * catches eval data leaked into the training corpus. Eval set = every
+    * 97th document; the corpus = the rest PLUS a planted near-verbatim
+    * leak of each eval doc (last token dropped, id + 3e6) so the check
+    * has guaranteed true positives. Overlap = fraction of a corpus doc's
+    * distinct 3-token shingles that appear in ANY eval doc; docs at
+    * overlap ≥ 0.5 are flagged contaminated.
+    *
+    * 100 TB posture: the eval/benchmark side is benchmark-sized (10²–10⁵
+    * docs), so its distinct-shingle set is BROADCAST — the corpus is
+    * never shuffled for candidate generation; the only exchange is the
+    * per-doc hit count, which carries (doc_id, n_sh, cnt) ~20 B/row.
+    * Shingles are xxhash64 fingerprints (q88's argument: equality is all
+    * membership needs; the string-form oracle would surface any
+    * collision as a hash mismatch). */
+  val q63Decontaminate: Q = (spark, dir) => {
+    val base = t(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+    val evalDocs = base.filter(col("doc_id") % 97 === 0)
+    val leaked = evalDocs
+      .withColumn("doc_id", col("doc_id") + 3000000)
+      .withColumn("toks", slice(col("toks"), lit(1), size(col("toks")) - 1))
+    val corpus = base.filter(col("doc_id") % 97 =!= 0).unionByName(leaked)
+      .filter(size(col("toks")) >= 3)
+    def shingleArr = array_distinct(transform(sequence(lit(1), size(col("toks")) - 2),
+      i => xxhash64(
+        element_at(col("toks"), i),
+        element_at(col("toks"), i + 1),
+        element_at(col("toks"), i + 2))))
+    val corpusSh = corpus
+      .select(col("doc_id"), size(shingleArr).as("n_sh"), explode(shingleArr).as("sh"))
+    val evalSh = evalDocs.filter(size(col("toks")) >= 3)
+      .select(explode(shingleArr).as("sh")).distinct()
+    val hits = corpusSh.join(broadcast(evalSh), Seq("sh"))
+      .groupBy(col("doc_id"), col("n_sh"))
+      .agg(count(lit(1)).as("n_hit"))
+    orderAll(hits
+      .withColumn("overlap", round(col("n_hit").cast("double") / col("n_sh"), 6))
+      .withColumn("contaminated", col("overlap") >= 0.5)
+      .select(col("doc_id"), col("n_sh"), col("n_hit"), col("overlap"),
+        col("contaminated")))
+  }
+
+  /** q64: repetition-based quality filter (the Gopher repetition rules'
+    * shape): per-doc duplicate-token fraction and duplicate-2/3-gram
+    * fractions, flagged when any crosses its threshold. Every 10th doc
+    * gets a planted boilerplate tail (" spam" × 12) so the filter has
+    * observable true positives. Entirely row-local array arithmetic —
+    * pure codegen'd projection, NO shuffle at any scale (the ideal shape
+    * for a 100 TB quality pass: reads the corpus once, writes flags).
+    * N-grams are counted as xxhash64 fingerprints; the oracle counts the
+    * string forms (q88's collision argument). */
+  val q64RepetitionFilter: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+    val text = when(col("doc_id") % 10 === 0,
+      concat(col("text"), lit(" spam spam spam spam spam spam spam spam spam spam spam spam")))
+      .otherwise(col("text"))
+    val toks = split(text, " ")
+    val n1 = size(toks)
+    def gramFrac(k: Int) = {
+      val n = size(toks) - (k - 1)
+      // guarded: sequence(1, n) with n ≤ 0 yields a DESCENDING range in
+      // Spark, so the gram array is only built under the n > 0 branch
+      val grams = transform(sequence(lit(1), n),
+        i => xxhash64((0 until k).map(o => element_at(toks, i + o)): _*))
+      when(n > 0,
+        round((n - size(array_distinct(grams))).cast("double") / n, 6))
+        .otherwise(lit(0.0))
+    }
+    val dupWord = round((n1 - size(array_distinct(toks))).cast("double") / n1, 6)
+    val dup2 = gramFrac(2)
+    val dup3 = gramFrac(3)
+    orderAll(d.select(
+      col("doc_id"),
+      n1.as("n_tok"),
+      dupWord.as("dup_word_frac"),
+      dup2.as("dup_2gram_frac"),
+      dup3.as("dup_3gram_frac"),
+      (dupWord > 0.7 || dup2 > 0.3 || dup3 > 0.25).as("flagged")))
+  }
+
+  /** q65: incremental dedup — the daily-ingest posture: dedup TODAY'S
+    * batch against the existing corpus snapshot without rereading bodies.
+    * The batch is a deterministic re-crawl (even ids byte-identical →
+    * must drop; odd ids edited → must keep); matching is by the q80
+    * fingerprint (xxhash64(lower(trim(text))), length) via LEFT ANTI
+    * join. 100 TB posture: both sides project to (id, hash, len) ~20
+    * B/row IN THE SCAN — document bodies never enter the anti-join
+    * exchange (PlanSpec pins it); in production the corpus side is a
+    * persisted fingerprint table, so the daily cost is
+    * O(batch + fingerprints), not O(corpus bodies). */
+  val q65DedupIncremental: Q = (spark, dir) => {
+    val base = t(spark, dir, "documents")
+    val batch = base.select(
+      (col("doc_id") + 2000000).as("doc_id"),
+      when(col("doc_id") % 2 === 0, col("text"))
+        .otherwise(concat(col("text"), lit(" v2"))).as("text"),
+      col("lang"), col("source"))
+    def fp(df: DataFrame) = {
+      val norm = lower(trim(col("text")))
+      df.select(col("doc_id"), col("lang"), col("source"),
+        xxhash64(norm).as("h"), length(norm).as("text_len"))
+    }
+    val survivors = fp(batch).join(fp(base).select("h", "text_len"),
+      Seq("h", "text_len"), "left_anti")
+    orderAll(survivors.select(col("doc_id"), col("lang"), col("source"),
+      col("text_len")))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q63_decontaminate" -> q63Decontaminate,
+    "q64_repetition_filter" -> q64RepetitionFilter,
+    "q65_dedup_incremental" -> q65DedupIncremental,
     "q80_dedup_exact" -> q80DedupExact,
     "q95_sample_hash" -> q95SampleHash,
     "q96_quota_per_lang" -> q96QuotaPerLang,
@@ -749,6 +861,81 @@ object LlmOps {
     "q94_train_test_split" -> q94TrainTestSplit)
 
   val oracles: Map[String, String] = Map(
+    "q63_decontaminate" ->
+      // string-form shingles (the engine's xxhash64 fingerprints are
+      // membership-invariant, q88's argument); same eval/leak plant
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |ev AS (SELECT * FROM base WHERE doc_id % 97 = 0),
+        |leaked AS (
+        |  SELECT doc_id + 3000000 AS doc_id, toks[1:len(toks) - 1] AS toks FROM ev),
+        |corpus AS (
+        |  SELECT * FROM (
+        |    SELECT * FROM base WHERE doc_id % 97 != 0
+        |    UNION ALL SELECT * FROM leaked)
+        |  WHERE len(toks) >= 3),
+        |csh AS (
+        |  SELECT DISTINCT doc_id,
+        |    toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS sh
+        |  FROM corpus, unnest(range(1, len(toks) - 1)) AS t(i)),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS INT) AS n_sh FROM csh GROUP BY 1),
+        |ev3 AS (SELECT * FROM ev WHERE len(toks) >= 3),
+        |esh AS (
+        |  SELECT DISTINCT toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS sh
+        |  FROM ev3, unnest(range(1, len(toks) - 1)) AS t(i)),
+        |hits AS (
+        |  SELECT c.doc_id, count(*) AS n_hit
+        |  FROM csh c JOIN esh e USING (sh) GROUP BY 1)
+        |SELECT h.doc_id, s.n_sh, h.n_hit,
+        |  round(CAST(h.n_hit AS DOUBLE) / s.n_sh, 6) AS overlap,
+        |  round(CAST(h.n_hit AS DOUBLE) / s.n_sh, 6) >= 0.5 AS contaminated
+        |FROM hits h JOIN sizes s USING (doc_id)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
+    "q64_repetition_filter" ->
+      // flags compare the ROUNDED fractions, mirroring the engine
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0
+        |      THEN text || ' spam spam spam spam spam spam spam spam spam spam spam spam'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM p),
+        |g AS (
+        |  SELECT doc_id,
+        |    len(toks) AS n_tok,
+        |    len(list_distinct(toks)) AS d1,
+        |    len(toks) - 1 AS n2,
+        |    len(list_distinct(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i + 1]))) AS d2,
+        |    len(toks) - 2 AS n3,
+        |    len(list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS d3
+        |  FROM tk),
+        |r AS (
+        |  SELECT doc_id, CAST(n_tok AS INT) AS n_tok,
+        |    round(CAST(n_tok - d1 AS DOUBLE) / n_tok, 6) AS dup_word_frac,
+        |    CASE WHEN n2 > 0 THEN round(CAST(n2 - d2 AS DOUBLE) / n2, 6)
+        |         ELSE 0.0 END AS dup_2gram_frac,
+        |    CASE WHEN n3 > 0 THEN round(CAST(n3 - d3 AS DOUBLE) / n3, 6)
+        |         ELSE 0.0 END AS dup_3gram_frac
+        |  FROM g)
+        |SELECT doc_id, n_tok, dup_word_frac, dup_2gram_frac, dup_3gram_frac,
+        |  (dup_word_frac > 0.7 OR dup_2gram_frac > 0.3 OR dup_3gram_frac > 0.25)
+        |    AS flagged
+        |FROM r
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""".stripMargin,
+    "q65_dedup_incremental" ->
+      """WITH batch AS (
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN text ELSE text || ' v2' END AS text,
+        |    lang, source
+        |  FROM documents),
+        |bf AS (SELECT doc_id, lang, source, lower(trim(text)) AS norm FROM batch),
+        |basef AS (SELECT DISTINCT lower(trim(text)) AS norm FROM documents)
+        |SELECT b.doc_id, b.lang, b.source, CAST(length(b.norm) AS INT) AS text_len
+        |FROM bf b
+        |WHERE NOT EXISTS (SELECT 1 FROM basef f WHERE f.norm = b.norm)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
     "q77_text_normalize" ->
       """WITH n AS (
         |  SELECT doc_id, text,
