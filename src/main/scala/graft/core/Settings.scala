@@ -75,7 +75,12 @@ final case class Settings(
   *  - `bandOccupancyCap` bounds candidate fan-out from hot LSH bands
   *    (boilerplate-heavy corpora): a band with occupancy b yields b²/2
   *    pairs, so dropping bands past the cap keeps candidate generation
-  *    linear; near-dup clusters smaller than the cap are unaffected.
+  *    linear; near-dup clusters smaller than the cap are unaffected;
+  *  - `deconShingleN` is q63's decontamination n-gram width: production
+  *    decontamination uses 8–13-token shingles (a 3-gram flags
+  *    incidental phrase overlap; a 13-gram only near-verbatim leaks) —
+  *    the default stays 3 so the sf0.01 oracle hashes are stable, a
+  *    real corpus sets GRAFT_DECON_SHINGLE_N=8..13.
   *
   * A 100× corpus is a new env, not a recompile.
   */
@@ -87,7 +92,8 @@ final case class SketchGeometry(
     srpBits: Int,
     srpProbeRadius: Int,
     embeddingDim: Int,
-    bandOccupancyCap: Int) {
+    bandOccupancyCap: Int,
+    deconShingleN: Int) {
   require(minhashK > 0 && minhashRowsPerBand > 0 && minhashK % minhashRowsPerBand == 0,
     s"minhashK ($minhashK) must be a positive multiple of minhashRowsPerBand ($minhashRowsPerBand)")
   require(simhashBandBits > 0 && 64 % simhashBandBits == 0,
@@ -98,6 +104,7 @@ final case class SketchGeometry(
   require(embeddingDim > 0, s"embeddingDim ($embeddingDim) must be positive")
   require(shingleDfCap > 1, s"shingleDfCap ($shingleDfCap) must exceed 1")
   require(bandOccupancyCap > 1, s"bandOccupancyCap ($bandOccupancyCap) must exceed 1")
+  require(deconShingleN >= 2, s"deconShingleN ($deconShingleN) must be at least 2")
 
   /** LSH bands for MinHash (q81). */
   def minhashBands: Int = minhashK / minhashRowsPerBand
@@ -116,7 +123,7 @@ object SketchGeometry {
   val defaults: SketchGeometry = SketchGeometry(
     minhashK = 12, minhashRowsPerBand = 3, shingleDfCap = 20,
     simhashBandBits = 16, srpBits = 8, srpProbeRadius = 2, embeddingDim = 64,
-    bandOccupancyCap = 1000)
+    bandOccupancyCap = 1000, deconShingleN = 3)
 
   def fromEnv(env: Map[String, String] = sys.env): SketchGeometry = {
     def i(k: String, d: Int) = env.get(k).map(_.trim.toInt).getOrElse(d)
@@ -128,7 +135,8 @@ object SketchGeometry {
       srpBits = i("GRAFT_SRP_BITS", defaults.srpBits),
       srpProbeRadius = i("GRAFT_SRP_PROBE_RADIUS", defaults.srpProbeRadius),
       embeddingDim = i("GRAFT_EMBEDDING_DIM", defaults.embeddingDim),
-      bandOccupancyCap = i("GRAFT_BAND_OCCUPANCY_CAP", defaults.bandOccupancyCap))
+      bandOccupancyCap = i("GRAFT_BAND_OCCUPANCY_CAP", defaults.bandOccupancyCap),
+      deconShingleN = i("GRAFT_DECON_SHINGLE_N", defaults.deconShingleN))
   }
 }
 

@@ -732,8 +732,16 @@ object LlmOps {
     * 97th document; the corpus = the rest PLUS a planted near-verbatim
     * leak of each eval doc (last token dropped, id + 3e6) so the check
     * has guaranteed true positives. Overlap = fraction of a corpus doc's
-    * distinct 3-token shingles that appear in ANY eval doc; docs at
+    * distinct n-token shingles that appear in ANY eval doc; docs at
     * overlap ≥ 0.5 are flagged contaminated.
+    *
+    * The shingle width n is env-backed ([[graft.core.SketchGeometry]],
+    * GRAFT_DECON_SHINGLE_N, default 3 — the sf0.01 oracle geometry):
+    * production decontamination runs 8–13-token n-grams, because a
+    * 3-gram flags incidental phrase overlap while a wide shingle only
+    * fires on near-verbatim leaks (LlmOpsSpec proves both behaviors at
+    * n=8: planted leaks still flagged, cross-doc overlap gone). The
+    * oracle SQL is generated from the SAME knob.
     *
     * 100 TB posture: the eval/benchmark side is benchmark-sized (10²–10⁵
     * docs), so its distinct-shingle set is BROADCAST — the corpus is
@@ -741,8 +749,14 @@ object LlmOps {
     * per-doc hit count, which carries (doc_id, n_sh, cnt) ~20 B/row.
     * Shingles are xxhash64 fingerprints (q88's argument: equality is all
     * membership needs; the string-form oracle would surface any
-    * collision as a hash mismatch). */
-  val q63Decontaminate: Q = (spark, dir) => {
+    * collision as a hash mismatch). The shingle array is materialized
+    * ONCE per row (`withColumn` then size/explode of the attribute) —
+    * selecting size(expr) and explode(expr) directly would evaluate the
+    * full transform twice per corpus row, since subexpression
+    * elimination does not cross the Generate boundary (PlanSpec pins
+    * single evaluation; measured ~2× the per-row hashing cost).
+    * Empirical linearity at k× corpus: tools/ScaleProbe (SCALEPROBE.md). */
+  private[queries] def q63With(n: Int): Q = (spark, dir) => {
     val base = t(spark, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
     val evalDocs = base.filter(col("doc_id") % 97 === 0)
@@ -750,15 +764,20 @@ object LlmOps {
       .withColumn("doc_id", col("doc_id") + 3000000)
       .withColumn("toks", slice(col("toks"), lit(1), size(col("toks")) - 1))
     val corpus = base.filter(col("doc_id") % 97 =!= 0).unionByName(leaked)
-      .filter(size(col("toks")) >= 3)
-    def shingleArr = array_distinct(transform(sequence(lit(1), size(col("toks")) - 2),
-      i => xxhash64(
-        element_at(col("toks"), i),
-        element_at(col("toks"), i + 1),
-        element_at(col("toks"), i + 2))))
+      .filter(size(col("toks")) >= n)
+    def shingleArr = array_distinct(transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+      i => xxhash64((0 until n).map(o => element_at(col("toks"), i + o)): _*)))
+    // explode_OUTER, deliberately: plain explode triggers Catalyst's
+    // InferFiltersFromGenerate, which pushes `size(sha) > 0 AND
+    // isnotnull(sha)` below the projection — re-expanding `sha` to the
+    // full transform and evaluating it a SECOND time per corpus row in
+    // the filter. The `size(toks) >= n` filter above already guarantees
+    // every array is non-empty, so outer ≡ inner here (a null row could
+    // not survive the inner join on `sh` anyway).
     val corpusSh = corpus
-      .select(col("doc_id"), size(shingleArr).as("n_sh"), explode(shingleArr).as("sh"))
-    val evalSh = evalDocs.filter(size(col("toks")) >= 3)
+      .withColumn("sha", shingleArr)
+      .select(col("doc_id"), size(col("sha")).as("n_sh"), explode_outer(col("sha")).as("sh"))
+    val evalSh = evalDocs.filter(size(col("toks")) >= n)
       .select(explode(shingleArr).as("sh")).distinct()
     val hits = corpusSh.join(broadcast(evalSh), Seq("sh"))
       .groupBy(col("doc_id"), col("n_sh"))
@@ -769,6 +788,8 @@ object LlmOps {
       .select(col("doc_id"), col("n_sh"), col("n_hit"), col("overlap"),
         col("contaminated")))
   }
+
+  val q63Decontaminate: Q = q63With(geom.deconShingleN)
 
   /** q64: repetition-based quality filter (the Gopher repetition rules'
     * shape): per-doc duplicate-token fraction and duplicate-2/3-gram
@@ -860,37 +881,41 @@ object LlmOps {
     "q92_dedup_embedding" -> q92DedupEmbedding,
     "q94_train_test_split" -> q94TrainTestSplit)
 
+  /** q63's oracle generated from the SAME shingle-width knob as the
+    * engine (string-form shingles — the engine's xxhash64 fingerprints
+    * are membership-invariant, q88's argument); same eval/leak plant. */
+  private[queries] def q63OracleWith(n: Int): String = {
+    val sh = (0 until n).map(o => s"toks[i + $o]").mkString(" || ' ' || ")
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |ev AS (SELECT * FROM base WHERE doc_id % 97 = 0),
+       |leaked AS (
+       |  SELECT doc_id + 3000000 AS doc_id, toks[1:len(toks) - 1] AS toks FROM ev),
+       |corpus AS (
+       |  SELECT * FROM (
+       |    SELECT * FROM base WHERE doc_id % 97 != 0
+       |    UNION ALL SELECT * FROM leaked)
+       |  WHERE len(toks) >= $n),
+       |csh AS (
+       |  SELECT DISTINCT doc_id, $sh AS sh
+       |  FROM corpus, unnest(range(1, len(toks) - ${n - 2})) AS t(i)),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS INT) AS n_sh FROM csh GROUP BY 1),
+       |evn AS (SELECT * FROM ev WHERE len(toks) >= $n),
+       |esh AS (
+       |  SELECT DISTINCT $sh AS sh
+       |  FROM evn, unnest(range(1, len(toks) - ${n - 2})) AS t(i)),
+       |hits AS (
+       |  SELECT c.doc_id, count(*) AS n_hit
+       |  FROM csh c JOIN esh e USING (sh) GROUP BY 1)
+       |SELECT h.doc_id, s.n_sh, h.n_hit,
+       |  round(CAST(h.n_hit AS DOUBLE) / s.n_sh, 6) AS overlap,
+       |  round(CAST(h.n_hit AS DOUBLE) / s.n_sh, 6) >= 0.5 AS contaminated
+       |FROM hits h JOIN sizes s USING (doc_id)
+       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    "q63_decontaminate" ->
-      // string-form shingles (the engine's xxhash64 fingerprints are
-      // membership-invariant, q88's argument); same eval/leak plant
-      """WITH base AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |ev AS (SELECT * FROM base WHERE doc_id % 97 = 0),
-        |leaked AS (
-        |  SELECT doc_id + 3000000 AS doc_id, toks[1:len(toks) - 1] AS toks FROM ev),
-        |corpus AS (
-        |  SELECT * FROM (
-        |    SELECT * FROM base WHERE doc_id % 97 != 0
-        |    UNION ALL SELECT * FROM leaked)
-        |  WHERE len(toks) >= 3),
-        |csh AS (
-        |  SELECT DISTINCT doc_id,
-        |    toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS sh
-        |  FROM corpus, unnest(range(1, len(toks) - 1)) AS t(i)),
-        |sizes AS (SELECT doc_id, CAST(count(*) AS INT) AS n_sh FROM csh GROUP BY 1),
-        |ev3 AS (SELECT * FROM ev WHERE len(toks) >= 3),
-        |esh AS (
-        |  SELECT DISTINCT toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS sh
-        |  FROM ev3, unnest(range(1, len(toks) - 1)) AS t(i)),
-        |hits AS (
-        |  SELECT c.doc_id, count(*) AS n_hit
-        |  FROM csh c JOIN esh e USING (sh) GROUP BY 1)
-        |SELECT h.doc_id, s.n_sh, h.n_hit,
-        |  round(CAST(h.n_hit AS DOUBLE) / s.n_sh, 6) AS overlap,
-        |  round(CAST(h.n_hit AS DOUBLE) / s.n_sh, 6) >= 0.5 AS contaminated
-        |FROM hits h JOIN sizes s USING (doc_id)
-        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
+    "q63_decontaminate" -> q63OracleWith(geom.deconShingleN),
     "q64_repetition_filter" ->
       // flags compare the ROUNDED fractions, mirroring the engine
       """WITH p AS (

@@ -158,6 +158,33 @@ class LlmOpsSpec extends SparkSpec {
       f"radius-4 probing should recover >=0.8 of true top-3, got ${recalls.last}%.2f")
   }
 
+  test("q63 at n=8: planted leaks still flagged, incidental phrase overlap gone") {
+    // the production-width argument (GRAFT_DECON_SHINGLE_N=8..13): a
+    // 3-token shingle fires on incidental phrase overlap between honest
+    // corpus docs and the eval set; an 8-token shingle only matches
+    // near-verbatim leaks. Planted leaks (id+3e6, one token dropped)
+    // share almost all wide shingles with their eval source, so they
+    // must stay contaminated; honest docs' hit lists must shrink.
+    def run(n: Int) = LlmOps.q63With(n)(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getBoolean(4))).toSeq
+    val r3 = run(3)
+    val r8 = run(8)
+    val leaks8 = r8.filter(_._1 >= 3000000L)
+    assert(leaks8.nonEmpty, "no planted leak produced any 8-gram hit")
+    assert(leaks8.forall(_._3),
+      s"planted leaks escaped the n=8 check: ${leaks8.filterNot(_._3).map(_._1)}")
+    // measured at sf0.001: 236 honest docs have ≥1 incidental 3-gram hit,
+    // only 2 have any 8-gram hit — and those two are overlap ≈ 1.0, i.e.
+    // true near-copies of an eval doc (which a decontamination pass SHOULD
+    // flag), not phrase noise
+    val honest3 = r3.count(_._1 < 3000000L)
+    val honest8 = r8.filter(_._1 < 3000000L)
+    assert(honest8.size < honest3 / 10,
+      s"widening the shingle did not collapse incidental overlap: $honest3 -> ${honest8.size}")
+    assert(honest8.filter(_._3).forall(_._2 >= 0.9),
+      s"an honest doc was flagged at n=8 without near-verbatim overlap: $honest8")
+  }
+
   test("CacheScope: LlmOps caches are tracked and fully released by drain") {
     graft.core.CacheScope.drain() // clear anything earlier tests left behind
     spark.sharedState.cacheManager.clearCache()

@@ -114,6 +114,49 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q63: the shingle transform is evaluated once per corpus row") {
+    // two regression classes, both observed live:
+    //  1. size(shingleExpr) + explode(shingleExpr) from the same `def`
+    //     evaluates the transform TWICE per row (subexpression
+    //     elimination does not cross the Generate boundary) — the
+    //     Generate must read the materialized `sha` attribute;
+    //  2. plain explode triggers InferFiltersFromGenerate, which pushes
+    //     `size(sha) > 0` below the projection, re-expanding the alias
+    //     and evaluating the transform AGAIN in a Filter.
+    // Legitimate appearances: once per union branch's projection (each
+    // row passes through exactly one branch) + once on the eval side.
+    val p = graft.SparkEntry.queries("q63_decontaminate")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    // outer explode renders as `Generate explode(sha#N), …, true, [sh#M]`
+    val generateOk = p.linesIterator.exists(l =>
+      l.contains("Generate explode(sha#") && l.contains("true"))
+    assert(generateOk,
+      s"corpus Generate does not read the materialized shingle attribute (outer):\n$p")
+    val inFilter = p.linesIterator
+      .filter(_.contains("Filter ")).exists(_.contains("array_distinct(transform("))
+    assert(!inFilter, s"an inferred filter re-evaluates the shingle transform:\n$p")
+    val n = "array_distinct\\(transform\\(".r.findAllIn(p).size
+    assert(n <= 3, s"shingle transform appears $n times (want ≤3: 2 union branches + eval):\n$p")
+  }
+
+  test("q65: the incremental-dedup anti join carries fingerprints, never bodies") {
+    // the q65 scale contract: both sides project to (id, hash, len) in
+    // the scan, so the anti-join exchange moves ~20 B/row — a `text`
+    // attribute reaching either join input means the corpus shuffles
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = graft.SparkEntry.queries("q65_dedup_incremental")(spark, sf)
+    val antis = df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.joinType == LeftAnti => j
+    }
+    assert(antis.nonEmpty, "no anti join in q65's plan")
+    antis.foreach { j =>
+      val bodies = (j.left.output ++ j.right.output).filter(_.name == "text")
+      assert(bodies.isEmpty,
+        s"anti-join input carries the document body: ${(j.left.output ++ j.right.output).map(_.name)}")
+    }
+  }
+
   test("q38: bucketed fact⋈fact join plans with no hash-partition shuffle") {
     // the declared-surface proof of the Buckets story: with broadcast off
     // (forcing the large×large SMJ path a 100 TB join would take), the
