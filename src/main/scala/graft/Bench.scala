@@ -49,6 +49,14 @@ object Bench {
     // durable record (driver picks up either)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line + "\n")
+    // append-only history: the per-round BENCH_r*.json tails truncate the
+    // first ~25 queries, so cross-round per-query diffs need this record
+    try {
+      val stamped = s"""{"ts":"${java.time.Instant.now()}","sf":"$sfDir","cpus":$cpus,"total":$total,"queries":$qs}"""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("/root/repo/BENCH_HISTORY.jsonl"), stamped + "\n",
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    } catch { case _: Throwable => () } // history is best-effort, never fails the bench
     spark.stop()
   }
 }

@@ -682,28 +682,49 @@ object LlmOps {
       substring(norm, 1, 32).as("norm_prefix")))
   }
 
-  /** q79: PII scrubbing — the redaction pass every training corpus runs
-    * before the tokenizer. The synthetic corpus carries no PII, so the
-    * query deterministically PLANTS an email on every 10th doc and then
-    * scrubs; the op under test is the scrubber, the plant makes its
-    * effect observable and oracle-checkable. The email pattern sticks to
-    * character classes + bounded quantifiers that mean the same thing in
-    * Java regex (Spark, codegen'd regexp_replace) and RE2 (DuckDB).
-    * `clean` pins that no match survives scrubbing — the property a
-    * redaction pass actually owes you. Row-local, no shuffle. */
+  /** q79: multi-pattern PII scrubbing — the redaction pass every
+    * training corpus runs before the tokenizer, over the three pattern
+    * families a real pass owes you: emails, phone numbers, and
+    * SSN-shaped ID numbers. The synthetic corpus carries no PII, so the
+    * query deterministically PLANTS one instance class per residue of
+    * `doc_id % 10` (0 → email, 3 → phone, 6 → ID) and then scrubs; the
+    * op under test is the scrubber, the plants make its effect
+    * observable and oracle-checkable. All three patterns stick to
+    * character classes + bounded quantifiers + ASCII `\b` word
+    * boundaries that mean the same thing in Java regex (Spark,
+    * codegen'd regexp_replace) and RE2 (DuckDB). The patterns are
+    * mutually exclusive by construction (the ID's 2-digit middle group
+    * cannot match the phone's 3–4-digit one), so scrub order cannot
+    * change the result. Per-pattern counts are measured on the raw
+    * text; `clean` pins that NO pattern matches the final scrubbed
+    * text — the property a redaction pass actually owes you.
+    * Row-local codegen'd projection, no shuffle at any scale. */
   val q79PiiScrub: Q = (spark, dir) => {
     val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val PhoneRe = "\\b\\d{3}[- ]\\d{3,4}[- ]\\d{4}\\b"
+    val IdRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
     val raw = when(col("doc_id") % 10 === 0,
       concat(col("text"), lit(" contact: user"), col("doc_id").cast("string"),
         lit("@example.com now")))
+      .when(col("doc_id") % 10 === 3,
+        concat(col("text"), lit(" call 555-867-5309 today")))
+      .when(col("doc_id") % 10 === 6,
+        concat(col("text"), lit(" ssn 123-45-6789 on file")))
       .otherwise(col("text"))
-    val scrubbed = regexp_replace(raw, EmailRe, "<EMAIL>")
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(raw, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      IdRe, "<ID>")
     orderAll(t(spark, dir, "documents").select(
       col("doc_id"),
-      regexp_count(raw, lit(EmailRe)).as("n_pii"),
+      regexp_count(raw, lit(EmailRe)).as("n_email"),
+      regexp_count(raw, lit(PhoneRe)).as("n_phone"),
+      regexp_count(raw, lit(IdRe)).as("n_id"),
       length(raw).as("n_raw"),
       length(scrubbed).as("n_scrubbed"),
-      !(scrubbed rlike EmailRe) as "clean"))
+      (!(scrubbed rlike EmailRe) && !(scrubbed rlike PhoneRe) &&
+        !(scrubbed rlike IdRe)) as "clean"))
   }
 
   /** q99: deterministic dataset mixture — the pretraining reweighting
@@ -757,6 +778,10 @@ object LlmOps {
     * single evaluation; measured ~2× the per-row hashing cost).
     * Empirical linearity at k× corpus: tools/ScaleProbe (SCALEPROBE.md). */
   private[queries] def q63With(n: Int): Q = (spark, dir) => {
+    // SketchGeometry already enforces this for the env path; direct test
+    // callers must fail fast too (n=1 degenerates the shingle sequence
+    // and the oracle's ' || ' join)
+    require(n >= 2, s"decontamination shingle width must be >= 2, got $n")
     val base = t(spark, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
     val evalDocs = base.filter(col("doc_id") % 97 === 0)
@@ -777,8 +802,14 @@ object LlmOps {
     val corpusSh = corpus
       .withColumn("sha", shingleArr)
       .select(col("doc_id"), size(col("sha")).as("n_sh"), explode_outer(col("sha")).as("sh"))
+    // eval side materialized + outer-exploded for the same reason: plain
+    // explode of the raw expression happens not to trigger
+    // InferFiltersFromGenerate on Spark 4.1.2, but the symmetric form
+    // removes the dependence on that optimizer detail (the size filter
+    // above guarantees non-empty arrays, so outer ≡ inner here too)
     val evalSh = evalDocs.filter(size(col("toks")) >= n)
-      .select(explode(shingleArr).as("sh")).distinct()
+      .withColumn("sha", shingleArr)
+      .select(explode_outer(col("sha")).as("sh")).distinct()
     val hits = corpusSh.join(broadcast(evalSh), Seq("sh"))
       .groupBy(col("doc_id"), col("n_sh"))
       .agg(count(lit(1)).as("n_hit"))
@@ -885,6 +916,7 @@ object LlmOps {
     * engine (string-form shingles — the engine's xxhash64 fingerprints
     * are membership-invariant, q88's argument); same eval/leak plant. */
   private[queries] def q63OracleWith(n: Int): String = {
+    require(n >= 2, s"decontamination shingle width must be >= 2, got $n")
     val sh = (0 until n).map(o => s"toks[i + $o]").mkString(" || ' ' || ")
     s"""WITH base AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -975,25 +1007,38 @@ object LlmOps {
         |FROM n
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
     "q79_pii_scrub" ->
-      // same character-class email pattern (Java regex ≡ RE2 here);
-      // DuckDB needs the 'g' flag to match Spark's replace-all default
+      // same character-class patterns (Java regex ≡ RE2 for all three,
+      // including ASCII \b); DuckDB needs the 'g' flag to match Spark's
+      // replace-all default. Same plant residues and scrub order.
       """WITH p AS (
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 10 = 0
         |      THEN text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+        |         WHEN doc_id % 10 = 3
+        |      THEN text || ' call 555-867-5309 today'
+        |         WHEN doc_id % 10 = 6
+        |      THEN text || ' ssn 123-45-6789 on file'
         |      ELSE text END AS raw
         |  FROM documents),
         |s AS (
         |  SELECT doc_id, raw,
-        |    regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS scrubbed
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        '\b\d{3}[- ]\d{3,4}[- ]\d{4}\b', '<PHONE>', 'g'),
+        |      '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g') AS scrubbed
         |  FROM p)
         |SELECT doc_id,
-        |  CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_pii,
+        |  CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+        |  CAST(len(regexp_extract_all(raw, '\b\d{3}[- ]\d{3,4}[- ]\d{4}\b')) AS INT) AS n_phone,
+        |  CAST(len(regexp_extract_all(raw, '\b\d{3}-\d{2}-\d{4}\b')) AS INT) AS n_id,
         |  CAST(length(raw) AS INT) AS n_raw,
         |  CAST(length(scrubbed) AS INT) AS n_scrubbed,
-        |  NOT regexp_matches(scrubbed, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS clean
+        |  (NOT regexp_matches(scrubbed, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+        |   AND NOT regexp_matches(scrubbed, '\b\d{3}[- ]\d{3,4}[- ]\d{4}\b')
+        |   AND NOT regexp_matches(scrubbed, '\b\d{3}-\d{2}-\d{4}\b')) AS clean
         |FROM s
-        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST""".stripMargin,
     "q99_dataset_mixture" ->
       // q94's pmod-parity bucket, gated per-source by the same rate CASE
       """WITH b AS (

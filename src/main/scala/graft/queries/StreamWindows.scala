@@ -48,10 +48,55 @@ object StreamWindows {
         col("n"), col("sum_value")))
   }
 
+  /** q66: the s74 stateful operator's semantics as an ORACLED batch
+    * query — every event is applied to
+    * [[graft.streaming.RunningCounters.step]] (the SAME transition
+    * function s74's `flatMapGroupsWithState` runs) in event order
+    * (epoch_s, event_id) per user, emitting the post-event state: each
+    * event is its own micro-batch, so the output is the running
+    * per-user (count, sum) after every event. DuckDB mirrors it with
+    * cumulative window functions, which hash-gates the transition
+    * function's semantics, not just its plumbing.
+    *
+    * Distribution shape is the secondary-sort pattern: one hash
+    * repartition on user_id + sortWithinPartitions, then a single
+    * streaming pass per partition holding O(1) state (reset on key
+    * change) — no per-group materialization, mirroring how the
+    * streaming operator's state store scales. `mapPartitions` is the
+    * honest tool here: the point is running the imperative transition
+    * function itself, which no declarative operator can exercise. The
+    * sum folds exact DECIMAL(18,4) (q31's trick), so fold order and
+    * DuckDB's window SUM cannot diverge by an ulp. */
+  val q66StatefulCounters: Q = (spark, dir) => {
+    import spark.implicits._
+    import graft.streaming.RunningCounters
+    val e = events(spark, dir).select(
+        col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("epoch_s"),
+        col("value").cast("decimal(18,4)").as("v"))
+      .as[(Long, Long, Long, java.math.BigDecimal)]
+    val out = e.repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("epoch_s"), col("event_id"))
+      .mapPartitions { it =>
+        var user = 0L
+        var seen = false
+        var st = RunningCounters.zero
+        it.map { case (u, id, ep, v) =>
+          if (!seen || u != user) { user = u; seen = true; st = RunningCounters.zero }
+          st = RunningCounters.step(st, v)
+          (u, id, ep, st._1, st._2)
+        }
+      }
+      .toDF("user_id", "event_id", "epoch_s", "n_events", "running_total")
+      .withColumn("running_total", col("running_total").cast("double"))
+    orderAll(out)
+  }
+
   val defs: Map[String, Q] = Map(
     "q60_window_tumbling" -> q60Tumbling,
     "q61_window_sliding" -> q61Sliding,
-    "q62_window_session" -> q62SessionWindow)
+    "q62_window_session" -> q62SessionWindow,
+    "q66_stateful_counters" -> q66StatefulCounters)
 
   val oracles: Map[String, String] = Map(
     "q60_window_tumbling" ->
@@ -94,5 +139,21 @@ object StreamWindows {
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM sess
         |GROUP BY user_id, sid
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
+    "q66_stateful_counters" ->
+      // the running-counter semantics as cumulative window functions:
+      // row_number = events seen so far, SUM OVER = running total, both
+      // over the engine's exact fold order (epoch_s, event_id)
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+        |    CAST(value AS DECIMAL(18,4)) AS v
+        |  FROM events)
+        |SELECT user_id, event_id, epoch_s,
+        |  CAST(row_number() OVER w AS BIGINT) AS n_events,
+        |  CAST(SUM(v) OVER w AS DOUBLE) AS running_total
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s ASC, event_id ASC
+        |             ROWS UNBOUNDED PRECEDING)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""".stripMargin)
 }

@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.GroupState
+
+/** The per-key state transition behind the stateful-streaming surface
+  * (s74, `flatMapGroupsWithState` in StreamingSpec): running
+  * (event-count, value-sum) counters per user.
+  *
+  * Factored out so the SAME transition code is exercised by two harnesses:
+  *   - the streaming path: s74 feeds micro-batches through
+  *     [[updateGroup]] with the state held in Spark's `GroupState`;
+  *   - the batch mirror: q66_stateful_counters folds every event through
+  *     [[step]] in event order (each event its own micro-batch) and is
+  *     hash-gated against a DuckDB window-function oracle.
+  * Green q66 therefore proves the stateful operator's SEMANTICS
+  * (cumulative count/sum per user over event order), not just its
+  * plumbing — the same trick q62 uses for s72's session windows.
+  *
+  * The sum accumulates `java.math.BigDecimal` (events carry exact
+  * DECIMAL(18,4) values — `dsum`'s argument): decimal addition is
+  * associative, so micro-batch boundaries, fold order, and DuckDB's
+  * window aggregation cannot diverge by an ulp. */
+object RunningCounters {
+
+  /** (events seen, exact running sum). */
+  type State = (Long, java.math.BigDecimal)
+
+  val zero: State = (0L, java.math.BigDecimal.ZERO)
+
+  def step(s: State, v: java.math.BigDecimal): State = (s._1 + 1, s._2.add(v))
+
+  def fold(s: State, vs: Iterator[java.math.BigDecimal]): State = vs.foldLeft(s)(step)
+
+  /** s74's `flatMapGroupsWithState` function: fold the micro-batch into
+    * the stored state, emit one updated (user, n, total) row. */
+  def updateGroup(user: Long, rows: Iterator[(Long, Double)],
+      state: GroupState[State]): Iterator[(Long, Long, Double)] = {
+    val next = fold(state.getOption.getOrElse(zero),
+      rows.map(r => java.math.BigDecimal.valueOf(r._2)))
+    state.update(next)
+    Iterator((user, next._1, next._2.doubleValue))
+  }
+}

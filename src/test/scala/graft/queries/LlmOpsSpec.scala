@@ -176,13 +176,41 @@ class LlmOpsSpec extends SparkSpec {
     // measured at sf0.001: 236 honest docs have ≥1 incidental 3-gram hit,
     // only 2 have any 8-gram hit — and those two are overlap ≈ 1.0, i.e.
     // true near-copies of an eval doc (which a decontamination pass SHOULD
-    // flag), not phrase noise
+    // flag), not phrase noise. The exact 236→2 ratio is a property of the
+    // sf0.001 fixture corpus (see TESTDATA.md), not of the engine, so the
+    // assertion only pins the direction at a loose factor — a regenerated
+    // corpus with different phrase statistics shifts the ratio without any
+    // engine bug; the leak assertions above are the deterministic part.
     val honest3 = r3.count(_._1 < 3000000L)
     val honest8 = r8.filter(_._1 < 3000000L)
-    assert(honest8.size < honest3 / 10,
+    info(s"incidental-overlap docs: n=3 → $honest3, n=8 → ${honest8.size}")
+    assert(honest8.size < honest3 / 2,
       s"widening the shingle did not collapse incidental overlap: $honest3 -> ${honest8.size}")
     assert(honest8.filter(_._3).forall(_._2 >= 0.9),
       s"an honest doc was flagged at n=8 without near-verbatim overlap: $honest8")
+  }
+
+  test("q79: every planted PII class is counted on its residue and none survives scrubbing") {
+    // plants: doc_id%10==0 → email, ==3 → phone, ==6 → SSN-shaped ID;
+    // the oracle hash-gates the exact values — this pins the CONTRACT:
+    // per-pattern counts fire on the right docs, and `clean` (no pattern
+    // matches the scrubbed text) holds for every row
+    val rows = LlmOps.q79PiiScrub(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (id, nEmail, nPhone, nId) =
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))
+      if (id % 10 == 0) assert(nEmail >= 1, s"doc $id: planted email not counted")
+      if (id % 10 == 3) assert(nPhone >= 1, s"doc $id: planted phone not counted")
+      if (id % 10 == 6) assert(nId >= 1, s"doc $id: planted ID not counted")
+      assert(r.getBoolean(6), s"doc $id: a PII pattern survived scrubbing")
+    }
+    // scrubbing replaced, not dropped: every planted doc's length changed
+    // by (replacement - match) — i.e. scrubbed length differs from raw
+    val planted = rows.filter(r => Seq(0L, 3L, 6L).contains(r.getLong(0) % 10))
+    assert(planted.nonEmpty)
+    assert(planted.forall(r => r.getInt(5) != r.getInt(4)),
+      "a planted doc's length was unchanged by scrubbing")
   }
 
   test("CacheScope: LlmOps caches are tracked and fully released by drain") {

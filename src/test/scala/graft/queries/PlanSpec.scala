@@ -114,29 +114,44 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q63: the shingle transform is evaluated once per corpus row") {
+  test("q63: the shingle transform is evaluated once per corpus row (n=3 and n=8)") {
     // two regression classes, both observed live:
     //  1. size(shingleExpr) + explode(shingleExpr) from the same `def`
     //     evaluates the transform TWICE per row (subexpression
-    //     elimination does not cross the Generate boundary) — the
-    //     Generate must read the materialized `sha` attribute;
+    //     elimination does not cross the Generate boundary) — every
+    //     Generate must read a materialized attribute;
     //  2. plain explode triggers InferFiltersFromGenerate, which pushes
     //     `size(sha) > 0` below the projection, re-expanding the alias
     //     and evaluating the transform AGAIN in a Filter.
-    // Legitimate appearances: once per union branch's projection (each
-    // row passes through exactly one branch) + once on the eval side.
-    val p = graft.SparkEntry.queries("q63_decontaminate")(spark, sf)
-      .queryExecution.optimizedPlan.toString
-    // outer explode renders as `Generate explode(sha#N), …, true, [sh#M]`
-    val generateOk = p.linesIterator.exists(l =>
-      l.contains("Generate explode(sha#") && l.contains("true"))
-    assert(generateOk,
-      s"corpus Generate does not read the materialized shingle attribute (outer):\n$p")
-    val inFilter = p.linesIterator
-      .filter(_.contains("Filter ")).exists(_.contains("array_distinct(transform("))
-    assert(!inFilter, s"an inferred filter re-evaluates the shingle transform:\n$p")
-    val n = "array_distinct\\(transform\\(".r.findAllIn(p).size
-    assert(n <= 3, s"shingle transform appears $n times (want ≤3: 2 union branches + eval):\n$p")
+    // Asserted structurally on the optimized logical plan (not rendered
+    // strings) and at BOTH the oracle width (3) and a production width
+    // (8), so the width knob cannot silently reintroduce the double-eval.
+    // Legitimate transform appearances: once per union branch's
+    // projection (each row passes through exactly one branch) + once on
+    // the eval side.
+    import org.apache.spark.sql.catalyst.expressions.{ArrayTransform, AttributeReference}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate}
+    for (n <- Seq(3, 8)) {
+      val plan = LlmOps.q63With(n)(spark, sf).queryExecution.optimizedPlan
+      val gens = plan.collect { case g: Generate => g }
+      assert(gens.nonEmpty, s"n=$n: no Generate in q63's plan:\n$plan")
+      gens.foreach { g =>
+        assert(g.generator.children.forall(_.isInstanceOf[AttributeReference]),
+          s"n=$n: a Generate re-expands the shingle transform instead of " +
+            s"reading the materialized attribute: ${g.generator}")
+      }
+      assert(gens.exists(_.outer),
+        s"n=$n: corpus-side Generate lost its OUTER flag (InferFiltersFromGenerate bait):\n$plan")
+      val filterReeval = plan.collect { case f: Filter => f }
+        .exists(_.condition.exists(_.isInstanceOf[ArrayTransform]))
+      assert(!filterReeval,
+        s"n=$n: an inferred filter re-evaluates the shingle transform:\n$plan")
+      val nTransforms = plan.collect { case node =>
+        node.expressions.map(_.collect { case t: ArrayTransform => t }.size).sum
+      }.sum
+      assert(nTransforms <= 3,
+        s"n=$n: shingle transform appears $nTransforms times (want ≤3: 2 union branches + eval):\n$plan")
+    }
   }
 
   test("q65: the incremental-dedup anti join carries fingerprints, never bodies") {

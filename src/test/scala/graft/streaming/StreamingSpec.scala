@@ -137,18 +137,17 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("s74: flatMapGroupsWithState keeps per-user running counters") {
+    // the transition function is the SHARED RunningCounters.updateGroup —
+    // q66_stateful_counters folds the same code per event in batch and is
+    // hash-gated against DuckDB, so this operator's semantics (not just
+    // its plumbing) carry a CORRECTNESS row
     val in = MemoryStream[(Long, Double)](spark)
     val counted = in.toDS()
       .groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
-          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
-          val batch = rows.toSeq
-          val next = (n0 + batch.size, s0 + batch.map(_._2).sum)
-          state.update(next)
-          Iterator((user, next._1, next._2))
-      }.toDF("user", "n", "total")
+      .flatMapGroupsWithState[RunningCounters.State, (Long, Long, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        RunningCounters.updateGroup _
+      ).toDF("user", "n", "total")
     val q = counted.writeStream.outputMode(OutputMode.Update)
       .format("memory").queryName("s74_out").start()
     try {
