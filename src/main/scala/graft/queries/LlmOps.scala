@@ -278,6 +278,39 @@ object LlmOps {
     orderAll(d.select(col("doc_id"), fp.as("fingerprint")))
   }
 
+  /** q67: rarity-weighted top terms — the keyword-extraction primitive
+    * behind topic filtering and corpus inspection dashboards: per doc,
+    * the 5 terms with the highest tf/df score (term frequency weighted
+    * by inverse document frequency). The score is deliberately the
+    * LOG-FREE surrogate `tf / df`: a single IEEE double division of two
+    * exact counts is bit-identical in Spark and DuckDB, so the op is
+    * fully hash-oracled — the classic `tf·log(N/df)` weighting would
+    * ride on `Math.log` vs libm ulp differences and forfeit the oracle
+    * for no behavioral gain at the top of the ranking.
+    *
+    * 100 TB shape: explode is map-local; tf is one shuffle on
+    * (doc_id, term) with partial aggregation; df reuses tf's output
+    * (one row per (doc,term)) through a second, smaller shuffle on
+    * term; the enrichment join is 1:1 per tf row so hot stopword terms
+    * fan nothing out; and the per-doc top-5 plans as a map-side
+    * WindowGroupLimit (pinned in PlanSpec, q96's rewrite) so each map
+    * task forwards ≤5 rows per doc. Ties broken by term, so the output
+    * is deterministic. */
+  val q67TfidfTerms: Q = (spark, dir) => {
+    val tf = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .withColumn("score", round(col("tf").cast("double") / col("df"), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    orderAll(scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
+        col("score")))
+  }
+
   /** Shingles with document frequency above this carry no near-dup signal
     * (they're corpus boilerplate) but dominate the inverted-index
     * self-join, whose work is Σ df² over shingles — at sf0.1 the uncapped
@@ -892,6 +925,7 @@ object LlmOps {
     "q63_decontaminate" -> q63Decontaminate,
     "q64_repetition_filter" -> q64RepetitionFilter,
     "q65_dedup_incremental" -> q65DedupIncremental,
+    "q67_tfidf_terms" -> q67TfidfTerms,
     "q80_dedup_exact" -> q80DedupExact,
     "q95_sample_hash" -> q95SampleHash,
     "q96_quota_per_lang" -> q96QuotaPerLang,
@@ -948,6 +982,25 @@ object LlmOps {
 
   val oracles: Map[String, String] = Map(
     "q63_decontaminate" -> q63OracleWith(geom.deconShingleN),
+    "q67_tfidf_terms" ->
+      // counts cast to BIGINT (DuckDB count(*) is HUGEINT — dtype-
+      // sensitive hash gate), row_number to INT, score is one double
+      // division of exact counts — bit-identical across engines
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |s AS (
+        |  SELECT t.doc_id, t.term, t.tf, d.df,
+        |    round(CAST(t.tf AS DOUBLE) / d.df, 6) AS score
+        |  FROM tf t JOIN df d USING (term)),
+        |r AS (SELECT doc_id, term, tf, df, score,
+        |        CAST(row_number() OVER (PARTITION BY doc_id
+        |             ORDER BY score DESC, term ASC) AS INT) AS rk
+        |      FROM s)
+        |SELECT doc_id, rk, term, tf, df, score FROM r WHERE rk <= 5
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""".stripMargin,
     "q64_repetition_filter" ->
       // flags compare the ROUNDED fractions, mirroring the engine
       """WITH p AS (

@@ -252,6 +252,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q66: the stateful batch mirror costs one user_id shuffle (secondary sort)") {
+    // the scale contract of the shared-transition-function mirror: a
+    // single hash exchange on user_id feeds the sorted per-partition
+    // fold — a plan that groups (collects per-user buffers) or shuffles
+    // twice would not model the streaming state store's layout
+    val p = plan("q66_stateful_counters")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"expected exactly one user_id hash exchange:\n$p")
+    assert(p.contains("MapPartitions"), s"secondary-sort fold missing:\n$p")
+  }
+
+  test("q67: the per-doc top-terms filter plans a map-side WindowGroupLimit") {
+    // same rewrite as q96: rank<=k over the window becomes
+    // WindowGroupLimit Partial before the exchange, so map tasks forward
+    // at most 5 rows per doc instead of the whole scored vocabulary
+    val p = plan("q67_tfidf_terms")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial"), s"no map-side partial group limit:\n$p")
+  }
+
   test("q96: the rank filter plans a map-side WindowGroupLimit (bounded shuffle)") {
     // Catalyst rewrites rank<=k over a window into WindowGroupLimit
     // Partial (before the exchange) + Final — each map task forwards at
