@@ -297,9 +297,13 @@ object LlmOps {
     * task forwards ≤5 rows per doc. Ties broken by term, so the output
     * is deterministic. */
   val q67TfidfTerms: Q = (spark, dir) => {
+    // persisted: tf feeds BOTH the df aggregation and the enrichment
+    // join — unpersisted, the scan+explode+partial-agg subtree appears
+    // 4× in the physical plan (q88's measured defect class)
     val tf = t(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .scopedPersist
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, Seq("term"))
       .withColumn("score", round(col("tf").cast("double") / col("df"), 6))

@@ -83,7 +83,7 @@ class PlanSpec extends SparkSpec {
     // the shingle/signature tables feed 3-4 consumers; without the
     // persist the explode subtree appears once PER consumer (measured
     // 6× at sf0.1) — InMemoryTableScan in the plan proves reuse
-    Seq("q88_dedup_ngram", "q81_dedup_minhash").foreach { q =>
+    Seq("q88_dedup_ngram", "q81_dedup_minhash", "q67_tfidf_terms").foreach { q =>
       assert(plan(q).contains("InMemoryTableScan"), s"$q: no cache reuse")
     }
   }
