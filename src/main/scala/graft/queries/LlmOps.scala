@@ -567,8 +567,15 @@ object LlmOps {
     * pairs ≤ 0.514 — the threshold sits in a wide gap, so float noise
     * can't flip membership). FULLY ORACLED, unlike the other
     * hash-sketch dedups: the ±1 projection matrix is serialized into
-    * the DuckDB SQL, so both engines build identical buckets. */
-  val q92DedupEmbedding: Q = (spark, dir) => {
+    * the DuckDB SQL, so both engines build identical buckets.
+    *
+    * Geometry-parameterized (the declared q92 binds the env-backed
+    * [[geom]]): bucket count 2^srpBits is the operational dial that
+    * holds bucket occupancy — and so the quadratic-in-occupancy
+    * candidate stage — constant as the corpus grows (ScaleProbe
+    * demonstrates the scaling: bits + log2(k) at k× data keeps
+    * candidate work linear). */
+  private[graft] def q92WithGeometry(g: SketchGeometry): Q = (spark, dir) => {
     graft.functions.CosineSimilarity.register(spark)
     val v = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
@@ -578,7 +585,7 @@ object LlmOps {
     // persisted: three consumers (the id-only candidate join + two
     // verify sides), and the cache barrier keeps the bucket projection
     // out of inferred scan constraints
-    val corpus = v.unionByName(planted).withColumn("bkt", srpBucket(col("e")))
+    val corpus = v.unionByName(planted).withColumn("bkt", srpBucket(col("e"), g))
       .scopedPersist
     // Candidate generation shuffles (vec_id, bkt) ONLY — ~12 bytes/row,
     // never the 64-dim vectors (512 B/row): at 100 TB the bucket join
@@ -598,6 +605,8 @@ object LlmOps {
       .filter(col("cos6") >= 0.9)
     orderAll(pairs)
   }
+
+  val q92DedupEmbedding: Q = (spark, dir) => q92WithGeometry(geom)(spark, dir)
 
   private def q92OracleSql: String = {
     val cosSql = "round(list_dot_product(x.e, y.e) / " +

@@ -54,6 +54,7 @@ object ScaleProbe {
     val baseRows = base.count()
 
     // ---- prep (untimed): one salted, id-shifted corpus per k ----------
+    val baseEmb = spark.read.parquet(s"$baseDir/embeddings.parquet")
     val dirs = Ks.map { k =>
       val dir = s"target/scaleprobe/k$k"
       val scaled = (0 until k).map { i =>
@@ -65,6 +66,21 @@ object ScaleProbe {
       }.reduce(_ unionByName _)
       scaled.coalesce(cpus.toInt).write.mode("overwrite")
         .parquet(s"$dir/documents.parquet")
+      // vectors: copy i multiplies each dim by a deterministic ±1 drawn
+      // from xxhash64(i, dim) — a diagonal orthogonal transform, so
+      // within-copy inner products (cosines, planted-near-dup structure)
+      // are preserved EXACTLY (±1 products are exact in IEEE) while
+      // cross-copy cosines decorrelate to ~N(0, 1/dim), far below q92's
+      // 0.9 verify threshold
+      val scaledEmb = (0 until k).map { i =>
+        val shifted = baseEmb.withColumn("vec_id", col("vec_id") + lit(i * Shift))
+        if (i == 0) shifted
+        else shifted.withColumn("embedding",
+          transform(col("embedding"),
+            (v, j) => when(pmod(xxhash64(lit(i), j), lit(2)) === 0, v).otherwise(-v)))
+      }.reduce(_ unionByName _)
+      scaledEmb.coalesce(cpus.toInt).write.mode("overwrite")
+        .parquet(s"$dir/embeddings.parquet")
       System.err.println(s"[scaleprobe] built k=$k corpus (${baseRows * k} docs)")
       k -> dir
     }
@@ -131,6 +147,46 @@ object ScaleProbe {
   round bench, plan unchanged) reproduces as cold-position noise, not
   work growth: see the Profile attribution below.
 """)
+
+    // ---- q92 with the geometry dial -----------------------------------
+    // the SRP-bucket candidate stage is quadratic in bucket OCCUPANCY, so
+    // fixed geometry at k× data grows candidate work ~k²/2^bits; the
+    // production answer is the env-backed dial — srpBits + ⌈log2 k⌉
+    // holds occupancy (and so per-bucket work) constant. Measure q92
+    // under exactly that operating procedure.
+    val q92Cells = dirs.map { case (k, dir) =>
+      val bits = 8 + (math.log(k.toDouble) / math.log(2.0)).ceil.toInt
+      val g = graft.core.SketchGeometry.fromEnv(Map("GRAFT_SRP_BITS" -> bits.toString))
+      val fn = graft.queries.LlmOps.q92WithGeometry(g)
+      def once(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val n = fn(spark, dir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.core.CacheScope.drain(); System.gc()
+        (dt, n)
+      }
+      once()
+      val best = Seq(once(), once()).minBy(_._1)
+      System.err.println(f"[scaleprobe] q92 k=$k bits=$bits: ${best._1}%.2f s (${best._2} rows)")
+      (k, bits, best._1, best._2)
+    }
+    val (w92_1, w92_4, w92_8) = (q92Cells(0)._3, q92Cells(1)._3, q92Cells(2)._3)
+    val q92Pass = w92_4 / w92_1 <= GrowthFactor * 4 && w92_8 / w92_1 <= GrowthFactor * 8
+    allPass &&= q92Pass
+    sb.append("\n## q92 embedding dedup under the geometry dial\n\n")
+    sb.append("The SRP-bucket candidate stage is quadratic in bucket occupancy; at k× ")
+    sb.append("data the operating procedure is srpBits + ⌈log2 k⌉ (the env-backed ")
+    sb.append("`GRAFT_SRP_BITS`), holding occupancy — and per-bucket join work — ")
+    sb.append("constant. Vectors are scaled by per-copy diagonal ±1 transforms ")
+    sb.append("(within-copy cosines exact, cross-copy decorrelated):\n\n")
+    sb.append("| k | srpBits | wall | ratio | pairs |\n|---|---|---|---|---|\n")
+    q92Cells.foreach { case (k, bits, w, n) =>
+      sb.append(f"| $k | $bits | $w%.2f s | ${w / w92_1}%.2f× | $n%d |\n")
+    }
+    sb.append(f"\nGate (≤1.5k): ${if (q92Pass) "PASS" else "FAIL"}. Pair counts " +
+      "track k× minus the slight recall dip more bits cost the planted " +
+      "near-identical pairs — the recall-vs-work tradeoff q91's spec " +
+      "measures on the probe-radius side of the same geometry.\n")
 
     // ---- q89 drift attribution (round-7 ask #6) -----------------------
     val q89 = graft.SparkEntry.queries("q89_dedup_simhash")
