@@ -40,4 +40,25 @@ object RunningCounters {
     state.update(next)
     Iterator((user, next._1, next._2.doubleValue))
   }
+
+  /** s80's TTL variant: same transition, plus an event-time timeout of
+    * `gapMs` past the group's newest event. Without a timeout, per-key
+    * state grows with the KEY CARDINALITY EVER SEEN — the unbounded-state
+    * failure mode that kills a 100 TB streaming job; with it, the state
+    * store holds only keys active within the TTL window (watermark-driven
+    * eviction, same bound the stream-stream join gets from its
+    * watermarks). A key re-appearing after eviction restarts from
+    * [[zero]] — the documented and tested semantic. */
+  def updateGroupTtl(gapMs: Long)(user: Long,
+      rows: Iterator[(java.sql.Timestamp, Long, Double)],
+      state: GroupState[State]): Iterator[(Long, Long, Double)] =
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val batch = rows.toSeq
+      val next = fold(state.getOption.getOrElse(zero),
+        batch.iterator.map(r => java.math.BigDecimal.valueOf(r._3)))
+      state.update(next)
+      state.setTimeoutTimestamp(batch.map(_._1.getTime).max + gapMs)
+      Iterator((user, next._1, next._2.doubleValue))
+    }
 }

@@ -163,6 +163,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s80: event-time state TTL evicts idle users and a returnee restarts from zero") {
+    // s74's operator with RunningCounters.updateGroupTtl: state carries a
+    // 30-minute event-time timeout past the user's newest event. The
+    // unbounded-state failure mode at 100 TB is key-cardinality growth —
+    // without a TTL the state store holds every user EVER seen; with it,
+    // only users active inside the TTL window
+    val in = MemoryStream[(Timestamp, Long, Double)](spark)
+    val counted = in.toDF().toDF("ts", "user", "v")
+      .withWatermark("ts", "10 minutes")
+      .as[(Timestamp, Long, Double)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[RunningCounters.State, (Long, Long, Double)](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
+        RunningCounters.updateGroupTtl(30 * 60_000L)
+      ).toDF("user", "n", "total")
+    val q = counted.writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("s80_out").start()
+    try {
+      in.addData((ts(0), 1L, 1.0), (ts(1), 1L, 2.0))
+      q.processAllAvailable() // user 1: n=2
+      // advance the watermark far past user 1's ts(1)+30min timeout: the
+      // timeout batch must EVICT user 1's state
+      in.addData((ts(600), 9L, 5.0))
+      q.processAllAvailable()
+      // user 1 returns after eviction: the counter must restart at 1,
+      // not resume at 3 — the TTL semantic, distinguishable from s74
+      in.addData((ts(620), 1L, 7.0))
+      q.processAllAvailable()
+      val user1 = spark.table("s80_out").filter(col("user") === 1L)
+        .select(col("n"), col("total")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(user1.contains((2L, 3.0)), s"pre-eviction counters wrong: $user1")
+      assert(user1.last == ((1L, 7.0)),
+        s"returning user did not restart from zero after TTL eviction: $user1")
+      // and the state store really shrank: eviction is observable in the
+      // operator metrics, not just in the restart semantics
+      val removed = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
+      assert(removed >= 1, s"no state row was evicted by the TTL: $removed")
+    } finally q.stop()
+  }
+
   test("s75: stream-stream interval join matches within the band, drops outside") {
     // clicks attributed to a view by the same user within the previous
     // 5 minutes — the canonical stream-stream interval join; watermarks
