@@ -50,13 +50,17 @@ object Bench {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line + "\n")
     // append-only history: the per-round BENCH_r*.json tails truncate the
-    // first ~25 queries, so cross-round per-query diffs need this record
+    // first ~25 queries, so cross-round per-query diffs need this record.
+    // Repo-root-relative like target/bench.json (works from any checkout);
+    // best-effort — an unwritable path must not fail the bench run itself
     try {
       val stamped = s"""{"ts":"${java.time.Instant.now()}","sf":"$sfDir","cpus":$cpus,"total":$total,"queries":$qs}"""
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("/root/repo/BENCH_HISTORY.jsonl"), stamped + "\n",
+        java.nio.file.Paths.get("BENCH_HISTORY.jsonl"), stamped + "\n",
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
-    } catch { case _: Throwable => () } // history is best-effort, never fails the bench
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] history append failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -41,6 +41,13 @@ object RunningCounters {
     Iterator((user, next._1, next._2.doubleValue))
   }
 
+  /** s80's TTL state: the running counters plus the newest event time
+    * EVER seen for the key — stored, not recomputed per batch, so an
+    * out-of-order micro-batch (older rows arriving later, still above
+    * the watermark) can never move the timeout EARLIER than an event
+    * already folded in. */
+  type TtlState = (Long, java.math.BigDecimal, Long)
+
   /** s80's TTL variant: same transition, plus an event-time timeout of
     * `gapMs` past the group's newest event. Without a timeout, per-key
     * state grows with the KEY CARDINALITY EVER SEEN — the unbounded-state
@@ -48,17 +55,23 @@ object RunningCounters {
     * store holds only keys active within the TTL window (watermark-driven
     * eviction, same bound the stream-stream join gets from its
     * watermarks). A key re-appearing after eviction restarts from
-    * [[zero]] — the documented and tested semantic. */
+    * [[zero]] — the documented and tested semantic. Single-pass: the
+    * batch streams through the fold (a hot key's micro-batch is never
+    * buffered — the same O(1)-state argument as q66's mapPartitions). */
   def updateGroupTtl(gapMs: Long)(user: Long,
       rows: Iterator[(java.sql.Timestamp, Long, Double)],
-      state: GroupState[State]): Iterator[(Long, Long, Double)] =
+      state: GroupState[TtlState]): Iterator[(Long, Long, Double)] =
     if (state.hasTimedOut) { state.remove(); Iterator.empty }
     else {
-      val batch = rows.toSeq
-      val next = fold(state.getOption.getOrElse(zero),
-        batch.iterator.map(r => java.math.BigDecimal.valueOf(r._3)))
-      state.update(next)
-      state.setTimeoutTimestamp(batch.map(_._1.getTime).max + gapMs)
-      Iterator((user, next._1, next._2.doubleValue))
+      var (n, sum, maxTs) = state.getOption.getOrElse(
+        (zero._1, zero._2, Long.MinValue))
+      rows.foreach { r =>
+        val next = step((n, sum), java.math.BigDecimal.valueOf(r._3))
+        n = next._1; sum = next._2
+        if (r._1.getTime > maxTs) maxTs = r._1.getTime
+      }
+      state.update((n, sum, maxTs))
+      state.setTimeoutTimestamp(maxTs + gapMs)
+      Iterator((user, n, sum.doubleValue))
     }
 }

@@ -86,14 +86,16 @@ object ScaleProbe {
     }
 
     // ---- measure ------------------------------------------------------
-    def timeOnce(name: String, dir: String): (Double, Long) = {
+    def timeFn(fn: graft.queries.Q, dir: String): (Double, Long) = {
       val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(name)(spark, dir).count()
+      val n = fn(spark, dir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       graft.core.CacheScope.drain()
       System.gc()
       (dt, n)
     }
+    def timeOnce(name: String, dir: String): (Double, Long) =
+      timeFn(graft.SparkEntry.queries(name), dir)
     // walls(query)(k) = (minWallSec, outputRows)
     val walls: Map[String, Map[Int, (Double, Long)]] = Queries.map { q =>
       q -> dirs.map { case (k, dir) =>
@@ -154,19 +156,18 @@ object ScaleProbe {
     // production answer is the env-backed dial — srpBits + ⌈log2 k⌉
     // holds occupancy (and so per-bucket work) constant. Measure q92
     // under exactly that operating procedure.
+    val baseBits = graft.core.SketchGeometry.fromEnv().srpBits
     val q92Cells = dirs.map { case (k, dir) =>
-      val bits = 8 + (math.log(k.toDouble) / math.log(2.0)).ceil.toInt
-      val g = graft.core.SketchGeometry.fromEnv(Map("GRAFT_SRP_BITS" -> bits.toString))
+      val bits = baseBits + (math.log(k.toDouble) / math.log(2.0)).ceil.toInt
+      // overlay ONLY the bits override on the real env — a synthetic Map
+      // would silently reset every other geometry knob (embeddingDim,
+      // probe radius, ...) to defaults and probe a different operator
+      // than the session's
+      val g = graft.core.SketchGeometry.fromEnv(
+        sys.env + ("GRAFT_SRP_BITS" -> bits.toString))
       val fn = graft.queries.LlmOps.q92WithGeometry(g)
-      def once(): (Double, Long) = {
-        val t0 = System.nanoTime()
-        val n = fn(spark, dir).count()
-        val dt = (System.nanoTime() - t0) / 1e9
-        graft.core.CacheScope.drain(); System.gc()
-        (dt, n)
-      }
-      once()
-      val best = Seq(once(), once()).minBy(_._1)
+      timeFn(fn, dir) // warm, untimed — same protocol as the main table
+      val best = Seq(timeFn(fn, dir), timeFn(fn, dir)).minBy(_._1)
       System.err.println(f"[scaleprobe] q92 k=$k bits=$bits: ${best._1}%.2f s (${best._2} rows)")
       (k, bits, best._1, best._2)
     }

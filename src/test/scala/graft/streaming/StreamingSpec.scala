@@ -174,27 +174,43 @@ class StreamingSpec extends SparkSpec {
       .withWatermark("ts", "10 minutes")
       .as[(Timestamp, Long, Double)]
       .groupByKey(_._2)
-      .flatMapGroupsWithState[RunningCounters.State, (Long, Long, Double)](
+      .flatMapGroupsWithState[RunningCounters.TtlState, (Long, Long, Double)](
         OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
         RunningCounters.updateGroupTtl(30 * 60_000L)
       ).toDF("user", "n", "total")
     val q = counted.writeStream.outputMode(OutputMode.Update)
       .format("memory").queryName("s80_out").start()
     try {
-      in.addData((ts(0), 1L, 1.0), (ts(1), 1L, 2.0))
-      q.processAllAvailable() // user 1: n=2
-      // advance the watermark far past user 1's ts(1)+30min timeout: the
+      in.addData((ts(0), 1L, 1.0), (ts(5), 1L, 2.0))
+      q.processAllAvailable() // user 1: n=2, newest event ts(5), timeout ts(35)
+      // an OUT-OF-ORDER row (older than the newest already folded, still
+      // above the watermark) must not move the timeout earlier: the TTL
+      // anchors to the newest event EVER seen (stored in state), not to
+      // the current batch's max
+      in.addData((ts(1), 1L, 4.0))
+      q.processAllAvailable() // n=3, timeout still ts(35)
+      in.addData((ts(42), 9L, 5.0))
+      q.processAllAvailable() // watermark → ts(32): past a buggy ts(31) timeout
+      in.addData((ts(33), 1L, 7.0))
+      q.processAllAvailable()
+      // a batch-max timeout would have evicted at watermark ts(32) and
+      // restarted here at n=1; the stored-max timeout (ts(35)) must resume
+      val afterOoo = spark.table("s80_out").filter(col("user") === 1L)
+        .select(col("n"), col("total")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(afterOoo.last == ((4L, 14.0)),
+        s"out-of-order row moved the TTL earlier (premature eviction): $afterOoo")
+      // advance the watermark far past user 1's ts(33)+30min timeout: the
       // timeout batch must EVICT user 1's state
       in.addData((ts(600), 9L, 5.0))
       q.processAllAvailable()
       // user 1 returns after eviction: the counter must restart at 1,
-      // not resume at 3 — the TTL semantic, distinguishable from s74
+      // not resume at 5 — the TTL semantic, distinguishable from s74
       in.addData((ts(620), 1L, 7.0))
       q.processAllAvailable()
       val user1 = spark.table("s80_out").filter(col("user") === 1L)
         .select(col("n"), col("total")).collect()
         .map(r => (r.getLong(0), r.getDouble(1))).toSeq
-      assert(user1.contains((2L, 3.0)), s"pre-eviction counters wrong: $user1")
       assert(user1.last == ((1L, 7.0)),
         s"returning user did not restart from zero after TTL eviction: $user1")
       // and the state store really shrank: eviction is observable in the
