@@ -315,6 +315,63 @@ object LlmOps {
         col("score")))
   }
 
+  /** q68: dedup cluster assignment — the step BETWEEN pair-finding and
+    * deduping: q81's verified near-dup pairs form a graph whose
+    * connected components are the duplicate clusters (keep
+    * doc == cluster_id, drop the rest). Labels converge by min-label
+    * propagation: each iteration joins the edge list to the current
+    * labels and takes the per-node min — one shuffle per iteration,
+    * iteration count = the largest cluster's diameter + 1 confirming
+    * round (near-dup clusters are shallow: star-shaped around a source
+    * doc — measured 2 rounds total at sf0.1; the large-star/small-star
+    * alternation from the connected-components literature is the
+    * drop-in replacement if a pathological chain ever shows up). The
+    * loop is a driver loop over DISTRIBUTED steps — per-iteration work
+    * is joins/aggregations, the driver only compares the monotone
+    * label-sum scalar for convergence.
+    *
+    * Cost shape, measured: at toy scale the wall is FIXED overhead —
+    * the q81 pair recompute plus ~1.5 s/round of scheduling and fresh
+    * codegen (each round is a new plan), with the 12 k edge rows
+    * contributing nothing. ScaleProbe shows the flat growth: 8× data
+    * moves the wall barely at all, because round count depends on
+    * cluster diameter, not corpus size — which is also why the shape
+    * holds at 100 TB, where the same 2–3 rounds amortize the overhead
+    * over real shuffle volume. FULLY ORACLED: DuckDB computes the same
+    * components with a recursive CTE (min reachable id over the
+    * undirected graph). */
+  val q68DedupClusters: Q = (spark, dir) => {
+    val pairs = q81DedupMinhash(spark, dir).select(col("d1"), col("d2"))
+    val edges = pairs.unionByName(
+        pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .toDF("src", "dst").scopedPersist
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).scopedPersist
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).collect()(0).getLong(0)
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < 25) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("node"))
+        .groupBy(edges("src").as("n2")).agg(min(col("label")).as("nlabel"))
+      val next = labels.join(neighborMin, labels("node") === neighborMin("n2"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .scopedPersist
+      val s = labelSum(next)
+      converged = s == prevSum // min-propagation: sum strictly decreases until fixpoint
+      prevSum = s
+      labels = next
+      iter += 1
+    }
+    require(converged, s"label propagation did not converge in $iter iterations")
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    orderAll(labels.join(sizes, Seq("label"))
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size")))
+  }
+
   /** Shingles with document frequency above this carry no near-dup signal
     * (they're corpus boilerplate) but dominate the inverted-index
     * self-join, whose work is Σ df² over shingles — at sf0.1 the uncapped
@@ -939,6 +996,7 @@ object LlmOps {
     "q64_repetition_filter" -> q64RepetitionFilter,
     "q65_dedup_incremental" -> q65DedupIncremental,
     "q67_tfidf_terms" -> q67TfidfTerms,
+    "q68_dedup_clusters" -> q68DedupClusters,
     "q80_dedup_exact" -> q80DedupExact,
     "q95_sample_hash" -> q95SampleHash,
     "q96_quota_per_lang" -> q96QuotaPerLang,
@@ -1105,6 +1163,44 @@ object LlmOps {
         |   AND NOT regexp_matches(scrubbed, '\b\d{3}-\d{2}-\d{4}\b')) AS clean
         |FROM s
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST""".stripMargin,
+    "q68_dedup_clusters" ->
+      // pair CTEs duplicated verbatim from q81's oracle (same corpus
+      // plant, same exact-Jaccard >= 0.5 pairs); the recursive member
+      // computes min-reachable-id over the undirected pair graph —
+      // exactly what min-label propagation converges to
+      """WITH RECURSIVE dd AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    string_split(text, ' ')[1:len(string_split(text, ' ')) - 1]
+        |  FROM documents),
+        |docs AS (SELECT * FROM dd WHERE len(toks) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS sh
+        |  FROM docs, unnest(range(1, len(toks) - 1)) AS t(i)),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |prs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |vp AS (
+        |  SELECT d1, d2 FROM prs
+        |  JOIN sizes s1 ON s1.doc_id = d1
+        |  JOIN sizes s2 ON s2.doc_id = d2
+        |  WHERE CAST(common AS DOUBLE) / (s1.n_sh + s2.n_sh - common) >= 0.5),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM vp
+        |          UNION ALL SELECT d2, d1 FROM vp),
+        |reach(n, m) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        |  UNION
+        |  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m),
+        |lbl AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+        |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        |       FROM lbl GROUP BY 1)
+        |SELECT l.doc_id, l.cluster_id, sz.cluster_size
+        |FROM lbl l JOIN sz USING (cluster_id)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "q99_dataset_mixture" ->
       // q94's pmod-parity bucket, gated per-source by the same rate CASE
       """WITH b AS (
