@@ -341,6 +341,9 @@ object LlmOps {
     * components with a recursive CTE (min reachable id over the
     * undirected graph). */
   val q68DedupClusters: Q = (spark, dir) => {
+    // both union branches reference `pairs`; q81's INTERNAL persists make
+    // the second traversal cheap (measured: an extra persist here only
+    // adds a materialization layer), and `edges` is cached for the loop
     val pairs = q81DedupMinhash(spark, dir).select(col("d1"), col("d2"))
     val edges = pairs.unionByName(
         pairs.select(col("d2").as("d1"), col("d1").as("d2")))
