@@ -213,6 +213,26 @@ class LlmOpsSpec extends SparkSpec {
       "a planted doc's length was unchanged by scrubbing")
   }
 
+  test("q68: every near-dup pair shares a cluster and cluster ids are member minima") {
+    // the two invariants the DuckDB recursive-CTE oracle encodes, pinned
+    // directly: (a) pair consistency — q81's edges never straddle two
+    // clusters (transitivity falls out: a chain a~b~c must share one
+    // label); (b) canonical labels — each cluster's id is the min doc_id
+    // among its members, so keep = (doc_id == cluster_id) is well-defined
+    val pairs = LlmOps.q81DedupMinhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cl = LlmOps.q68DedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.nonEmpty && cl.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(cl(a) == cl(b), s"pair ($a, $b) straddles clusters ${cl(a)} / ${cl(b)}")
+    }
+    cl.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.keys.min == c,
+        s"cluster $c is not its members' min id: ${members.keys.toSeq.sorted.take(5)}")
+    }
+  }
+
   test("CacheScope: LlmOps caches are tracked and fully released by drain") {
     graft.core.CacheScope.drain() // clear anything earlier tests left behind
     spark.sharedState.cacheManager.clearCache()
