@@ -21,7 +21,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ScanProject.defs ++ Joins.defs ++ Aggregates.defs ++ Windows.defs ++
       SortSetOps.defs ++ Subqueries.defs ++ Functions.defs ++
-      StreamWindows.defs ++ LlmOps.defs ++ MultiModal.defs ++ Curation.defs
+      StreamWindows.defs ++ LlmOps.defs ++ MultiModal.defs ++ Curation.defs ++
+      CorpusOps.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,5 @@ object SparkEntry {
     ScanProject.oracles ++ Joins.oracles ++ Aggregates.oracles ++
       Windows.oracles ++ SortSetOps.oracles ++ Subqueries.oracles ++
       Functions.oracles ++ StreamWindows.oracles ++ LlmOps.oracles ++
-      MultiModal.oracles ++ Curation.oracles
+      MultiModal.oracles ++ Curation.oracles ++ CorpusOps.oracles
 }

@@ -1,0 +1,316 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [EXT] Corpus-preparation operators, round 8 of the LLM-pipeline
+  * surface (SURVEY.md §2.2): substring-containment dedup, statistical
+  * quality scoring, per-language length banding, deterministic
+  * shuffle-sharding for training order, and embedding cluster
+  * assignment. All follow the package determinism rules (total ORDER BY,
+  * engine-exact integer arithmetic where possible, round-to-6dp only
+  * where doubles are unavoidable) and the fingerprints-not-bodies
+  * shuffle posture.
+  */
+object CorpusOps {
+
+  private def shingleDfCap = LlmOps.geom.shingleDfCap
+
+  /** q69: substring-containment dedup — flag documents whose full token
+    * sequence appears as a contiguous run inside another document (the
+    * truncation/quotation duplicate class that hash dedup misses: the
+    * texts differ, so q80 keeps both, yet the shorter adds no new
+    * content). Containment is TOKEN-aligned (both texts padded with
+    * sentinel spaces before the substring test), so a token that merely
+    * ends with another doc's first word cannot fake a match.
+    *
+    * Candidate generation is linear, never all-pairs: a containee's
+    * FIRST 3-token shingle must appear among the container's shingles,
+    * so each doc probes the q88-style inverted index with exactly ONE
+    * key. Work is Σ over docs of df(first shingle), bounded by the
+    * shared df-cap ([[graft.core.SketchGeometry]] `shingleDfCap`, its
+    * Σ df² boilerplate argument) — a doc whose OPENING trigram is
+    * corpus boilerplate is undiscoverable by this index, a recall
+    * sacrifice mirrored exactly in the oracle so both engines agree.
+    * Shingles are xxhash64 fingerprints (8-byte join keys; membership-
+    * invariant vs the oracle's string shingles, q88's argument), the
+    * candidate join moves id pairs only, and bodies are fetched by id
+    * for candidate rows alone — at 100 TB the containment verify
+    * touches O(candidates) documents, not O(corpus²).
+    *
+    * Drop rule (which side of a verified pair is the duplicate): the
+    * strictly shorter text, ties (equal length ⇒ identical token-aligned
+    * text) to the higher doc_id — so exactly one side of an
+    * equal-text pair is flagged and the output is deterministic. */
+  val q69DedupSubstring: Q = (spark, dir) => {
+    val d = LlmOps.docsWithNearDups(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+    // inverted shingle index, per-doc-distinct built narrow (q88's shape)
+    val shingles = d.select(col("doc_id"),
+        explode(array_distinct(transform(sequence(lit(1), size(col("toks")) - 2),
+          i => xxhash64(
+            element_at(col("toks"), i),
+            element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2)))))
+          .as("sh"))
+      .scopedPersist
+    val informative = shingles.groupBy("sh")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= shingleDfCap)
+      .select("sh")
+      .scopedPersist
+    val idx = shingles.join(informative, Seq("sh"))
+    // one probe key per doc: the opening shingle
+    val containees = d.select(col("doc_id").as("ce_id"),
+        xxhash64(element_at(col("toks"), 1), element_at(col("toks"), 2),
+          element_at(col("toks"), 3)).as("sh"))
+      .join(informative, Seq("sh"))
+    // id-only candidate pairs (idx is per-doc-distinct, so no dedup needed)
+    val cand = containees.join(idx, Seq("sh"))
+      .filter(col("doc_id") =!= col("ce_id"))
+      .select(col("ce_id"), col("doc_id").as("cont_id"))
+    // bodies join the plan here, for candidate rows only
+    val verified = cand
+      .join(d.select(col("doc_id").as("ce_id"), col("text").as("ce_text")), Seq("ce_id"))
+      .join(d.select(col("doc_id").as("cont_id"), col("text").as("cont_text")), Seq("cont_id"))
+      .filter(instr(concat(lit(" "), col("cont_text"), lit(" ")),
+        concat(lit(" "), col("ce_text"), lit(" "))) > 0)
+      .filter(length(col("ce_text")) < length(col("cont_text")) ||
+        (length(col("ce_text")) === length(col("cont_text")) &&
+          col("ce_id") > col("cont_id")))
+    orderAll(verified.groupBy(col("ce_id").as("doc_id"))
+      .agg(min(col("cont_id")).as("kept_by"), count(lit(1)).as("n_containers")))
+  }
+
+  /** q70: statistical rarity score — mean inverse corpus frequency of a
+    * document's tokens, the unigram-LM quality signal (a doc of rare
+    * tokens scores high: gibberish, boilerplate-free prose, or OCR
+    * noise; a doc of corpus-dominant tokens scores ~1). Deliberately
+    * engine-EXACT where LM scoring is usually float-fuzzy: per-token
+    * inverse frequency is computed in parts-per-million with BIGINT
+    * floor division ((1e6 · total) div ct — exact on any engine), summed
+    * exactly, and only the final two divisions are double (each IEEE
+    * correctly-rounded, so bit-identical everywhere) — no ln(), whose
+    * last-ulp value is libm-specific and would make the 6-dp hash gate
+    * probabilistic.
+    *
+    * 100 TB: the vocabulary table is the groupBy of the exploded token
+    * stream (map-side combinable on the token key); the corpus total
+    * rides on it via a single-partition window over the AGGREGATE (rows
+    * ≪ corpus — a web-scale vocab swaps this for a two-level count);
+    * per-doc scoring joins tokens to it BROADCAST (beyond broadcast
+    * range, a shuffle join on the token key), then aggregates partial
+    * sums per doc — the only corpus-sized shuffles are keyed on token
+    * and doc_id. */
+  val q70RarityScore: Q = (spark, dir) => {
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .scopedPersist
+    // the corpus total rides ON the vocab table (a window over the
+    // already-aggregated vocabulary — rows ≪ corpus), so the exploded
+    // token stream joins exactly once, broadcast, and no corpus-side
+    // cross join exists anywhere in the plan
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("ct"))
+      .withColumn("total", sum(col("ct")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val scored = toks
+      .join(broadcast(vocab), Seq("tok"))
+      .select(col("doc_id"), expr("(1000000 * total) div ct").as("ippm"))
+    orderAll(scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum(col("ippm")).as("sum_ippm"))
+      .select(col("doc_id"), col("n_toks"),
+        round(col("sum_ippm") / col("n_toks") / lit(1000000.0), 6).as("rarity6")))
+  }
+
+  /** q71: per-language length-band filter — keep documents inside the
+    * [5th, 95th] percentile of n_chars for their language, the standard
+    * outlier cut before training (truncated fragments below, concatenated
+    * junk above). The band bounds are ORDER-STATISTIC exact, not
+    * interpolated: rank k_lo = ⌈n/20⌉ and k_hi = ⌈19n/20⌉ over
+    * (n_chars, doc_id), in pure integer arithmetic — quantile_cont-style
+    * interpolation differs in last-ulp formula between engines, order
+    * statistics cannot.
+    *
+    * 100 TB: one shuffle (the per-lang window); bounds are a
+    * #languages-row table joined back broadcast. The in-partition sort is
+    * the cost at scale — the approximate path is percentile_approx over
+    * the same key feeding the same broadcast join, swappable without
+    * changing the output contract. */
+  val q71LengthBandFilter: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    val ranked = d.select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+    val bounds = ranked
+      .filter(col("rn") === ((col("n") + 19) / 20).cast("long") ||
+        col("rn") === ((col("n") * 19 + 19) / 20).cast("long"))
+      .groupBy("lang")
+      .agg(min(when(col("rn") === ((col("n") + 19) / 20).cast("long"), col("n_chars"))).as("lo"),
+        max(when(col("rn") === ((col("n") * 19 + 19) / 20).cast("long"), col("n_chars"))).as("hi"))
+    orderAll(d.select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(broadcast(bounds), Seq("lang"))
+      .filter(col("n_chars").between(col("lo"), col("hi")))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("lo"), col("hi")))
+  }
+
+  /** q72: deterministic shuffle-shard — the training-order primitive:
+    * assign every document a pseudo-random but REPRODUCIBLE (shard,
+    * position) so a 1000-reader data loader streams a fixed global
+    * permutation with no coordination. The mix is q94's engine-neutral
+    * Knuth multiplicative hash mod 1e9+7 (exact BIGINT on any engine —
+    * no xxhash64, which the oracle cannot evaluate); shard = mix mod 8,
+    * position = rank of mix within the shard, global_pos interleaves
+    * shards round-robin ((pos−1)·8 + shard) so readers draw from all
+    * shards uniformly.
+    *
+    * 100 TB: one shuffle keyed on shard; the rank is a per-shard window
+    * (32 → #shards parallel sorts, each over mix values — at production
+    * scale shard count scales with the cluster, not 8). No global
+    * single-partition window anywhere. */
+  val q72ShuffleShard: Q = (spark, dir) => {
+    val P = 1000000007L
+    val mix = pmod(pmod(col("doc_id"), lit(P)) * lit(2654435761L), lit(P))
+    val w = Window.partitionBy(col("shard")).orderBy(col("mix"), col("doc_id"))
+    orderAll(t(spark, dir, "documents")
+      .select(col("doc_id"), mix.as("mix"))
+      .withColumn("shard", pmod(col("mix"), lit(8L)))
+      .withColumn("shard_pos", row_number().over(w))
+      .select(col("doc_id"), col("shard"),
+        col("shard_pos").cast("long").as("shard_pos"),
+        ((col("shard_pos") - 1).cast("long") * 8 + col("shard")).as("global_pos")))
+  }
+
+  /** q73: embedding cluster assignment — nearest-centroid labeling, the
+    * assignment step of k-means and the partitioner behind
+    * cluster-balanced sampling and semantic sharding. Centroids are the
+    * 8 lowest vec_id vectors (deterministic seed — Lloyd iterations
+    * would reuse this exact operator with updated centroids); each
+    * vector gets the centroid maximizing cosine (computed by the native
+    * [[graft.functions.CosineSimilarity]] expression, q82's), ties to
+    * the lower centroid id at 6 dp.
+    *
+    * 100 TB: centroids broadcast (k vectors), similarity computed
+    * map-side via BroadcastNestedLoopJoin, and the arg-max is
+    * groupBy(vec_id).max(struct(cos6, −c_id)) — lexicographic struct
+    * max, partially aggregated map-side, so the one shuffle carries a
+    * 24-byte struct per vector, never the k-fanned scores (a window
+    * row_number over the k·n rows would shuffle k× that). */
+  val q73ClusterAssign: Q = (spark, dir) => {
+    graft.functions.CosineSimilarity.register(spark)
+    val v = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val cent = v.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+    val best = v.crossJoin(broadcast(cent))
+      .select(col("vec_id"),
+        struct(round(expr("cosine_sim(e, ce)"), 6).as("cos6"),
+          (-col("c_id")).as("nid")).as("sc"))
+      .groupBy("vec_id").agg(max(col("sc")).as("m"))
+    orderAll(best.select(col("vec_id"),
+      (-col("m.nid")).as("centroid_id"), col("m.cos6").as("cos6")))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q69_dedup_substring" -> q69DedupSubstring,
+    "q70_rarity_score" -> q70RarityScore,
+    "q71_length_band_filter" -> q71LengthBandFilter,
+    "q72_shuffle_shard" -> q72ShuffleShard,
+    "q73_cluster_assign" -> q73ClusterAssign)
+
+  val oracles: Map[String, String] = Map(
+    "q69_dedup_substring" ->
+      s"""WITH dd AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string(string_split(text, ' ')[1:len(string_split(text, ' ')) - 1], ' ')
+        |  FROM documents),
+        |docs AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM dd
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh_all AS (
+        |  SELECT DISTINCT doc_id,
+        |    toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS sh
+        |  FROM docs, unnest(range(1, len(toks) - 1)) AS t(i)),
+        |informative AS (SELECT sh FROM sh_all GROUP BY sh HAVING count(*) <= $shingleDfCap),
+        |idx AS (SELECT s.doc_id, s.sh FROM sh_all s JOIN informative USING (sh)),
+        |ce AS (
+        |  SELECT doc_id AS ce_id, toks[1] || ' ' || toks[2] || ' ' || toks[3] AS sh
+        |  FROM docs),
+        |cei AS (SELECT c.* FROM ce c JOIN informative USING (sh)),
+        |cand AS (
+        |  SELECT cei.ce_id, i.doc_id AS cont_id
+        |  FROM cei JOIN idx i USING (sh) WHERE i.doc_id <> cei.ce_id),
+        |ver AS (
+        |  SELECT cand.ce_id, cand.cont_id
+        |  FROM cand
+        |  JOIN dd a ON a.doc_id = cand.ce_id
+        |  JOIN dd b ON b.doc_id = cand.cont_id
+        |  WHERE strpos(' ' || b.text || ' ', ' ' || a.text || ' ') > 0
+        |    AND (len(a.text) < len(b.text)
+        |         OR (len(a.text) = len(b.text) AND a.doc_id > b.doc_id)))
+        |SELECT ce_id AS doc_id, min(cont_id) AS kept_by, count(*) AS n_containers
+        |FROM ver GROUP BY 1
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    "q70_rarity_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t.tok FROM documents,
+        |    unnest(string_split(text, ' ')) AS t(tok)
+        |  WHERE t.tok <> ''),
+        |vocab AS (SELECT tok, count(*) AS ct FROM toks GROUP BY tok),
+        |tot AS (SELECT sum(ct) AS total FROM vocab),
+        |scored AS (
+        |  SELECT doc_id, (1000000 * total) // ct AS ippm
+        |  FROM toks JOIN vocab USING (tok) CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_toks,
+        |  round(sum(ippm) / count(*) / 1000000.0, 6) AS rarity6
+        |FROM scored GROUP BY doc_id
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    "q71_length_band_filter" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents),
+        |bounds AS (
+        |  SELECT lang,
+        |    min(CASE WHEN rn = (n + 19) // 20 THEN n_chars END) AS lo,
+        |    max(CASE WHEN rn = (n * 19 + 19) // 20 THEN n_chars END) AS hi
+        |  FROM ranked
+        |  WHERE rn = (n + 19) // 20 OR rn = (n * 19 + 19) // 20
+        |  GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_chars, b.lo, b.hi
+        |FROM documents d JOIN bounds b USING (lang)
+        |WHERE d.n_chars BETWEEN b.lo AND b.hi
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
+    "q72_shuffle_shard" ->
+      """WITH m AS (
+        |  SELECT doc_id, ((doc_id % 1000000007) * 2654435761) % 1000000007 AS mix
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, mix, mix % 8 AS shard,
+        |    row_number() OVER (PARTITION BY mix % 8 ORDER BY mix, doc_id) AS shard_pos
+        |  FROM m)
+        |SELECT doc_id, shard, CAST(shard_pos AS BIGINT) AS shard_pos,
+        |  CAST((shard_pos - 1) * 8 + shard AS BIGINT) AS global_pos
+        |FROM s
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
+    "q73_cluster_assign" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cent AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT v.vec_id, c.c_id,
+        |    round(list_dot_product(v.e, c.ce) /
+        |      (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.ce, c.ce))), 6) AS cos6
+        |  FROM v CROSS JOIN cent c),
+        |r AS (
+        |  SELECT vec_id, c_id, cos6,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos6 DESC, c_id ASC) AS rn
+        |  FROM scored)
+        |SELECT vec_id, c_id AS centroid_id, cos6 FROM r WHERE rn = 1
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin)
+}

@@ -63,7 +63,7 @@ object LlmOps {
 
   /** Documents unioned with a mutated copy (last token dropped, id+1e6):
     * guaranteed near-duplicates for q88/q89. */
-  private def docsWithNearDups(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def docsWithNearDups(spark: SparkSession, dir: String): DataFrame = {
     val d = t(spark, dir, "documents")
     val toks = split(col("text"), " ")
     val mutated = d

@@ -1,0 +1,113 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Behavioral contracts for the round-8 corpus-preparation operators
+  * (CorpusOps). The DuckDB oracles pin exact values; these pin the
+  * SEMANTIC invariants that stay true on any corpus — so a fixture
+  * regeneration can't silently green a wrong implementation. */
+class CorpusOpsSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q69: every flagged doc is genuinely contained in its kept_by container") {
+    // re-verify the output against the corpus: token-aligned containment
+    // must hold for the (doc_id, kept_by) pair the query reports, the
+    // drop rule must point at the survivor, and nothing self-references
+    val out = CorpusOps.q69DedupSubstring(spark, sf)
+    val corpus = LlmOps.docsWithNearDups(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val reverified = out
+      .join(corpus.withColumnRenamed("doc_id", "did").withColumnRenamed("text", "ce_text"),
+        col("doc_id") === col("did"))
+      .join(corpus.withColumnRenamed("doc_id", "kid").withColumnRenamed("text", "cont_text"),
+        col("kept_by") === col("kid"))
+    val n = out.count()
+    assert(n > 0, "no containment found despite planted truncation copies")
+    assert(out.filter(col("doc_id") === col("kept_by")).count() == 0)
+    val holds = reverified.filter(
+      instr(concat(lit(" "), col("cont_text"), lit(" ")),
+        concat(lit(" "), col("ce_text"), lit(" "))) > 0 &&
+      (length(col("ce_text")) < length(col("cont_text")) ||
+        (length(col("ce_text")) === length(col("cont_text")) &&
+          col("doc_id") > col("kept_by")))).count()
+    assert(holds == n, s"${n - holds} flagged pairs fail re-verification")
+  }
+
+  test("q69: the planted truncation copies are found (recall on discoverable plants)") {
+    // each mutated doc (id+1e6, last token dropped) is a true substring
+    // of its original; the only sanctioned misses are docs shorter than
+    // one shingle or whose OPENING trigram is df-capped boilerplate —
+    // at sf0.001 that must still leave the vast majority discoverable
+    val out = CorpusOps.q69DedupSubstring(spark, sf)
+    val planted = out.filter(col("doc_id") >= 1000000L).count()
+    val total = LlmOps.docsWithNearDups(spark, sf)
+      .filter(col("doc_id") >= 1000000L).count()
+    assert(planted >= (total * 8) / 10,
+      s"only $planted of $total planted truncation copies flagged")
+  }
+
+  test("q70: rarity is >= 1, spread is real, and the score is reproducible") {
+    // mean inverse relative frequency: every per-token term is
+    // (1e6·total) div ct >= 1e6 since ct <= total, so the mean is >= 1
+    // on ANY corpus; equality only for a corpus of one repeated token
+    val r = CorpusOps.q70RarityScore(spark, sf)
+    val rows = r.collect()
+    assert(rows.length == 500)
+    assert(rows.forall(_.getDouble(2) >= 1.0))
+    assert(rows.map(_.getDouble(2)).distinct.length > 100,
+      "rarity collapsed to a near-constant — frequency join is broken")
+    assert(rows.sameElements(CorpusOps.q70RarityScore(spark, sf).collect()))
+  }
+
+  test("q71: the band keeps ~90% per language and bounds are corpus order statistics") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val kept = CorpusOps.q71LengthBandFilter(spark, sf)
+    val fr = kept.groupBy("lang").agg(count(lit(1)).as("k"))
+      .join(d.groupBy("lang").agg(count(lit(1)).as("n")), Seq("lang"))
+      .select(col("lang"), col("k").cast("double") / col("n"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(fr.nonEmpty)
+    fr.foreach { case (lang, f) =>
+      assert(f >= 0.85 && f <= 0.97, s"$lang kept fraction $f outside the p5–p95 band")
+    }
+    // lo/hi must be actual observed lengths for the language, not interpolations
+    val badBounds = kept.select(col("lang"), col("lo")).distinct()
+      .unionByName(kept.select(col("lang"), col("hi").as("lo")).distinct())
+      .join(d.select(col("lang"), col("n_chars")).distinct()
+        .withColumnRenamed("n_chars", "lo"), Seq("lang", "lo"), "left_anti")
+      .count()
+    assert(badBounds == 0, "a band bound is not an observed n_chars value")
+  }
+
+  test("q72: shards are dense permutations and the interleave is collision-free") {
+    val s = CorpusOps.q72ShuffleShard(spark, sf)
+    val n = s.count()
+    assert(n == 500)
+    assert(s.select("doc_id").distinct().count() == n)
+    assert(s.select("global_pos").distinct().count() == n,
+      "global interleave produced colliding positions")
+    assert(s.filter(col("shard") < 0 || col("shard") > 7).count() == 0)
+    // per shard, positions are exactly 1..count (dense rank, no gaps)
+    val dense = s.groupBy("shard")
+      .agg(count(lit(1)).as("c"), max(col("shard_pos")).as("m"),
+        min(col("shard_pos")).as("lo"))
+      .filter(col("m") =!= col("c") || col("lo") =!= 1)
+      .count()
+    assert(dense == 0, "a shard's positions are not a dense 1..n sequence")
+  }
+
+  test("q73: assignment is total, self-consistent for centroids, and cosine-bounded") {
+    val a = CorpusOps.q73ClusterAssign(spark, sf).collect()
+    assert(a.length == 500)
+    assert(a.forall(r => r.getDouble(2) >= -1.000001 && r.getDouble(2) <= 1.000001))
+    // a centroid's nearest centroid is itself, at cosine exactly 1
+    val self = a.filter(_.getLong(0) < 8)
+    assert(self.length == 8)
+    self.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0), s"centroid ${r.getLong(0)} assigned elsewhere")
+      assert(r.getDouble(2) == 1.0)
+    }
+    assert(a.map(_.getLong(1)).distinct.length > 1, "all vectors collapsed to one cluster")
+  }
+}

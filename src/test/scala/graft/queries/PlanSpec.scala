@@ -43,8 +43,10 @@ class PlanSpec extends SparkSpec {
   test("no cartesian or nested-loop join anywhere in the declared surface") {
     // q82 is the documented brute-force baseline: a BroadcastNestedLoop
     // against a 10-row broadcast query set IS the intended plan (the
-    // corpus-scale path is q91's bucketed join).
-    val exempt = Set("q82_similarity_topk")
+    // corpus-scale path is q91's bucketed join). q73's nearest-centroid
+    // fan-out against the k-row broadcast centroid table is the same
+    // deliberate shape (k = 8; the scan side streams map-side).
+    val exempt = Set("q82_similarity_topk", "q73_cluster_assign")
     val offenders = (graft.SparkEntry.queries.keySet -- exempt).toSeq.sorted.filter { name =>
       val p = plan(name)
       p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
@@ -285,6 +287,68 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.exists(l =>
       l.contains("WindowGroupLimit") && l.contains("Partial")),
       s"no map-side partial group limit:\n$p")
+  }
+
+  test("q69: shingle-keyed candidate joins move ids, never document bodies") {
+    // substring dedup's scale contract: the inverted-index probe and the
+    // df-cap join shuffle (id, 8-byte shingle hash) rows; bodies enter
+    // the plan only through the id-keyed verify joins on candidate rows
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val lp = graft.SparkEntry.queries("q69_dedup_substring")(spark, sf)
+      .queryExecution.optimizedPlan
+    val shJoins = lp.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "sh")) => j
+    }
+    assert(shJoins.nonEmpty, s"no shingle-keyed join in q69's plan:\n$lp")
+    shJoins.foreach { j =>
+      val carried = (j.left.output ++ j.right.output).map(_.name)
+        .filter(_.contains("text"))
+      assert(carried.isEmpty,
+        s"a shingle-keyed join carries document bodies ($carried):\n$lp")
+    }
+  }
+
+  test("q70: the vocabulary join is broadcast and per-doc scoring aggregates partially") {
+    // the token stream joins its frequency table broadcast (no shuffle of
+    // the exploded corpus against the vocab) and both groupBys are
+    // two-phase — map-side combine before any exchange
+    val p = plan("q70_rarity_score")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q71: one corpus shuffle; band bounds join back broadcast") {
+    // the per-lang window is the only hash exchange (the bounds groupBy
+    // reuses the window's lang partitioning) and the final filter joins
+    // the #languages-row bounds table broadcast
+    val p = plan("q71_length_band_filter")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("Exchange hashpartitioning\\(lang".r.findAllIn(p).size == 1,
+      s"expected exactly one lang hash exchange:\n$p")
+  }
+
+  test("q72: sharding is one hash exchange and no global sort") {
+    // shard_pos is a PER-SHARD window: a plan that funnels the corpus
+    // through a single partition (global row_number) dies at scale
+    val p = plan("q72_shuffle_shard")
+    assert("Exchange hashpartitioning\\(shard".r.findAllIn(p).size == 1,
+      s"expected exactly one shard hash exchange:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global single-partition exchange in the sharding plan:\n$p")
+  }
+
+  test("q73: centroid fan-out is map-side; the one shuffle carries the argmax struct") {
+    // the k-row centroid table is broadcast (the BNLJ is the documented
+    // intended shape, exempted above) and the arg-max is a two-phase
+    // aggregate — the vec_id exchange moves one pre-reduced struct per
+    // vector, not the k-fanned score rows
+    val p = plan("q73_cluster_assign")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert("Exchange hashpartitioning\\(vec_id".r.findAllIn(p).size == 1,
+      s"expected exactly one vec_id hash exchange:\n$p")
+    assert(p.contains("partial_max") ||
+      "(?:Sort|ObjectHash|Hash)Aggregate".r.findAllIn(p).size >= 2,
+      s"arg-max is not partially aggregated:\n$p")
   }
 
   test("runtime bloom filter from a selective dim reaches the fact scan") {
