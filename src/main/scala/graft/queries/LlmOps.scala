@@ -319,54 +319,77 @@ object LlmOps {
     * deduping: q81's verified near-dup pairs form a graph whose
     * connected components are the duplicate clusters (keep
     * doc == cluster_id, drop the rest). Labels converge by min-label
-    * propagation: each iteration joins the edge list to the current
-    * labels and takes the per-node min — one shuffle per iteration,
-    * iteration count = the largest cluster's diameter + 1 confirming
-    * round (near-dup clusters are shallow: star-shaped around a source
-    * doc — measured 2 rounds total at sf0.1; the large-star/small-star
-    * alternation from the connected-components literature is the
-    * drop-in replacement if a pathological chain ever shows up). The
-    * loop is a driver loop over DISTRIBUTED steps — per-iteration work
-    * is joins/aggregations, the driver only compares the monotone
-    * label-sum scalar for convergence.
+    * propagation ACCELERATED with a pointer jump: each round takes the
+    * min over (own label, neighbors' labels, label-of-label), so the
+    * reached minimum compounds round-over-round and rounds are
+    * O(log longest-chain), not O(longest-chain) — measured: the sf0.001
+    * pair graph chains incidental cross-doc near-dups into a 14-hop
+    * path, 14 rounds under plain neighbor-min, 3 with the jump. The
+    * loop is a driver loop over DISTRIBUTED steps — per-round work is
+    * three joins over two label-table-sized frames, the driver only
+    * compares the monotone label-sum scalar for convergence.
     *
-    * Cost shape, measured: at toy scale the wall is FIXED overhead —
-    * the q81 pair recompute plus ~1.5 s/round of scheduling and fresh
-    * codegen (each round is a new plan), with the 12 k edge rows
-    * contributing nothing. ScaleProbe shows the flat growth: 8× data
-    * moves the wall barely at all, because round count depends on
-    * cluster diameter, not corpus size — which is also why the shape
-    * holds at 100 TB, where the same 2–3 rounds amortize the overhead
-    * over real shuffle volume. FULLY ORACLED: DuckDB computes the same
-    * components with a recursive CTE (min reachable id over the
-    * undirected graph). */
+    * Cost shape, measured (tools/Profile, sf0.001, local[8]): warm
+    * steady state 3.3 s total, ~0.3-0.5 s/round; the first rep pays the
+    * q81 pair pipeline. Round cost is scheduling floor at toy scale and
+    * shuffle volume of the (node, label) pair table — ~16 B/row — at
+    * 100 TB; round count depends on chain length, not corpus size
+    * (ScaleProbe: 8× data ⇒ same 3 rounds). FULLY ORACLED: DuckDB
+    * computes the same components with a recursive CTE (min reachable
+    * id over the undirected graph). */
   val q68DedupClusters: Q = (spark, dir) => {
     // both union branches reference `pairs`; q81's INTERNAL persists make
     // the second traversal cheap (measured: an extra persist here only
-    // adds a materialization layer), and `edges` is cached for the loop
+    // adds a materialization layer), and `edges` is checkpointed for the loop
+    // the loop's frames are localCheckpoint'ed, not persisted: a cached
+    // plan is substituted by CANONICAL-PLAN LOOKUP at analysis time, and
+    // round k's tree (edges and the round-(k-1) labels, each referenced
+    // through fresh self-joined aliases) reliably missed it — measured:
+    // ~15 s/round, the cost of silently recomputing the q81 pair
+    // pipeline inside every round. A checkpoint truncates the lineage to
+    // the materialized blocks themselves, so a round's plan is three
+    // joins over two tiny leaf tables no matter how deep the iteration.
+    // (local = no fault-tolerant storage in the sandbox; the production
+    // cluster swaps in reliable checkpoint() — same semantics.)
     val pairs = q81DedupMinhash(spark, dir).select(col("d1"), col("d2"))
     val edges = pairs.unionByName(
         pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-      .toDF("src", "dst").scopedPersist
+      .toDF("src", "dst").localCheckpoint(true)
     var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).scopedPersist
+      .withColumn("label", col("node")).localCheckpoint(true)
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("label")), lit(0L))).collect()(0).getLong(0)
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < 25) {
+      val t0 = System.nanoTime()
       val neighborMin = edges.join(labels, edges("dst") === labels("node"))
         .groupBy(edges("src").as("n2")).agg(min(col("label")).as("nlabel"))
-      val next = labels.join(neighborMin, labels("node") === neighborMin("n2"), "left")
+      val hop = labels.join(neighborMin, labels("node") === neighborMin("n2"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .scopedPersist
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("lbl1"))
+      // pointer jump: also take label(label(x)) from the current table.
+      // Neighbor-min alone moves a label ONE hop per round, so rounds =
+      // longest chain in the pair graph (measured 14 at sf0.001, where
+      // incidental cross-doc pairs chain clusters together); the jump
+      // lets the reached min compound round-over-round, collapsing the
+      // same graph in O(log chain) rounds. label(x) is always a node id
+      // in x's component, so the jump target's label is too — the
+      // fixpoint argument (stable ⇒ adjacent labels equal ⇒ component
+      // min everywhere) is unchanged.
+      val next = hop.join(
+          labels.select(col("node").as("pnode"), col("label").as("plabel")),
+          hop("lbl1") === col("pnode"), "left")
+        .select(col("node"),
+          least(col("lbl1"), coalesce(col("plabel"), col("lbl1"))).as("label"))
+        .localCheckpoint(true)
       val s = labelSum(next)
       converged = s == prevSum // min-propagation: sum strictly decreases until fixpoint
       prevSum = s
       labels = next
       iter += 1
+      System.err.println(f"[q68] round $iter: ${(System.nanoTime() - t0) / 1e9}%.2f s, labelSum=$s")
     }
     require(converged, s"label propagation did not converge in $iter iterations")
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
