@@ -199,7 +199,7 @@ object CorpusOps {
     * max, partially aggregated map-side, so the one shuffle carries a
     * 24-byte struct per vector, never the k-fanned scores (a window
     * row_number over the k·n rows would shuffle k× that). */
-  val q73ClusterAssign: Q = (spark, dir) => {
+  private def clusterScores(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
     val v = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
@@ -210,8 +210,64 @@ object CorpusOps {
         struct(round(expr("cosine_sim(e, ce)"), 6).as("cos6"),
           (-col("c_id")).as("nid")).as("sc"))
       .groupBy("vec_id").agg(max(col("sc")).as("m"))
-    orderAll(best.select(col("vec_id"),
-      (-col("m.nid")).as("centroid_id"), col("m.cos6").as("cos6")))
+    best.select(col("vec_id"),
+      (-col("m.nid")).as("centroid_id"), col("m.cos6").as("cos6"))
+  }
+
+  val q73ClusterAssign: Q = (spark, dir) => orderAll(clusterScores(spark, dir))
+
+  /** q74: cluster-balanced sampling — keep the m vectors CLOSEST to each
+    * centroid (by q73's assignment), the coreset/diversity step between
+    * clustering and training-set assembly: uniform sampling over-serves
+    * dominant modes, per-cluster top-m serves every mode equally. The
+    * rank<=m filter plans as a map-side WindowGroupLimit (pinned), so
+    * each map task forwards at most m rows per cluster — the shuffle is
+    * bounded by m·k rows regardless of corpus size.
+    *
+    * Ties at equal rounded similarity break to the lower vec_id,
+    * identically in the oracle's ORDER BY — the ranking is
+    * deterministic on both engines. */
+  val q74ClusterBalancedSample: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("centroid_id"))
+      .orderBy(col("cos6").desc, col("vec_id").asc)
+    orderAll(clusterScores(spark, dir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("centroid_id"), col("rnk"), col("vec_id"), col("cos6")))
+  }
+
+  /** q75: k-NN self-join — every vector's top-3 neighbors among its SRP
+    * bucket peers, the corpus×corpus generalization of q82's broadcast
+    * top-k (which requires a small query side; here BOTH sides are the
+    * corpus). Candidates come from the same env-backed SRP bucket code
+    * as q91/q92 (serialized into the oracle, so candidate sets match
+    * bit-for-bit); the bucket join moves (vec_id, bucket) rows only and
+    * vectors re-join by id for scoring — the q92 fingerprints-first
+    * shuffle posture. Bucket-local work is Σ occupancy², held constant
+    * by growing GRAFT_SRP_BITS with the corpus (measured under the
+    * geometry dial in SCALEPROBE.md §q92); a vector with no bucket peer
+    * has no neighbors at this probe radius — multi-probing (q91's
+    * hamming-ball expansion) is the recall knob and composes unchanged.
+    * Top-3 plans as a map-side WindowGroupLimit like q74. */
+  val q75KnnJoin: Q = (spark, dir) => {
+    graft.functions.CosineSimilarity.register(spark)
+    val v = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("bkt", LlmOps.srpBucket(col("e")))
+      .scopedPersist
+    val b = v.select(col("vec_id"), col("bkt"))
+    val cand = b.as("x").join(b.as("y"), Seq("bkt"))
+      .filter(col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("qid"), col("y.vec_id").as("nid"))
+    val scored = cand
+      .join(v.select(col("vec_id").as("qid"), col("e").as("qe")), Seq("qid"))
+      .join(v.select(col("vec_id").as("nid"), col("e").as("ne")), Seq("nid"))
+      .select(col("qid"), col("nid"),
+        round(expr("cosine_sim(qe, ne)"), 6).as("cos6"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos6").desc, col("nid").asc)
+    orderAll(scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("rnk"), col("nid"), col("cos6")))
   }
 
   val defs: Map[String, Q] = Map(
@@ -219,7 +275,9 @@ object CorpusOps {
     "q70_rarity_score" -> q70RarityScore,
     "q71_length_band_filter" -> q71LengthBandFilter,
     "q72_shuffle_shard" -> q72ShuffleShard,
-    "q73_cluster_assign" -> q73ClusterAssign)
+    "q73_cluster_assign" -> q73ClusterAssign,
+    "q74_cluster_balanced_sample" -> q74ClusterBalancedSample,
+    "q75_knn_join" -> q75KnnJoin)
 
   val oracles: Map[String, String] = Map(
     "q69_dedup_substring" ->
@@ -312,5 +370,38 @@ object CorpusOps {
         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos6 DESC, c_id ASC) AS rn
         |  FROM scored)
         |SELECT vec_id, c_id AS centroid_id, cos6 FROM r WHERE rn = 1
-        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    "q74_cluster_balanced_sample" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cent AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT v.vec_id, c.c_id,
+        |    round(list_dot_product(v.e, c.ce) /
+        |      (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.ce, c.ce))), 6) AS cos6
+        |  FROM v CROSS JOIN cent c),
+        |assign AS (
+        |  SELECT vec_id, c_id AS centroid_id, cos6,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos6 DESC, c_id ASC) AS rn
+        |  FROM scored),
+        |ranked AS (
+        |  SELECT centroid_id, vec_id, cos6,
+        |    CAST(row_number() OVER (PARTITION BY centroid_id
+        |      ORDER BY cos6 DESC, vec_id ASC) AS INT) AS rnk
+        |  FROM assign WHERE rn = 1)
+        |SELECT centroid_id, rnk, vec_id, cos6 FROM ranked WHERE rnk <= 10
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
+    "q75_knn_join" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |b AS (SELECT vec_id, e, ${LlmOps.srpBucketSql("e")} AS bkt FROM v),
+        |cand AS (
+        |  SELECT x.vec_id AS qid, y.vec_id AS nid,
+        |    round(list_dot_product(x.e, y.e) /
+        |      (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))), 6) AS cos6
+        |  FROM b x JOIN b y ON x.bkt = y.bkt AND x.vec_id <> y.vec_id),
+        |r AS (
+        |  SELECT qid, nid, cos6,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid ASC) AS INT) AS rnk
+        |  FROM cand)
+        |SELECT qid, rnk, nid, cos6 FROM r WHERE rnk <= 3
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin)
 }

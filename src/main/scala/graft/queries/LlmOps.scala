@@ -591,7 +591,7 @@ object LlmOps {
   /** The same bucket code as DuckDB SQL over a DOUBLE[] column: the ±1
     * matrix is serialized into list literals so candidate generation in
     * the oracle matches the engine bit-for-bit. */
-  private def srpBucketSql(col: String): String =
+  private[queries] def srpBucketSql(col: String): String =
     (0 until SrpBits).map { b =>
       val w = srpWeights(geom)(b).map(x => if (x > 0) "1.0" else "-1.0")
         .mkString("[", ",", "]")

@@ -110,4 +110,39 @@ class CorpusOpsSpec extends SparkSpec {
     }
     assert(a.map(_.getLong(1)).distinct.length > 1, "all vectors collapsed to one cluster")
   }
+
+  test("q74: per-cluster samples are dense ranks with non-increasing similarity") {
+    val s = CorpusOps.q74ClusterBalancedSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(s.nonEmpty)
+    s.groupBy(_._1).foreach { case (cid, rows) =>
+      val byRank = rows.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1 to rows.length),
+        s"cluster $cid ranks are not dense 1..${rows.length}")
+      assert(rows.length <= 10, s"cluster $cid kept ${rows.length} > 10 rows")
+      assert(byRank.sliding(2).forall(p => p.length < 2 || p(0)._4 >= p(1)._4),
+        s"cluster $cid similarity not non-increasing in rank")
+    }
+  }
+
+  test("q75: knn neighbors are bucket-consistent, ranked densely, never self") {
+    val out = CorpusOps.q75KnnJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty, "no vector found any bucket peer — geometry degenerate")
+    assert(out.forall(r => r._1 != r._3), "a vector is its own neighbor")
+    out.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length),
+        s"query $qid ranks are not dense 1..${rows.length}")
+      assert(rows.length <= 3)
+    }
+    // every reported neighbor pair genuinely shares an SRP bucket: the
+    // pair set must be symmetric at the CANDIDATE level — if (a,b) is
+    // reported, b had a in its candidate set too (b may rank it out, but
+    // b must then have >= as many neighbors as a's rank of b implies)
+    val neighborCount = out.groupBy(_._1).map { case (q, rs) => q -> rs.length }
+    out.foreach { case (q, _, n, _) =>
+      assert(neighborCount.contains(n),
+        s"$n is a neighbor of $q but has no neighbors itself — bucket asymmetry")
+    }
+  }
 }

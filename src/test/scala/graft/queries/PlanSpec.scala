@@ -45,8 +45,10 @@ class PlanSpec extends SparkSpec {
     // against a 10-row broadcast query set IS the intended plan (the
     // corpus-scale path is q91's bucketed join). q73's nearest-centroid
     // fan-out against the k-row broadcast centroid table is the same
-    // deliberate shape (k = 8; the scan side streams map-side).
-    val exempt = Set("q82_similarity_topk", "q73_cluster_assign")
+    // deliberate shape (k = 8; the scan side streams map-side), and q74
+    // samples from q73's assignment so it inherits the same node.
+    val exempt = Set("q82_similarity_topk", "q73_cluster_assign",
+      "q74_cluster_balanced_sample")
     val offenders = (graft.SparkEntry.queries.keySet -- exempt).toSeq.sorted.filter { name =>
       val p = plan(name)
       p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
@@ -335,6 +337,34 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one shard hash exchange:\n$p")
     assert(!p.contains("Exchange SinglePartition"),
       s"global single-partition exchange in the sharding plan:\n$p")
+  }
+
+  test("q74/q75: per-group top-k plans as a map-side WindowGroupLimit") {
+    // same rewrite as q96/q67: each map task forwards at most k rows per
+    // cluster (q74) / query vector (q75) before the exchange
+    Seq("q74_cluster_balanced_sample", "q75_knn_join").foreach { q =>
+      val p = plan(q)
+      assert(p.linesIterator.exists(l =>
+        l.contains("WindowGroupLimit") && l.contains("Partial")),
+        s"$q has no map-side partial group limit:\n$p")
+    }
+  }
+
+  test("q75: the knn bucket join shuffles ids only, never vectors") {
+    // q92's contract, inherited: candidates are (vec_id, bkt) pairs,
+    // vectors re-join by id for scoring
+    val df = graft.SparkEntry.queries("q75_knn_join")(spark, sf)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists(_.references.exists(_.name == "bkt")) => j
+    }
+    assert(joins.nonEmpty, "no bucket equi-join found in q75's plan")
+    joins.foreach { j =>
+      val arrays = (j.left.output ++ j.right.output)
+        .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      assert(arrays.isEmpty,
+        s"knn bucket join carries array columns through the shuffle: ${arrays.map(_.name)}")
+    }
   }
 
   test("q73: centroid fan-out is map-side; the one shuffle carries the argmax struct") {
