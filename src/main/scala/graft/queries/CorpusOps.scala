@@ -270,6 +270,34 @@ object CorpusOps {
       .select(col("qid"), col("rnk"), col("nid"), col("cos6")))
   }
 
+  /** q78: bigram merge-candidate mining — the counting step of BPE-style
+    * vocabulary induction: count adjacent token pairs corpus-wide and
+    * emit the 50 most frequent (the next merge candidates). The total
+    * order (count desc, pair asc) makes the top-50 cut deterministic on
+    * both engines.
+    *
+    * 100 TB: pair extraction is row-local (transform over the token
+    * array — no per-token explode-then-self-join); the count is a
+    * two-phase hash aggregate keyed on the pair (map-side combine eats
+    * the Zipf head before the exchange), and the top-50 plans as
+    * TakeOrderedAndProject — per-partition heaps, never a global sort
+    * (q35's shape, pinned). Real BPE iterates merge→recount; each
+    * iteration is this exact job over the rewritten token stream. */
+  val q78BpeBigrams: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+    val pairs = d.select(explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("t1"),
+          element_at(col("toks"), i + 1).as("t2")))).as("bg"))
+      .select(col("bg.t1").as("t1"), col("bg.t2").as("t2"))
+      .filter(col("t1") =!= "" && col("t2") =!= "")
+    orderAll(pairs.groupBy("t1", "t2").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t1").asc, col("t2").asc)
+      .limit(50))
+  }
+
   val defs: Map[String, Q] = Map(
     "q69_dedup_substring" -> q69DedupSubstring,
     "q70_rarity_score" -> q70RarityScore,
@@ -277,7 +305,8 @@ object CorpusOps {
     "q72_shuffle_shard" -> q72ShuffleShard,
     "q73_cluster_assign" -> q73ClusterAssign,
     "q74_cluster_balanced_sample" -> q74ClusterBalancedSample,
-    "q75_knn_join" -> q75KnnJoin)
+    "q75_knn_join" -> q75KnnJoin,
+    "q78_bpe_bigrams" -> q78BpeBigrams)
 
   val oracles: Map[String, String] = Map(
     "q69_dedup_substring" ->
@@ -403,5 +432,18 @@ object CorpusOps {
         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid ASC) AS INT) AS rnk
         |  FROM cand)
         |SELECT qid, rnk, nid, cos6 FROM r WHERE rnk <= 3
-        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
+    "q78_bpe_bigrams" ->
+      """WITH d AS (
+        |  SELECT string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |p AS (
+        |  SELECT toks[i] AS t1, toks[i + 1] AS t2
+        |  FROM d, unnest(range(1, len(toks))) AS t(i)),
+        |c AS (
+        |  SELECT t1, t2, count(*) AS cnt FROM p
+        |  WHERE t1 <> '' AND t2 <> '' GROUP BY 1, 2),
+        |top AS (SELECT t1, t2, cnt FROM c ORDER BY cnt DESC, t1, t2 LIMIT 50)
+        |SELECT t1, t2, cnt FROM top
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin)
 }

@@ -145,4 +145,21 @@ class CorpusOpsSpec extends SparkSpec {
         s"$n is a neighbor of $q but has no neighbors itself — bucket asymmetry")
     }
   }
+
+  test("q78: exactly fifty distinct merge candidates, all genuine adjacent pairs") {
+    val rows = CorpusOps.q78BpeBigrams(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.length == 50, s"expected the top-50 cut, got ${rows.length}")
+    assert(rows.map(t => (t._1, t._2)).distinct.length == 50)
+    assert(rows.forall(r => r._1.nonEmpty && r._2.nonEmpty && r._3 >= 1))
+    // spot re-verification: the corpus really contains each reported pair
+    // adjacently at least once (guards against off-by-one in the index
+    // arithmetic silently pairing non-adjacent tokens)
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .collect().map(_.getAs[String]("text"))
+    rows.take(5).foreach { case (t1, t2, _) =>
+      assert(corpus.exists(_.contains(s"$t1 $t2")),
+        s"reported bigram ($t1, $t2) never occurs adjacently")
+    }
+  }
 }

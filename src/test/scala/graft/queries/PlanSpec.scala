@@ -367,6 +367,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q78: top-50 bigram cut is TakeOrderedAndProject over a two-phase count") {
+    // per-partition heaps, never a global sort of the bigram vocabulary;
+    // the Zipf head is eaten by the map-side partial aggregate
+    val p = plan("q78_bpe_bigrams")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("q73: centroid fan-out is map-side; the one shuffle carries the argmax struct") {
     // the k-row centroid table is broadcast (the BNLJ is the documented
     // intended shape, exempted above) and the arg-max is a two-phase
