@@ -249,11 +249,14 @@ object CorpusOps {
     * has no neighbors at this probe radius — multi-probing (q91's
     * hamming-ball expansion) is the recall knob and composes unchanged.
     * Top-3 plans as a map-side WindowGroupLimit like q74. */
-  val q75KnnJoin: Q = (spark, dir) => {
+  /** Geometry-parameterized body — ScaleProbe drives this under the
+    * srpBits dial (bits + ⌈log2 k⌉ at k× data), the same operating
+    * procedure q92 documents. */
+  private[graft] def q75WithGeometry(g: graft.core.SketchGeometry): Q = (spark, dir) => {
     graft.functions.CosineSimilarity.register(spark)
     val v = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("bkt", LlmOps.srpBucket(col("e")))
+      .withColumn("bkt", LlmOps.srpBucket(col("e"), g))
       .scopedPersist
     val b = v.select(col("vec_id"), col("bkt"))
     val cand = b.as("x").join(b.as("y"), Seq("bkt"))
@@ -269,6 +272,8 @@ object CorpusOps {
       .filter(col("rnk") <= 3)
       .select(col("qid"), col("rnk"), col("nid"), col("cos6")))
   }
+
+  val q75KnnJoin: Q = (spark, dir) => q75WithGeometry(LlmOps.geom)(spark, dir)
 
   /** q78: bigram merge-candidate mining — the counting step of BPE-style
     * vocabulary induction: count adjacent token pairs corpus-wide and

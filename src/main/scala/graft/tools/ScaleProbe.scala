@@ -36,7 +36,7 @@ object ScaleProbe {
 
   private val Queries = Seq("q80_dedup_exact", "q81_dedup_minhash",
     "q88_dedup_ngram", "q89_dedup_simhash", "q63_decontaminate",
-    "q65_dedup_incremental", "q68_dedup_clusters")
+    "q65_dedup_incremental", "q68_dedup_clusters", "q69_dedup_substring")
   private val Ks = Seq(1, 4, 8)
   private val Shift = 9700000L // lcm(97, 10) × 10,000 — residue-preserving
   private val GrowthFactor = 1.5
@@ -140,7 +140,8 @@ object ScaleProbe {
 
 - Output rows scale exactly k× for the deterministic-candidate ops
   (q80 digest groups, q88's df-capped inverted index, q63's membership
-  join, q65's anti join — verify the table): each salted copy
+  join, q65's anti join, q69's first-shingle containment probe — verify
+  the table): each salted copy
   contributes the base corpus's pairs/flags and nothing across copies,
   confirming those candidate generators stay bucket-local. The
   banding-based ops track k× to within the salt's hash variation —
@@ -192,6 +193,36 @@ object ScaleProbe {
       "track k× minus the slight recall dip more bits cost the planted " +
       "near-identical pairs — the recall-vs-work tradeoff q91's spec " +
       "measures on the probe-radius side of the same geometry.\n")
+
+    // ---- q75 knn join under the same dial -----------------------------
+    // same candidate machinery (SRP buckets), different consumer: a
+    // per-vector top-k instead of a threshold filter — the Σ occupancy²
+    // argument and its srpBits remedy are identical
+    val q75Cells = dirs.map { case (k, dir) =>
+      val bits = baseBits + (math.log(k.toDouble) / math.log(2.0)).ceil.toInt
+      val g = graft.core.SketchGeometry.fromEnv(
+        sys.env + ("GRAFT_SRP_BITS" -> bits.toString))
+      val fn = graft.queries.CorpusOps.q75WithGeometry(g)
+      timeFn(fn, dir)
+      val best = Seq(timeFn(fn, dir), timeFn(fn, dir)).minBy(_._1)
+      System.err.println(f"[scaleprobe] q75 k=$k bits=$bits: ${best._1}%.2f s (${best._2} rows)")
+      (k, bits, best._1, best._2)
+    }
+    val w75_1 = q75Cells(0)._3
+    val q75Pass = q75Cells(1)._3 / w75_1 <= GrowthFactor * 4 &&
+      q75Cells(2)._3 / w75_1 <= GrowthFactor * 8
+    allPass &&= q75Pass
+    sb.append("\n## q75 knn join under the same dial\n\n")
+    sb.append("q75 consumes the identical SRP candidate stage as q92 (per-vector ")
+    sb.append("top-3 instead of a threshold verify), so the same srpBits+⌈log2 k⌉ ")
+    sb.append("procedure applies:\n\n")
+    sb.append("| k | srpBits | wall | ratio | rows |\n|---|---|---|---|---|\n")
+    q75Cells.foreach { case (k, bits, w, n) =>
+      sb.append(f"| $k | $bits | $w%.2f s | ${w / w75_1}%.2f× | $n%d |\n")
+    }
+    sb.append(f"\nGate (≤1.5k): ${if (q75Pass) "PASS" else "FAIL"}. Row counts " +
+      "sit near 3·vectors-with-peers and drift only with bucket occupancy — " +
+      "more bits at higher k trims some vectors' peer sets below 3.\n")
 
     // ---- q89 drift attribution (round-7 ask #6) -----------------------
     val q89 = graft.SparkEntry.queries("q89_dedup_simhash")
