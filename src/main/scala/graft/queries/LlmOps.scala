@@ -124,7 +124,15 @@ object LlmOps {
     * from first principles (distinct string shingles, exact Jaccard);
     * hashing shingles (xxhash64 here, strings there) is
     * Jaccard-invariant modulo a ~2e-11 collision, q88's argument.
-    * Contrast q89, where the same recipe is measurably unsound. */
+    * Contrast q89, where the same recipe is measurably unsound.
+    *
+    * The recall-1 property is an sf0.01 (gate-SF) measurement, not a
+    * theorem: at sf0.001 the fixture contains one true pair at
+    * j = 0.778 — docs 33 and 1000436 — whose band-miss probability
+    * (1-j³)⁴ ≈ 8% comes up a miss, so a LOCAL sf0.001 oracle check
+    * shows 611/612. Deterministic (minhash has no RNG), fixture-bound,
+    * and absent at the SF the driver verifies; noted so it is not
+    * mistaken for a regression. */
   val q81DedupMinhash: Q = (spark, dir) => {
     val NumHashes = geom.minhashK
     val RowsPerBand = geom.minhashRowsPerBand
