@@ -133,7 +133,11 @@ object LlmOps {
     * shows 611/612. Deterministic (minhash has no RNG), fixture-bound,
     * and absent at the SF the driver verifies; noted so it is not
     * mistaken for a regression. */
-  val q81DedupMinhash: Q = (spark, dir) => {
+  /** q81 minus the dump ordering — consumers that feed the pair list
+    * into further distributed work (q68's components loop) use this so
+    * the oracle-dump global sort isn't paid inside their pipelines
+    * (Catalyst can't eliminate it across a checkpoint boundary). */
+  private[queries] def q81Pairs(spark: SparkSession, dir: String): DataFrame = {
     val NumHashes = geom.minhashK
     val RowsPerBand = geom.minhashRowsPerBand
     val toks = split(col("text"), " ")
@@ -181,8 +185,10 @@ object LlmOps {
       .withColumn("jacc", round(col("common").cast("double") /
         (size(col("sh1")) + size(col("sh2")) - col("common")), 6))
       .filter(col("jacc") >= 0.5)
-    orderAll(verified.select(col("d1"), col("d2"), col("jacc")))
+    verified.select(col("d1"), col("d2"), col("jacc"))
   }
+
+  val q81DedupMinhash: Q = (spark, dir) => orderAll(q81Pairs(spark, dir))
 
   /** Codegen'd cosine kernel (graft.functions.CosineSimilarity) — same
     * sequential fold as the HOF formulation, but inside WholeStageCodegen. */
@@ -359,7 +365,7 @@ object LlmOps {
     // joins over two tiny leaf tables no matter how deep the iteration.
     // (local = no fault-tolerant storage in the sandbox; the production
     // cluster swaps in reliable checkpoint() — same semantics.)
-    val pairs = q81DedupMinhash(spark, dir).select(col("d1"), col("d2"))
+    val pairs = q81Pairs(spark, dir).select(col("d1"), col("d2"))
     val edges = pairs.unionByName(
         pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .toDF("src", "dst").localCheckpoint(true)
