@@ -46,17 +46,33 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // stdout tail-capture can truncate long runs; the file copy is the
-    // durable record (driver picks up either)
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line + "\n")
+    // durable record (driver picks up either). Both files anchor to the
+    // repo root (nearest ancestor of CWD holding build.sbt) — a bench
+    // launched from elsewhere must not strand its records in a stray CWD
+    val root = {
+      var cur = java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath
+      var found: java.nio.file.Path = null
+      while (cur != null && found == null) {
+        if (java.nio.file.Files.exists(cur.resolve("build.sbt"))) found = cur
+        cur = cur.getParent
+      }
+      if (found == null) java.nio.file.Paths.get(sys.props("user.dir")) else found
+    }
+    java.nio.file.Files.createDirectories(root.resolve("target"))
+    java.nio.file.Files.writeString(root.resolve("target/bench.json"), line + "\n")
     // append-only history: the per-round BENCH_r*.json tails truncate the
     // first ~25 queries, so cross-round per-query diffs need this record.
-    // Repo-root-relative like target/bench.json (works from any checkout);
-    // best-effort — an unwritable path must not fail the bench run itself
+    // Best-effort — an unwritable path must not fail the bench run itself
     try {
-      val stamped = s"""{"ts":"${java.time.Instant.now()}","sf":"$sfDir","cpus":$cpus,"total":$total,"queries":$qs}"""
+      // cpus is a raw env string ("*" is a legal local[*] spec) — only a
+      // pure integer may be emitted unquoted, anything else would corrupt
+      // every downstream parse of the whole jsonl file
+      val cpusJson =
+        if (cpus.matches("[0-9]+")) cpus
+        else "\"" + cpus.replaceAll("[\"\\\\]", "") + "\""
+      val stamped = s"""{"ts":"${java.time.Instant.now()}","sf":"$sfDir","cpus":$cpusJson,"total":$total,"queries":$qs}"""
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_HISTORY.jsonl"), stamped + "\n",
+        root.resolve("BENCH_HISTORY.jsonl"), stamped + "\n",
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] history append failed: ${e.getMessage}")

@@ -44,9 +44,13 @@ object CorpusOps {
     * text) to the higher doc_id — so exactly one side of an
     * equal-text pair is flagged and the output is deterministic. */
   val q69DedupSubstring: Q = (spark, dir) => {
+    // persisted: consumed by the index build, the containee probe, and
+    // both verify-side body joins — without it the union + mutated-copy
+    // + split subtree re-runs per consumer (q88's measured defect class)
     val d = LlmOps.docsWithNearDups(spark, dir)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
+      .scopedPersist
     // inverted shingle index, per-doc-distinct built narrow (q88's shape)
     val shingles = d.select(col("doc_id"),
         explode(array_distinct(transform(sequence(lit(1), size(col("toks")) - 2),
@@ -89,12 +93,24 @@ object CorpusOps {
     * tokens scores high: gibberish, boilerplate-free prose, or OCR
     * noise; a doc of corpus-dominant tokens scores ~1). Deliberately
     * engine-EXACT where LM scoring is usually float-fuzzy: per-token
-    * inverse frequency is computed in parts-per-million with BIGINT
-    * floor division ((1e6 · total) div ct — exact on any engine), summed
-    * exactly, and only the final two divisions are double (each IEEE
-    * correctly-rounded, so bit-identical everywhere) — no ln(), whose
-    * last-ulp value is libm-specific and would make the 6-dp hash gate
-    * probabilistic.
+    * inverse frequency is computed in parts-per-million with integer
+    * floor division, summed exactly, and only the final two divisions
+    * are double (each IEEE correctly-rounded, so bit-identical
+    * everywhere) — no ln(), whose last-ulp value is libm-specific and
+    * would make the 6-dp hash gate probabilistic.
+    *
+    * Overflow posture (the naive `(1e6 · total) div ct` wraps BIGINT
+    * once the corpus passes ~9.2e12 tokens): the quotient is decomposed
+    * as 1e6·(total div ct) + (1e6·(total mod ct)) div ct —
+    * algebraically identical — with the mod-term product lifted to
+    * DECIMAL(38,0) (HUGEINT in the oracle), and the ratio total/ct
+    * CAPPED at 1e6 (ippm ≤ 1e12; "rarer than one-in-a-million reads as
+    * one-in-a-million", standard IDF clipping). Every intermediate is
+    * then bounded for any total ≤ 2⁶³−1 tokens, and per-doc sums stay
+    * exact to ~9.2M tokens/doc at the cap. The cap cannot fire at the
+    * gate SFs (ratios there ≤ corpus token count ≪ 1e6), so it is
+    * value-invariant where the oracle checks, and saturating — not
+    * wrapping, identically on both engines — where it cannot.
     *
     * 100 TB: the vocabulary table is the groupBy of the exploded token
     * stream (map-side combinable on the token key); the corpus total
@@ -104,6 +120,16 @@ object CorpusOps {
     * range, a shuffle join on the token key), then aggregates partial
     * sums per doc — the only corpus-sized shuffles are keyed on token
     * and doc_id. */
+  /** The capped, decomposed ippm term over columns `total` and `ct` —
+    * factored out so CorpusOpsSpec can probe the overflow domain
+    * directly (naive-formula equivalence below the cap, exactness where
+    * the naive product wraps, saturation at ratio ≥ 1e6). */
+  private[graft] def ippmExpr = expr(
+    """CASE WHEN total div ct >= 1000000 THEN 1000000000000
+      |ELSE 1000000 * (total div ct)
+      |  + (cast(1000000 as decimal(38,0)) * (total % ct)) div ct
+      |END""".stripMargin)
+
   val q70RarityScore: Q = (spark, dir) => {
     val toks = t(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -118,7 +144,7 @@ object CorpusOps {
         Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     val scored = toks
       .join(broadcast(vocab), Seq("tok"))
-      .select(col("doc_id"), expr("(1000000 * total) div ct").as("ippm"))
+      .select(col("doc_id"), ippmExpr.as("ippm"))
     orderAll(scored.groupBy("doc_id")
       .agg(count(lit(1)).as("n_toks"), sum(col("ippm")).as("sum_ippm"))
       .select(col("doc_id"), col("n_toks"),
@@ -356,7 +382,11 @@ object CorpusOps {
         |vocab AS (SELECT tok, count(*) AS ct FROM toks GROUP BY tok),
         |tot AS (SELECT sum(ct) AS total FROM vocab),
         |scored AS (
-        |  SELECT doc_id, (1000000 * total) // ct AS ippm
+        |  SELECT doc_id,
+        |    CASE WHEN total // ct >= 1000000 THEN 1000000000000
+        |      ELSE 1000000 * (total // ct)
+        |        + (1000000::HUGEINT * (total % ct)) // ct
+        |    END AS ippm
         |  FROM toks JOIN vocab USING (tok) CROSS JOIN tot)
         |SELECT doc_id, count(*) AS n_toks,
         |  round(sum(ippm) / count(*) / 1000000.0, 6) AS rarity6

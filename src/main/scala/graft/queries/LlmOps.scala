@@ -584,7 +584,12 @@ object LlmOps {
   private[graft] def srpWeights(g: SketchGeometry): IndexedSeq[Seq[Double]] =
     (0 until g.srpBits).map { b =>
       (0 until g.embeddingDim).map { dim =>
-        if (scala.util.hashing.MurmurHash3.productHash((b, dim)) >= 0) 1.0 else -1.0
+        // caseClassHash: on 2.13.17 the deprecated productHash already
+        // delegates to these semantics (verified equal over (b, dim) ∈
+        // 64×256 in-console), so bucket codes — and the measured recall
+        // numbers in SCALEPROBE.md — are preserved exactly
+        if (scala.util.hashing.MurmurHash3.caseClassHash((b, dim)) >= 0) 1.0
+        else -1.0
       }
     }
 
@@ -1094,9 +1099,12 @@ object LlmOps {
   val oracles: Map[String, String] = Map(
     "q63_decontaminate" -> q63OracleWith(geom.deconShingleN),
     "q67_tfidf_terms" ->
-      // counts cast to BIGINT (DuckDB count(*) is HUGEINT — dtype-
-      // sensitive hash gate), row_number to INT, score is one double
-      // division of exact counts — bit-identical across engines
+      // DuckDB count(*) is already BIGINT (matching Spark's count), so
+      // the casts here are documentation, not gate requirements — uncast
+      // count(*) oracles (q69/q70/q78) pass the same hash gate. The
+      // genuinely dtype-sensitive parts are row_number (DuckDB BIGINT vs
+      // Spark INT — that cast IS load-bearing) and keeping the score a
+      // single double division of exact counts, bit-identical everywhere
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf

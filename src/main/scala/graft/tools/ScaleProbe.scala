@@ -25,8 +25,10 @@ import org.apache.spark.sql.functions._
   *     output would grow quadratically BY CONSTRUCTION, telling you
   *     nothing about the engine.
   * Scaled corpora are written to parquet first (prep is untimed), then
-  * q80/q81/q88/q63 are timed: 1 warm rep + 2 timed, min taken
-  * (Bench.scala's GC-quiesce reasoning), caches drained between reps.
+  * the whole dedup family ([[Queries]]: q80/q81/q88/q89/q63/q65/q68/q69,
+  * plus q92 and q75 under the geometry dial) is timed: 1 warm rep + 2
+  * timed, min taken (Bench.scala's GC-quiesce reasoning), caches drained
+  * between reps.
   * Linear-growth gate: wall(k) / wall(1) ≤ 1.5·k for every query at
   * every k — superlinear growth (a quadratic candidate stage, an
   * uncapped hot bucket) fails the probe.
@@ -162,20 +164,25 @@ object ScaleProbe {
     // holds occupancy (and so per-bucket work) constant. Measure q92
     // under exactly that operating procedure.
     val baseBits = graft.core.SketchGeometry.fromEnv().srpBits
-    val q92Cells = dirs.map { case (k, dir) =>
-      val bits = baseBits + (math.log(k.toDouble) / math.log(2.0)).ceil.toInt
-      // overlay ONLY the bits override on the real env — a synthetic Map
-      // would silently reset every other geometry knob (embeddingDim,
-      // probe radius, ...) to defaults and probe a different operator
-      // than the session's
-      val g = graft.core.SketchGeometry.fromEnv(
-        sys.env + ("GRAFT_SRP_BITS" -> bits.toString))
-      val fn = graft.queries.LlmOps.q92WithGeometry(g)
-      timeFn(fn, dir) // warm, untimed — same protocol as the main table
-      val best = Seq(timeFn(fn, dir), timeFn(fn, dir)).minBy(_._1)
-      System.err.println(f"[scaleprobe] q92 k=$k bits=$bits: ${best._1}%.2f s (${best._2} rows)")
-      (k, bits, best._1, best._2)
-    }
+    // shared dial protocol for the SRP-bucketed ops: srpBits + ⌈log2 k⌉
+    // per cell, warm + min-of-2 like the main table. The env overlay
+    // keeps ONLY the bits override on the real env — a synthetic Map
+    // would silently reset every other geometry knob (embeddingDim,
+    // probe radius, ...) to defaults and probe a different operator
+    // than the session's
+    def dialedCells(label: String,
+        fnFor: graft.core.SketchGeometry => graft.queries.Q): Seq[(Int, Int, Double, Long)] =
+      dirs.map { case (k, dir) =>
+        val bits = baseBits + (math.log(k.toDouble) / math.log(2.0)).ceil.toInt
+        val g = graft.core.SketchGeometry.fromEnv(
+          sys.env + ("GRAFT_SRP_BITS" -> bits.toString))
+        val fn = fnFor(g)
+        timeFn(fn, dir) // warm, untimed — same protocol as the main table
+        val best = Seq(timeFn(fn, dir), timeFn(fn, dir)).minBy(_._1)
+        System.err.println(f"[scaleprobe] $label k=$k bits=$bits: ${best._1}%.2f s (${best._2} rows)")
+        (k, bits, best._1, best._2)
+      }
+    val q92Cells = dialedCells("q92", graft.queries.LlmOps.q92WithGeometry)
     val (w92_1, w92_4, w92_8) = (q92Cells(0)._3, q92Cells(1)._3, q92Cells(2)._3)
     val q92Pass = w92_4 / w92_1 <= GrowthFactor * 4 && w92_8 / w92_1 <= GrowthFactor * 8
     allPass &&= q92Pass
@@ -198,16 +205,7 @@ object ScaleProbe {
     // same candidate machinery (SRP buckets), different consumer: a
     // per-vector top-k instead of a threshold filter — the Σ occupancy²
     // argument and its srpBits remedy are identical
-    val q75Cells = dirs.map { case (k, dir) =>
-      val bits = baseBits + (math.log(k.toDouble) / math.log(2.0)).ceil.toInt
-      val g = graft.core.SketchGeometry.fromEnv(
-        sys.env + ("GRAFT_SRP_BITS" -> bits.toString))
-      val fn = graft.queries.CorpusOps.q75WithGeometry(g)
-      timeFn(fn, dir)
-      val best = Seq(timeFn(fn, dir), timeFn(fn, dir)).minBy(_._1)
-      System.err.println(f"[scaleprobe] q75 k=$k bits=$bits: ${best._1}%.2f s (${best._2} rows)")
-      (k, bits, best._1, best._2)
-    }
+    val q75Cells = dialedCells("q75", graft.queries.CorpusOps.q75WithGeometry)
     val w75_1 = q75Cells(0)._3
     val q75Pass = q75Cells(1)._3 / w75_1 <= GrowthFactor * 4 &&
       q75Cells(2)._3 / w75_1 <= GrowthFactor * 8

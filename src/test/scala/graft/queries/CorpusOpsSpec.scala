@@ -60,6 +60,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.sameElements(CorpusOps.q70RarityScore(spark, sf).collect()))
   }
 
+  test("q70: ippm is exact where the naive product wraps, and saturates at the cap") {
+    // the naive (1e6·total) div ct wraps BIGINT once 1e6·total > 2⁶³−1;
+    // the shipped decomposition must match exact BigInt arithmetic there,
+    // match the naive formula in the gate-SF regime, and saturate (not
+    // wrap) at ratio >= 1e6
+    import spark.implicits._
+    val cases = Seq(
+      (60000L, 37L),                           // gate-SF regime
+      (60000L, 60000L),                        // ratio 1 → exactly 1e6
+      (7L, 3L),                                // floor semantics
+      (8000000000000000L, 9000000000L),        // naive wraps; ratio < cap
+      (9000000000000000000L, 1000000000000L))  // naive wraps; ratio ≥ cap
+    val got = cases.toDF("total", "ct")
+      .select(col("total"), col("ct"), CorpusOps.ippmExpr.as("ippm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    cases.foreach { case (t, c) =>
+      val want =
+        if (t / c >= 1000000L) BigInt(1000000000000L)
+        else (BigInt(1000000) * t) / c
+      assert(BigInt(got((t, c))) == want, s"($t, $c): got ${got((t, c))}, want $want")
+    }
+  }
+
   test("q71: the band keeps ~90% per language and bounds are corpus order statistics") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
     val kept = CorpusOps.q71LengthBandFilter(spark, sf)
