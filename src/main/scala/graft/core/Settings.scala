@@ -93,7 +93,8 @@ final case class SketchGeometry(
     srpProbeRadius: Int,
     embeddingDim: Int,
     bandOccupancyCap: Int,
-    deconShingleN: Int) {
+    deconShingleN: Int,
+    oovVocabSize: Int) {
   require(minhashK > 0 && minhashRowsPerBand > 0 && minhashK % minhashRowsPerBand == 0,
     s"minhashK ($minhashK) must be a positive multiple of minhashRowsPerBand ($minhashRowsPerBand)")
   require(simhashBandBits > 0 && 64 % simhashBandBits == 0,
@@ -105,6 +106,7 @@ final case class SketchGeometry(
   require(shingleDfCap > 1, s"shingleDfCap ($shingleDfCap) must exceed 1")
   require(bandOccupancyCap > 1, s"bandOccupancyCap ($bandOccupancyCap) must exceed 1")
   require(deconShingleN >= 2, s"deconShingleN ($deconShingleN) must be at least 2")
+  require(oovVocabSize > 0, s"oovVocabSize ($oovVocabSize) must be positive")
 
   /** LSH bands for MinHash (q81). */
   def minhashBands: Int = minhashK / minhashRowsPerBand
@@ -123,7 +125,11 @@ object SketchGeometry {
   val defaults: SketchGeometry = SketchGeometry(
     minhashK = 12, minhashRowsPerBand = 3, shingleDfCap = 20,
     simhashBandBits = 16, srpBits = 8, srpProbeRadius = 2, embeddingDim = 64,
-    bandOccupancyCap = 1000, deconShingleN = 3)
+    bandOccupancyCap = 1000, deconShingleN = 3,
+    // matched to the synthetic corpus's 31-token vocabulary so the OOV
+    // tail is non-empty at every test SF; production corpora dial this
+    // to the tokenizer's vocab budget (32k-128k)
+    oovVocabSize = 16)
 
   def fromEnv(env: Map[String, String] = sys.env): SketchGeometry = {
     def i(k: String, d: Int) = env.get(k).map(_.trim.toInt).getOrElse(d)
@@ -136,7 +142,8 @@ object SketchGeometry {
       srpProbeRadius = i("GRAFT_SRP_PROBE_RADIUS", defaults.srpProbeRadius),
       embeddingDim = i("GRAFT_EMBEDDING_DIM", defaults.embeddingDim),
       bandOccupancyCap = i("GRAFT_BAND_OCCUPANCY_CAP", defaults.bandOccupancyCap),
-      deconShingleN = i("GRAFT_DECON_SHINGLE_N", defaults.deconShingleN))
+      deconShingleN = i("GRAFT_DECON_SHINGLE_N", defaults.deconShingleN),
+      oovVocabSize = i("GRAFT_OOV_VOCAB", defaults.oovVocabSize))
   }
 }
 

@@ -301,6 +301,48 @@ object CorpusOps {
 
   val q75KnnJoin: Q = (spark, dir) => q75WithGeometry(LlmOps.geom)(spark, dir)
 
+  /** q48: vocabulary coverage / out-of-vocabulary rate — the
+    * tokenizer-design metric: fix the vocab at the top-V tokens by
+    * corpus frequency (V = [[graft.core.SketchGeometry]] `oovVocabSize`,
+    * env `GRAFT_OOV_VOCAB`; 16 here to match the synthetic corpus's
+    * 31-token vocabulary, 32k-128k in production) and report each
+    * document's OOV token count and rate. High-OOV docs are either the
+    * long-tail content a bigger vocab would serve or noise the corpus
+    * should shed — either way the first report a tokenizer budget
+    * decision needs. Distinct from q70 (rarity weights every token by
+    * inverse frequency; OOV is a hard vocab cut) and q67 (tf-idf ranks
+    * within-doc terms).
+    *
+    * Determinism: the vocab cut is the total order (count desc, token
+    * asc) — boundary ties resolve identically on both engines — and
+    * oov_ppm is exact integer floor division (n_oov ≤ n_toks keeps
+    * 1e6·n_oov far inside BIGINT for any physical document).
+    *
+    * 100 TB: the vocab table is a top-V cut of the token aggregate —
+    * TakeOrderedAndProject (per-partition heaps over the map-side
+    * combined counts), never a global sort; scoring then joins the
+    * token stream to the V-row vocab BROADCAST (left-outer, build
+    * right), and the per-doc count/sum aggregates partially map-side —
+    * the only corpus-sized shuffles are keyed on token (vocab agg) and
+    * doc_id (scoring agg), q70's exact posture. */
+  val q48OovRate: Q = (spark, dir) => {
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .scopedPersist
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("ct"))
+      .orderBy(col("ct").desc, col("tok").asc)
+      .limit(LlmOps.geom.oovVocabSize)
+      .select(col("tok"), lit(1).as("in_v"))
+    orderAll(toks
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_toks"), col("n_oov"),
+        expr("(1000000 * n_oov) div n_toks").as("oov_ppm")))
+  }
+
   /** q78: bigram merge-candidate mining — the counting step of BPE-style
     * vocabulary induction: count adjacent token pairs corpus-wide and
     * emit the 50 most frequent (the next merge candidates). The total
@@ -330,6 +372,7 @@ object CorpusOps {
   }
 
   val defs: Map[String, Q] = Map(
+    "q48_oov_rate" -> q48OovRate,
     "q69_dedup_substring" -> q69DedupSubstring,
     "q70_rarity_score" -> q70RarityScore,
     "q71_length_band_filter" -> q71LengthBandFilter,
@@ -340,6 +383,24 @@ object CorpusOps {
     "q78_bpe_bigrams" -> q78BpeBigrams)
 
   val oracles: Map[String, String] = Map(
+    "q48_oov_rate" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, t.tok FROM documents,
+        |    unnest(string_split(text, ' ')) AS t(tok)
+        |  WHERE t.tok <> ''),
+        |vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS ct FROM toks GROUP BY tok
+        |    ORDER BY ct DESC, tok ASC LIMIT ${LlmOps.geom.oovVocabSize})),
+        |s AS (
+        |  SELECT t.doc_id, count(*) AS n_toks,
+        |    CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, n_toks, n_oov,
+        |  CAST((1000000 * n_oov) // n_toks AS BIGINT) AS oov_ppm
+        |FROM s
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
     "q69_dedup_substring" ->
       s"""WITH dd AS (
         |  SELECT doc_id, text FROM documents

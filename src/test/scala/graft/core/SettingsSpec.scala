@@ -92,6 +92,8 @@ class SettingsSpec extends AnyFunSuite {
       "GRAFT_EMBEDDING_DIM" -> "128"))
     assert(g.srpProbeCount == 9, "radius 1 over 8 bits = 1+8 probes")
     assert(g.embeddingDim == 128)
+    assert(d.oovVocabSize == 16)
+    assert(SketchGeometry.fromEnv(Map("GRAFT_OOV_VOCAB" -> "32768")).oovVocabSize == 32768)
   }
 
   test("SketchGeometry rejects inconsistent geometry loudly") {
@@ -105,5 +107,7 @@ class SettingsSpec extends AnyFunSuite {
       SketchGeometry.fromEnv(Map("GRAFT_SRP_PROBE_RADIUS" -> "9")))
     intercept[IllegalArgumentException](
       SketchGeometry.fromEnv(Map("GRAFT_EMBEDDING_DIM" -> "0")))
+    intercept[IllegalArgumentException](
+      SketchGeometry.fromEnv(Map("GRAFT_OOV_VOCAB" -> "0")))
   }
 }

@@ -10,6 +10,31 @@ import org.apache.spark.sql.functions._
 class CorpusOpsSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
+  test("q48: OOV counts re-verify against a driver-side vocab cut") {
+    // rebuild the top-V vocab independently (collect the token counts,
+    // apply the same (ct desc, tok asc) total order) and recompute every
+    // doc's OOV count — the engine's distributed broadcast-join answer
+    // must match the sequential reference exactly
+    val rows = CorpusOps.q48OovRate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 500)
+    val toks = spark.read.parquet(s"$sf/documents.parquet").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split(" ").filter(_.nonEmpty).toSeq).toMap
+    val vocab = toks.values.flatten.groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy { case (t, c) => (-c, t) }
+      .take(LlmOps.geom.oovVocabSize).map(_._1).toSet
+    rows.foreach { case (id, nToks, nOov, ppm) =>
+      val ts = toks(id)
+      assert(nToks == ts.length, s"doc $id token count")
+      assert(nOov == ts.count(!vocab(_)), s"doc $id OOV count")
+      assert(ppm == 1000000L * nOov / nToks, s"doc $id ppm floor")
+    }
+    // the cut must bite on this corpus: both covered and OOV tokens exist
+    assert(rows.exists(_._3 > 0), "no OOV tokens — vocab cut is degenerate here")
+    assert(rows.exists(r => r._3 < r._2), "everything OOV — vocab join broken")
+  }
+
   test("q69: every flagged doc is genuinely contained in its kept_by container") {
     // re-verify the output against the corpus: token-aligned containment
     // must hold for the (doc_id, kept_by) pair the query reports, the

@@ -310,6 +310,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q48: vocab cut is a per-partition top-V heap; the OOV join is broadcast") {
+    // the top-V cut must plan as TakeOrderedAndProject over the map-side
+    // combined counts (a global sort of the vocabulary dies at web-scale
+    // token diversity), and the corpus-sized token stream must join the
+    // V-row vocab broadcast, never shuffled on the token key twice
+    val p = plan("q48_oov_rate")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("q70: the vocabulary join is broadcast and per-doc scoring aggregates partially") {
     // the token stream joins its frequency table broadcast (no shuffle of
     // the exploded corpus against the vocab) and both groupBys are
