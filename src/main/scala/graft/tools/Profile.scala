@@ -20,6 +20,11 @@ object Profile {
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       println(f"[profile] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      // drain per rep like Bench does — otherwise rep 2+ silently reuse
+      // rep 1's scoped caches and "steady state" measures cache service,
+      // not a full query execution on a warm JVM
+      graft.core.CacheScope.drain()
+      System.gc()
     }
     spark.stop()
   }
