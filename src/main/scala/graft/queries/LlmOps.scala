@@ -252,6 +252,19 @@ object LlmOps {
         .otherwise(lit("fr"))))
   }
 
+  /** The q85 quality score (rounded 6 dp) over a `text` column —
+    * factored out because it is also the grading function of the s81
+    * streaming drift monitor and its q49 batch mirror, so stream and
+    * batch grade a document identically by construction. */
+  private[graft] def qualityExpr: org.apache.spark.sql.Column = {
+    val nTok = size(split(col("text"), " "))
+    val punct = length(col("text")) - length(regexp_replace(col("text"), "[.!?,;]", ""))
+    val stopR = stopScore("en").cast("double") / nTok
+    val lenR = least(lit(1.0), nTok.cast("double") / 100.0)
+    val punctR = punct.cast("double") / length(col("text"))
+    round(lit(0.4) * stopR + lit(0.3) * lenR + lit(0.3) * (lit(1.0) - punctR), 6)
+  }
+
   /** q85: quality scoring — length/punctuation/stopword ratios combined
     * into one bounded score (the classic pre-training filter shape). */
   val q85QualityScore: Q = (spark, dir) => {
@@ -259,15 +272,12 @@ object LlmOps {
     val nTok = size(split(col("text"), " "))
     val punct = length(col("text")) - length(regexp_replace(col("text"), "[.!?,;]", ""))
     val stopR = stopScore("en").cast("double") / nTok
-    val lenR = least(lit(1.0), nTok.cast("double") / 100.0)
-    val punctR = punct.cast("double") / length(col("text"))
     orderAll(d.select(
       col("doc_id"),
       nTok.as("n_tok"),
       punct.as("n_punct"),
       round(stopR, 6).as("stop_ratio"),
-      round(lit(0.4) * stopR + lit(0.3) * lenR + lit(0.3) * (lit(1.0) - punctR), 6)
-        .as("quality")))
+      qualityExpr.as("quality")))
   }
 
   /** q86: token counting — whitespace tokens, regex (BPE-ish word/number

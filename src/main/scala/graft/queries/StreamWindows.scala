@@ -92,13 +92,50 @@ object StreamWindows {
     orderAll(out)
   }
 
+  /** q49: the s81 streaming QA-drift monitor's aggregation
+    * ([[graft.streaming.QualityMonitor.drift]] — the SAME function the
+    * watermarked stream runs) as an ORACLED batch query: documents get a
+    * synthetic event time (epoch 86400 + doc_id minutes, one doc per
+    * minute → ~60-doc hourly windows at every SF) and DuckDB hash-gates
+    * the windowed pass-count/pass-ppm/mean-quality semantics — the q62
+    * trick, so the streaming operator's MATH is verified, not just its
+    * plumbing. The mean sums DECIMAL(18,6) (order-free) and divides
+    * once; pass_ppm is exact integer arithmetic. */
+  val q49QualityDrift: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+      .select(timestamp_seconds(lit(86400L) + col("doc_id") * 60).as("ts"), col("text"))
+    orderAll(graft.streaming.QualityMonitor.drift(d))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q49_quality_drift" -> q49QualityDrift,
     "q60_window_tumbling" -> q60Tumbling,
     "q61_window_sliding" -> q61Sliding,
     "q62_window_session" -> q62SessionWindow,
     "q66_stateful_counters" -> q66StatefulCounters)
 
   val oracles: Map[String, String] = Map(
+    "q49_quality_drift" ->
+      // quality is q85's oracle formula verbatim; the window start is
+      // pure integer epoch arithmetic (q60's convention) on the same
+      // synthetic doc_id-minute event time the engine constructs
+      """WITH g AS (
+        |  SELECT ((86400 + doc_id * 60) // 3600) * 3600 AS ws,
+        |    round(0.4 * (CAST(len(list_filter(string_split(text,' '), x -> list_contains(['the','a','of','and'], x))) AS DOUBLE)
+        |                 / len(string_split(text, ' ')))
+        |        + 0.3 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0)
+        |        + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.!?,;]', '', 'g')) AS DOUBLE) / length(text)), 6) AS quality
+        |  FROM documents),
+        |w AS (
+        |  SELECT ws, count(*) AS n_docs,
+        |    CAST(sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |    sum(CAST(quality AS DECIMAL(18,6))) AS sum_q
+        |  FROM g GROUP BY ws)
+        |SELECT CAST(ws AS BIGINT) AS ws, n_docs, n_pass,
+        |  CAST((1000000 * n_pass) // n_docs AS BIGINT) AS pass_ppm,
+        |  round(CAST(sum_q AS DOUBLE) / n_docs, 6) AS mean_quality
+        |FROM w
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
     "q60_window_tumbling" ->
       """SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS ws, event_type,
         |  count(*) AS n,

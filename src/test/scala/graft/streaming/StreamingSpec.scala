@@ -221,6 +221,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s81: windowed quality drift — finalized QA rows, late rows dropped, math equals batch") {
+    val good = "the a of and the cat sat. the a of and again!"
+    val bad = "zzz qqq zzz qqq zzz"
+    val in = MemoryStream[(Timestamp, String)](spark)
+    val q = QualityMonitor.driftStream(in.toDF().toDF("ts", "text"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("s81_out").start()
+    try {
+      in.addData((ts(0), good), (ts(10), bad), (ts(20), good))
+      q.processAllAvailable()
+      assert(spark.table("s81_out").isEmpty,
+        "a QA window must not finalize before the watermark passes its end")
+      in.addData((ts(180), good)) // watermark -> 170 min: hour-0 window emits
+      q.processAllAvailable()
+      in.addData((ts(5), bad)) // late for hour 0 — the finalized row must stand
+      q.processAllAvailable()
+      in.addData((ts(400), bad))
+      q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+      val out = rows(spark.table("s81_out"))
+      val h0 = ts(0).getTime / 1000
+      assert(out(h0)._1 == 3L, "late row must not join the finalized hour-0 window")
+      // the emitted row's math is QualityMonitor.drift — the exact
+      // function q49 hash-gates against DuckDB — over the on-time rows
+      val batch = rows(QualityMonitor.drift(
+        Seq((ts(0), good), (ts(10), bad), (ts(20), good)).toDF("ts", "text")))
+      assert(out(h0) == batch(h0), "stream window math must equal the batch mirror")
+      val (n, p, ppm, mq) = out(h0)
+      assert(p >= 1 && p < n, s"gate must separate good from junk (n_pass=$p of $n)")
+      assert(ppm == 1000000L * p / n && mq > 0.0 && mq < 1.0)
+    } finally q.stop()
+  }
+
   test("s75: stream-stream interval join matches within the band, drops outside") {
     // clicks attributed to a view by the same user within the previous
     // 5 minutes — the canonical stream-stream interval join; watermarks
