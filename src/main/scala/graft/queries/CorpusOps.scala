@@ -17,6 +17,23 @@ object CorpusOps {
 
   private def shingleDfCap = LlmOps.geom.shingleDfCap
 
+  /** Non-empty (doc_id, tok) token stream of a (doc_id, text) frame —
+    * the shared scaffold of q70's rarity join and q48's OOV report,
+    * persisted because every caller aggregates it at least twice (the
+    * oracle-side mirror is [[toksCte]]; keep the two in lockstep). */
+  private def tokenStream(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .scopedPersist
+
+  /** DuckDB mirror of [[tokenStream]], interpolated into the q48/q70
+    * oracles so the tokenization cannot silently diverge between them. */
+  private val toksCte =
+    """toks AS (
+      |  SELECT doc_id, t.tok FROM documents,
+      |    unnest(string_split(text, ' ')) AS t(tok)
+      |  WHERE t.tok <> '')""".stripMargin
+
   /** q69: substring-containment dedup — flag documents whose full token
     * sequence appears as a contiguous run inside another document (the
     * truncation/quotation duplicate class that hash dedup misses: the
@@ -131,10 +148,7 @@ object CorpusOps {
       |END""".stripMargin)
 
   val q70RarityScore: Q = (spark, dir) => {
-    val toks = t(spark, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .filter(col("tok") =!= "")
-      .scopedPersist
+    val toks = tokenStream(t(spark, dir, "documents"))
     // the corpus total rides ON the vocab table (a window over the
     // already-aggregated vocabulary — rows ≪ corpus), so the exploded
     // token stream joins exactly once, broadcast, and no corpus-side
@@ -325,23 +339,35 @@ object CorpusOps {
     * right), and the per-doc count/sum aggregates partially map-side —
     * the only corpus-sized shuffles are keyed on token (vocab agg) and
     * doc_id (scoring agg), q70's exact posture. */
-  val q48OovRate: Q = (spark, dir) => {
-    val toks = t(spark, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .filter(col("tok") =!= "")
-      .scopedPersist
+  /** q48's core over any (doc_id, text) frame — factored so the spec
+    * can probe the zero-token path directly (the parquet fixture has
+    * none). The report is TOTAL over input documents: a doc with no
+    * non-empty tokens still gets a row (n_toks = n_oov = 0, NULL rate)
+    * rather than silently vanishing — a coverage report that drops docs
+    * under-counts for its consumer. */
+  private[graft] def oovReport(docs: DataFrame, vocabSize: Int): DataFrame = {
+    val toks = tokenStream(docs)
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("ct"))
       .orderBy(col("ct").desc, col("tok").asc)
-      .limit(LlmOps.geom.oovVocabSize)
+      .limit(vocabSize)
       .select(col("tok"), lit(1).as("in_v"))
-    orderAll(toks
+    val scored = toks
       .join(broadcast(vocab), Seq("tok"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_toks"),
         sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
-      .select(col("doc_id"), col("n_toks"), col("n_oov"),
-        expr("(1000000 * n_oov) div n_toks").as("oov_ppm")))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .withColumn("oov_ppm",
+        expr("CASE WHEN n_toks = 0 THEN NULL ELSE (1000000 * n_oov) div n_toks END"))
   }
+
+  val q48OovRate: Q = (spark, dir) =>
+    orderAll(oovReport(t(spark, dir, "documents").select(col("doc_id"), col("text")),
+      LlmOps.geom.oovVocabSize))
 
   /** q78: bigram merge-candidate mining — the counting step of BPE-style
     * vocabulary induction: count adjacent token pairs corpus-wide and
@@ -384,10 +410,7 @@ object CorpusOps {
 
   val oracles: Map[String, String] = Map(
     "q48_oov_rate" ->
-      s"""WITH toks AS (
-        |  SELECT doc_id, t.tok FROM documents,
-        |    unnest(string_split(text, ' ')) AS t(tok)
-        |  WHERE t.tok <> ''),
+      s"""WITH $toksCte,
         |vocab AS (
         |  SELECT tok FROM (
         |    SELECT tok, count(*) AS ct FROM toks GROUP BY tok
@@ -397,9 +420,12 @@ object CorpusOps {
         |    CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
         |  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
         |  GROUP BY t.doc_id)
-        |SELECT doc_id, n_toks, n_oov,
-        |  CAST((1000000 * n_oov) // n_toks AS BIGINT) AS oov_ppm
-        |FROM s
+        |SELECT d.doc_id,
+        |  coalesce(s.n_toks, 0) AS n_toks,
+        |  coalesce(s.n_oov, 0) AS n_oov,
+        |  CASE WHEN s.n_toks IS NULL THEN NULL
+        |    ELSE CAST((1000000 * s.n_oov) // s.n_toks AS BIGINT) END AS oov_ppm
+        |FROM documents d LEFT JOIN s USING (doc_id)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
     "q69_dedup_substring" ->
       s"""WITH dd AS (
@@ -436,10 +462,7 @@ object CorpusOps {
         |FROM ver GROUP BY 1
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "q70_rarity_score" ->
-      """WITH toks AS (
-        |  SELECT doc_id, t.tok FROM documents,
-        |    unnest(string_split(text, ' ')) AS t(tok)
-        |  WHERE t.tok <> ''),
+      s"""WITH $toksCte,
         |vocab AS (SELECT tok, count(*) AS ct FROM toks GROUP BY tok),
         |tot AS (SELECT sum(ct) AS total FROM vocab),
         |scored AS (

@@ -118,8 +118,10 @@ object StreamWindows {
     "q49_quality_drift" ->
       // quality is q85's oracle formula verbatim; the window start is
       // pure integer epoch arithmetic (q60's convention) on the same
-      // synthetic doc_id-minute event time the engine constructs
-      """WITH g AS (
+      // synthetic doc_id-minute event time the engine constructs; the
+      // pass threshold interpolates QualityMonitor's knob so engine and
+      // oracle cannot diverge on it
+      s"""WITH g AS (
         |  SELECT ((86400 + doc_id * 60) // 3600) * 3600 AS ws,
         |    round(0.4 * (CAST(len(list_filter(string_split(text,' '), x -> list_contains(['the','a','of','and'], x))) AS DOUBLE)
         |                 / len(string_split(text, ' ')))
@@ -128,7 +130,7 @@ object StreamWindows {
         |  FROM documents),
         |w AS (
         |  SELECT ws, count(*) AS n_docs,
-        |    CAST(sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |    CAST(sum(CASE WHEN quality >= ${graft.streaming.QualityMonitor.PassThreshold} THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
         |    sum(CAST(quality AS DECIMAL(18,6))) AS sum_q
         |  FROM g GROUP BY ws)
         |SELECT CAST(ws AS BIGINT) AS ws, n_docs, n_pass,

@@ -35,6 +35,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.exists(r => r._3 < r._2), "everything OOV — vocab join broken")
   }
 
+  test("q48: zero-token documents stay in the report with a NULL rate") {
+    // the parquet fixture has no empty docs, so the totality contract is
+    // probed on a synthetic frame: a doc whose text yields no non-empty
+    // tokens must still get a row — zeros and NULL rate, not absence
+    import spark.implicits._
+    val docs = Seq((1L, "the a of and."), (2L, ""), (3L, "   ")).toDF("doc_id", "text")
+    val out = CorpusOps.oovReport(docs, 2).orderBy("doc_id").collect()
+    assert(out.length == 3, "every input doc must appear in the report")
+    assert(out(0).getLong(1) == 4 && out(0).getLong(2) == 2,
+      "doc 1: 4 tokens, vocab {a, and.} leaves {of, the} OOV")
+    out.drop(1).foreach { r =>
+      assert(r.getLong(1) == 0 && r.getLong(2) == 0 && r.isNullAt(3),
+        s"doc ${r.getLong(0)}: zero-token doc must report zeros and NULL rate")
+    }
+  }
+
   test("q69: every flagged doc is genuinely contained in its kept_by container") {
     // re-verify the output against the corpus: token-aligned containment
     // must hold for the (doc_id, kept_by) pair the query reports, the
