@@ -632,10 +632,12 @@ object LlmOps {
     * projections of the full vector, join queries to corpus within
     * probed buckets only, top-3 per query. The corpus side stays
     * partitioned (one bucket pass, no per-query scan); only the tiny
-    * query side fans out ×|probes| and is broadcast. Rows-only
-    * (score agreement + recall vs the q82 baseline asserted in
-    * LlmOpsSpec, which also drives the geometry-parameterized variant
-    * to prove recall responds to the probe-radius knob). */
+    * query side fans out ×|probes| and is broadcast. FULLY ORACLED
+    * via q75's recipe plus the probe expansion: the ±1 matrix AND the
+    * hamming-ball mask set (both env-backed) are serialized into the
+    * DuckDB SQL ([[q91OracleSql]]), so candidate buckets match
+    * bit-for-bit; the recall-vs-radius curve + q82 score agreement
+    * stay asserted in LlmOpsSpec. */
   val q91SimilarityIvf: Q = (spark, dir) => q91WithGeometry(geom)(spark, dir)
 
   /** q91 with explicit geometry — the declared query binds the env-backed
@@ -735,6 +737,34 @@ object LlmOps {
        |FROM b x JOIN b y ON x.bkt = y.bkt AND x.vec_id < y.vec_id
        |WHERE $cosSql >= 0.9
        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+  }
+
+  /** q91's oracle — q75's SRP-bucket recipe plus the multi-probe
+    * expansion: the same env-backed hamming-ball mask set the engine
+    * enumerates ([[probeMasks]] — Σ C(bits, r≤radius) masks, 37 at the
+    * default 8-bit/radius-2 geometry) is serialized into an unnest
+    * literal, so the probed candidate buckets match the engine
+    * bit-for-bit. Each corpus vector has exactly one bucket and probe
+    * masks are distinct, so a (qid, nid) pair matches at most once —
+    * no dedup stage in either engine. */
+  private def q91OracleSql: String = {
+    val masks = probeMasks(SrpBits, ProbeRadius).mkString("[", ",", "]")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |b AS (SELECT vec_id, e, ${srpBucketSql("e")} AS bkt FROM v),
+       |q AS (
+       |  SELECT vec_id AS qid, e AS qe, xor(bkt, m.mask) AS bkt
+       |  FROM b, (SELECT unnest($masks) AS mask) m
+       |  WHERE vec_id < 10),
+       |cand AS (
+       |  SELECT q.qid, c.vec_id AS nid,
+       |    round(list_dot_product(q.qe, c.e) /
+       |      (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.e, c.e))), 6) AS cos6
+       |  FROM b c JOIN q ON c.bkt = q.bkt AND c.vec_id <> q.qid),
+       |r AS (SELECT qid, nid, cos6,
+       |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid ASC) AS INT) AS rnk
+       |      FROM cand)
+       |SELECT qid, rnk, nid, cos6 FROM r WHERE rnk <= 3
+       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin
   }
 
   /** q94: deterministic train/val/test split — reproducible assignment
@@ -1318,6 +1348,7 @@ object LlmOps {
         |       ELSE 'test' END AS split
         |FROM b
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    "q91_similarity_ivf" -> q91OracleSql,
     "q92_dedup_embedding" -> q92OracleSql,
     "q80_dedup_exact" ->
       """WITH dd AS (
