@@ -21,14 +21,20 @@ object MultiModal {
   /** STUB: stands in for an image/audio decoder (no codecs in this
     * container). Deterministic pure function of the payload bytes; a real
     * deployment swaps `decode` for e.g. a JPEG decode + resize, keeping
-    * the exact same signature and batching shape. */
+    * the exact same signature and batching shape.
+    *
+    * The content hash is a polynomial rolling hash over bytes mod 1e9+7
+    * (q87's engine-portable recipe) rather than Java-Long wraparound, so
+    * every feature column is exact integer/IEEE arithmetic a second
+    * engine can reproduce — which is what lets q90 be hash-oracled. */
   object StubDecoder {
     final case class Features(width: Int, height: Int, meanByte: Double, sha: Long)
+    private val Mod = 1000000007L
     def decode(payload: Array[Byte]): Features = {
       val n = payload.length
       var sum = 0L; var h = 0L
       var i = 0
-      while (i < n) { sum += (payload(i) & 0xFF); h = h * 31 + (payload(i) & 0xFF); i += 1 }
+      while (i < n) { sum += (payload(i) & 0xFF); h = (h * 31 + (payload(i) & 0xFF)) % Mod; i += 1 }
       Features(width = n % 640, height = n % 480,
         meanByte = if (n == 0) 0.0 else sum.toDouble / n, sha = h)
     }
@@ -66,8 +72,13 @@ object MultiModal {
     }
   }
 
-  /** q90: the multimodal feature-extraction pipeline (rows-only check —
-    * the stub decoder is engine-local by construction). */
+  /** q90: the multimodal feature-extraction pipeline. FULLY ORACLED via
+    * the q93/q98 ASCII recipe: payloads are ASCII stand-ins, so every
+    * feature the stub emits — byte length, length-derived width/height,
+    * exact-integer mean, and the mod-1e9+7 rolling content hash — is
+    * reproducible in DuckDB with per-character ascii() arithmetic. The
+    * decoder stays a stub (no codecs in this container); the per-
+    * partition batching plumbing is the part that carries to 100 TB. */
   val q90Multimodal: Q = (spark, dir) =>
     orderAll(extractFeatures(spark, dir).toDF())
 
@@ -137,6 +148,25 @@ object MultiModal {
     "q98_multimodal_resize" -> q98MultimodalResize)
 
   val oracles: Map[String, String] = Map(
+    "q90_multimodal_features" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |         WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |         ELSE 'video/mp4' END AS media_type,
+        |    CAST(length(text) AS INT) AS n_bytes,
+        |    list_transform(range(0, CAST(length(text) AS BIGINT)),
+        |      i -> CAST(ascii(substring(text, CAST(i + 1 AS INT), 1)) AS BIGINT)) AS bytes
+        |  FROM documents)
+        |SELECT doc_id, media_type, n_bytes,
+        |  CAST(n_bytes % 640 AS INT) AS width,
+        |  CAST(n_bytes % 480 AS INT) AS height,
+        |  CASE WHEN n_bytes = 0 THEN 0.0
+        |       ELSE CAST(list_sum(bytes) AS DOUBLE) / n_bytes END AS mean_byte,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), bytes),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS content_hash
+        |FROM f
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST""".stripMargin,
     "q98_multimodal_resize" ->
       s"""SELECT doc_id,
          |  CAST(length(text) AS INT) AS n_bytes,
