@@ -1,6 +1,48 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** q25/q28 are legitimately no-oracle (sketch internals are
+    * engine-local), so their accuracy contract — HLL within 5% of exact
+    * distinct, GK percentiles within 2% of exact — is asserted HERE, at
+    * whatever SF the bench measures, not only at ApproxSpec's fixed test
+    * SF. Untimed (runs after the timed loop); a violation marks the
+    * bench line `"ok":false` and logs loudly rather than aborting, so
+    * the timing record survives for diagnosis. Returns a JSON object
+    * string. */
+  private def approxBounds(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions._
+    def rel(a: Double, e: Double) = math.abs(a - e) / e
+    try {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val approxD = graft.queries.Aggregates.q25ApproxDistinct(spark, sfDir)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exactD = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val q25Err = exactD.map { case (f, n) =>
+        rel(approxD(f).toDouble, n.toDouble) }.max
+      val approxP = graft.queries.Aggregates.q28ApproxPercentile(spark, sfDir)
+        .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+      val exactP = li.groupBy(col("l_returnflag")).agg(
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"))
+        .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+      val q28Err = exactP.map { case (f, (p50, p95)) =>
+        val (a50, a95) = approxP(f)
+        math.max(rel(a50, p50), rel(a95, p95)) }.max
+      graft.core.CacheScope.drain()
+      val ok = q25Err < 0.05 && q28Err < 0.02
+      if (!ok) System.err.println(
+        f"[bench] APPROX BOUND VIOLATED: q25 rel err $q25Err%.4f (limit .05), q28 $q28Err%.4f (limit .02)")
+      else System.err.println(
+        f"[bench] approx bounds ok: q25 rel err $q25Err%.4f < .05, q28 $q28Err%.4f < .02")
+      f"""{"q25_max_rel_err":$q25Err%.6f,"q28_max_rel_err":$q28Err%.6f,"ok":$ok}"""
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] approx-bound check failed: ${e.getMessage}")
+      s"""{"ok":false,"err":"${e.getClass.getSimpleName}"}"""
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -26,24 +68,41 @@ object Bench {
     graft.queries.Joins.q38Tables(spark, sfDir)
     spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_regionkey").count().count()
+    // ScaleProbe's measurement protocol, adopted per round-8 review: one
+    // discarded warm rep (JIT/codegen/encoder init — measured 5.3 s cold
+    // vs 0.5 s warm on q45 via Profile) then two timed reps, recording
+    // the MIN. Back-to-back round-8 totals swung 37% (86.2 vs 62.9 s)
+    // under the single-rep protocol; min-of-2-warm removes the
+    // cold-position and GC-phase jitter that made per-query cross-round
+    // diffs mushy. Caches drain between reps so every rep is a full
+    // execution on a warm JVM, not a cache read.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
       System.err.println(s"[bench] start $name")
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      graft.core.CacheScope.drain() // per-query cache lifecycle: reuse inside, none after
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] done  $name in $dt%.2f s")
-      // Untimed heap quiesce: without it, GC debt accumulated by a heavy
-      // query bills to whichever sub-second query runs next — observed as
-      // r4→r5 "drift" on q29/q56 (0.22→0.71 s with no code change) and as
-      // whole-run swings between consecutive identical runs.
-      System.gc()
-      name -> dt
+      def rep(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        graft.core.CacheScope.drain() // per-query cache lifecycle: reuse inside, none after
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Untimed heap quiesce: without it, GC debt accumulated by a heavy
+        // query bills to whichever sub-second query runs next — observed as
+        // r4→r5 "drift" on q29/q56 (0.22→0.71 s with no code change) and as
+        // whole-run swings between consecutive identical runs.
+        System.gc()
+        dt
+      }
+      val warm = rep()
+      val timed = Seq(rep(), rep())
+      System.err.println(f"[bench] done  $name min ${timed.min}%.2f s " +
+        f"(warm $warm%.2f, reps ${timed.map(t => f"$t%.2f").mkString("/")})")
+      (name, timed.min, timed)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val reps = results.map { case (k, _, ts) => s"\"" + k + "\":" + ts.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val bounds = approxBounds(spark, sfDir)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"warm1+min2","queries":$qs,"approx_bounds":$bounds,"sf":"$sfDir"}"""
     println(line)
     // stdout tail-capture can truncate long runs; the file copy is the
     // durable record (driver picks up either). Both files anchor to the
@@ -70,7 +129,7 @@ object Bench {
       val cpusJson =
         if (cpus.matches("[0-9]+")) cpus
         else "\"" + cpus.replaceAll("[\"\\\\]", "") + "\""
-      val stamped = s"""{"ts":"${java.time.Instant.now()}","sf":"$sfDir","cpus":$cpusJson,"total":$total,"queries":$qs}"""
+      val stamped = s"""{"ts":"${java.time.Instant.now()}","sf":"$sfDir","cpus":$cpusJson,"protocol":"warm1+min2","total":$total,"queries":$qs,"reps":$reps}"""
       java.nio.file.Files.writeString(
         root.resolve("BENCH_HISTORY.jsonl"), stamped + "\n",
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)

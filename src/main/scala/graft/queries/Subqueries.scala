@@ -45,7 +45,15 @@ object Subqueries {
          |""".stripMargin))
 
   /** q45: correlated scalar subquery (per-customer max order) + an
-    * uncorrelated scalar subquery (global average) in one projection. */
+    * uncorrelated scalar subquery (global average) in one projection.
+    *
+    * Round-8 bench note: the close showed 0.62 → 1.31 s at sf0.1 within
+    * one round. Profiled (5 reps, sf0.1): rep 1 = 5.27 s (JVM-cold),
+    * reps 2-5 = 0.52-0.60 s steady — the doubling was cold-position
+    * jitter inside a run whose back-to-back totals already swung 37%,
+    * not a plan change (decorrelation still verified by PlanSpec).
+    * Bench's warm1+min2 protocol (adopted round 9) retires this class
+    * of false regression. */
   val q45SubqueryScalar: Q = (spark, dir) =>
     orderAll(withViews(spark, dir, Seq("customer", "orders"))(v =>
       s"""SELECT c_custkey,
