@@ -21,6 +21,7 @@ import org.apache.spark.sql.Dataset
 object CacheScope {
 
   private val tracked = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
+  private val checkpointed = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
 
   /** Persist `ds` at the given level and register it for the next drain. */
   def persist[T <: Dataset[_]](ds: T,
@@ -31,12 +32,24 @@ object CacheScope {
     ds
   }
 
+  /** Register a [[Checkpoints]]-truncated frame whose blocks must outlive
+    * the query's action (q68's edge table and final label table — the
+    * result plan reads them). Dataset.unpersist doesn't touch checkpoint
+    * blocks, so the drain releases these through [[Checkpoints.release]];
+    * frames already released in-loop are a safe no-op. */
+  def trackCheckpoint[T <: Dataset[_]](ds: T): T = {
+    synchronized { checkpointed += ds }
+    ds
+  }
+
   /** Unpersist every tracked dataset (non-blocking) and forget them. */
   def drain(): Unit = synchronized {
     tracked.foreach(_.unpersist(blocking = false))
     tracked.clear()
+    checkpointed.foreach(ds => Checkpoints.release(ds.toDF()))
+    checkpointed.clear()
   }
 
   /** Number of datasets currently tracked (for specs). */
-  def size: Int = synchronized(tracked.size)
+  def size: Int = synchronized(tracked.size + checkpointed.size)
 }

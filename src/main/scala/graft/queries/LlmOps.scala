@@ -361,11 +361,21 @@ object LlmOps {
     * (ScaleProbe: 8× data ⇒ same 3 rounds). FULLY ORACLED: DuckDB
     * computes the same components with a recursive CTE (min reachable
     * id over the undirected graph). */
-  val q68DedupClusters: Q = (spark, dir) => {
+  val q68DedupClusters: Q = (spark, dir) =>
+    q68WithCheckpoint(graft.core.Checkpoints.dirFromEnv())(spark, dir)
+
+  /** q68 with an explicit checkpoint mode. The declared query binds the
+    * env-backed switch ([[graft.core.Checkpoints.dirFromEnv]]): unset ⇒
+    * localCheckpoint (single-JVM sandbox), GRAFT_CHECKPOINT_DIR set ⇒
+    * reliable checkpoint() to fault-tolerant storage, the 1000-executor
+    * posture. CheckpointSpec drives the reliable path with an explicit
+    * temp dir and pins both modes to identical results. */
+  private[graft] def q68WithCheckpoint(ckptDir: Option[String]): Q = (spark, dir) => {
+    import graft.core.{CacheScope, Checkpoints}
     // both union branches reference `pairs`; q81's INTERNAL persists make
     // the second traversal cheap (measured: an extra persist here only
     // adds a materialization layer), and `edges` is checkpointed for the loop
-    // the loop's frames are localCheckpoint'ed, not persisted: a cached
+    // the loop's frames are checkpoint-truncated, not persisted: a cached
     // plan is substituted by CANONICAL-PLAN LOOKUP at analysis time, and
     // round k's tree (edges and the round-(k-1) labels, each referenced
     // through fresh self-joined aliases) reliably missed it — measured:
@@ -373,14 +383,18 @@ object LlmOps {
     // pipeline inside every round. A checkpoint truncates the lineage to
     // the materialized blocks themselves, so a round's plan is three
     // joins over two tiny leaf tables no matter how deep the iteration.
-    // (local = no fault-tolerant storage in the sandbox; the production
-    // cluster swaps in reliable checkpoint() — same semantics.)
+    // `ckpt` frames that the RESULT plan reads (edges, final labels) are
+    // registered for the harness drain; superseded round frames are
+    // released in-loop, so the block manager holds at most two label
+    // tables at any point of the iteration (round-8 advice).
+    def ckpt(df: DataFrame): DataFrame =
+      CacheScope.trackCheckpoint(Checkpoints.truncate(df, ckptDir))
     val pairs = q81Pairs(spark, dir).select(col("d1"), col("d2"))
-    val edges = pairs.unionByName(
+    val edges = ckpt(pairs.unionByName(
         pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-      .toDF("src", "dst").localCheckpoint(true)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint(true)
+      .toDF("src", "dst"))
+    var labels = ckpt(edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")))
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("label")), lit(0L))).collect()(0).getLong(0)
     var prevSum = labelSum(labels)
@@ -402,15 +416,18 @@ object LlmOps {
       // in x's component, so the jump target's label is too — the
       // fixpoint argument (stable ⇒ adjacent labels equal ⇒ component
       // min everywhere) is unchanged.
-      val next = hop.join(
+      val next = ckpt(hop.join(
           labels.select(col("node").as("pnode"), col("label").as("plabel")),
           hop("lbl1") === col("pnode"), "left")
         .select(col("node"),
-          least(col("lbl1"), coalesce(col("plabel"), col("lbl1"))).as("label"))
-        .localCheckpoint(true)
+          least(col("lbl1"), coalesce(col("plabel"), col("lbl1"))).as("label")))
       val s = labelSum(next)
       converged = s == prevSum // min-propagation: sum strictly decreases until fixpoint
       prevSum = s
+      // `next` is materialized (truncation is eager), so the previous
+      // round's blocks are dead — release now instead of letting ~25
+      // superseded label tables sit in the block manager until GC
+      Checkpoints.release(labels)
       labels = next
       iter += 1
       System.err.println(f"[q68] round $iter: ${(System.nanoTime() - t0) / 1e9}%.2f s, labelSum=$s")
