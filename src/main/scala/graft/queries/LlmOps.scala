@@ -259,9 +259,17 @@ object LlmOps {
   private[graft] def qualityExpr: org.apache.spark.sql.Column = {
     val nTok = size(split(col("text"), " "))
     val punct = length(col("text")) - length(regexp_replace(col("text"), "[.!?,;]", ""))
-    val stopR = stopScore("en").cast("double") / nTok
+    // Total contract (round-8 advice): an empty/whitespace-only document
+    // scores its ratios as 0 rather than NULL (Spark's non-ANSI x/0) vs
+    // NaN/inf (DuckDB's IEEE float division) — without the guards the
+    // q49/q85 hash gates diverge on any corpus containing empty docs.
+    // nTok can't be 0 on non-null text (split('') = ['']) but is guarded
+    // to the same convention so the contract doesn't lean on split
+    // semantics. Oracles mirror via coalesce(x / nullif(d, 0), 0).
+    val stopR = when(nTok > 0, stopScore("en").cast("double") / nTok).otherwise(lit(0.0))
     val lenR = least(lit(1.0), nTok.cast("double") / 100.0)
-    val punctR = punct.cast("double") / length(col("text"))
+    val punctR = when(length(col("text")) > 0,
+      punct.cast("double") / length(col("text"))).otherwise(lit(0.0))
     round(lit(0.4) * stopR + lit(0.3) * lenR + lit(0.3) * (lit(1.0) - punctR), 6)
   }
 
@@ -271,7 +279,7 @@ object LlmOps {
     val d = t(spark, dir, "documents")
     val nTok = size(split(col("text"), " "))
     val punct = length(col("text")) - length(regexp_replace(col("text"), "[.!?,;]", ""))
-    val stopR = stopScore("en").cast("double") / nTok
+    val stopR = when(nTok > 0, stopScore("en").cast("double") / nTok).otherwise(lit(0.0))
     orderAll(d.select(
       col("doc_id"),
       nTok.as("n_tok"),
@@ -1412,16 +1420,21 @@ object LlmOps {
         |FROM s
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST""".stripMargin,
     "q85_quality_score" ->
-      """SELECT doc_id,
-        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
-        |  CAST(length(text) - length(regexp_replace(text, '[.!?,;]', '', 'g')) AS INT) AS n_punct,
-        |  round(CAST(len(list_filter(string_split(text,' '), x -> list_contains(['the','a','of','and'], x))) AS DOUBLE)
-        |        / len(string_split(text, ' ')), 6) AS stop_ratio,
-        |  round(0.4 * (CAST(len(list_filter(string_split(text,' '), x -> list_contains(['the','a','of','and'], x))) AS DOUBLE)
-        |               / len(string_split(text, ' ')))
-        |      + 0.3 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0)
-        |      + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.!?,;]', '', 'g')) AS DOUBLE) / length(text)), 6) AS quality
-        |FROM documents
+      // ratio denominators guarded with coalesce(x / nullif(d, 0), 0) —
+      // the same total contract qualityExpr enforces on empty docs
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+        |    CAST(length(text) - length(regexp_replace(text, '[.!?,;]', '', 'g')) AS INT) AS n_punct,
+        |    CAST(len(list_filter(string_split(text,' '), x -> list_contains(['the','a','of','and'], x))) AS DOUBLE) AS n_stop,
+        |    CAST(length(text) AS INT) AS n_chars
+        |  FROM documents)
+        |SELECT doc_id, n_tok, n_punct,
+        |  round(coalesce(n_stop / nullif(n_tok, 0), 0.0), 6) AS stop_ratio,
+        |  round(0.4 * coalesce(n_stop / nullif(n_tok, 0), 0.0)
+        |      + 0.3 * least(1.0, CAST(n_tok AS DOUBLE) / 100.0)
+        |      + 0.3 * (1.0 - coalesce(CAST(n_punct AS DOUBLE) / nullif(n_chars, 0), 0.0)), 6) AS quality
+        |FROM f
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
     "q86_token_count" ->
       """SELECT doc_id,

@@ -123,10 +123,10 @@ object StreamWindows {
       // oracle cannot diverge on it
       s"""WITH g AS (
         |  SELECT ((86400 + doc_id * 60) // 3600) * 3600 AS ws,
-        |    round(0.4 * (CAST(len(list_filter(string_split(text,' '), x -> list_contains(['the','a','of','and'], x))) AS DOUBLE)
-        |                 / len(string_split(text, ' ')))
+        |    round(0.4 * coalesce(CAST(len(list_filter(string_split(text,' '), x -> list_contains(['the','a','of','and'], x))) AS DOUBLE)
+        |                 / nullif(len(string_split(text, ' ')), 0), 0.0)
         |        + 0.3 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0)
-        |        + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.!?,;]', '', 'g')) AS DOUBLE) / length(text)), 6) AS quality
+        |        + 0.3 * (1.0 - coalesce(CAST(length(text) - length(regexp_replace(text, '[.!?,;]', '', 'g')) AS DOUBLE) / nullif(length(text), 0), 0.0)), 6) AS quality
         |  FROM documents),
         |w AS (
         |  SELECT ws, count(*) AS n_docs,

@@ -244,6 +244,16 @@ class LlmOpsSpec extends SparkSpec {
       "cache entries survived drain — session-long accumulation")
   }
 
+  test("qualityExpr is total: empty and whitespace-only docs score, not NULL") {
+    // the guarded ratios make the contract total (round-8 advice): an
+    // empty doc has punctR 0 by convention, not 0/0 — which Spark would
+    // NULL and DuckDB would NaN, diverging the q49/q85 hash gates
+    import spark.implicits._
+    val q = Seq("", "   ", "the end.").toDF("text")
+      .select(LlmOps.qualityExpr.as("q")).collect().map(r => Option(r.get(0)))
+    assert(q.forall(_.isDefined), s"NULL quality on degenerate docs: ${q.toSeq}")
+  }
+
   test("q90 multimodal features are deterministic and complete") {
     val f1 = MultiModal.q90Multimodal(spark, sf).collect()
     val f2 = MultiModal.q90Multimodal(spark, sf).collect()
