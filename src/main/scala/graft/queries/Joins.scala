@@ -68,13 +68,42 @@ object Joins {
       .select("c_custkey", "c_name", "c_mktsegment"))
   }
 
+  /** q15's hot-key guard: output is inherently quadratic in
+    * events-per-user-inside-the-band, so one bot user at 100× (think
+    * scraper traffic: 10^6 events in a 10-minute window ⇒ 10^12 pairs)
+    * explodes a single key no matter how the join is partitioned —
+    * salting (q19's machinery) would spread the WORK but the OUTPUT is
+    * still 10^12 rows, which is never what the analyst meant. The guard
+    * is therefore semantic, not physical: each user contributes at most
+    * `cap` events (first by (ts, event_id) — deterministic and
+    * SQL-expressible, so the oracle mirrors it exactly), bounding
+    * per-user join output at cap². The rank runs in the same
+    * user_id-shuffle the join needs anyway; AQE skew-join handles
+    * residual partition imbalance below the cap. The default cap (10k)
+    * sits far above every test fixture's per-user max, so CORRECTNESS
+    * hashes are unchanged — production dials GRAFT_EVENTS_PER_USER_CAP
+    * to its bot-filter budget. `between(1, cap)` rather than `<= cap`:
+    * row_number is IntegerType, and a >2^31-event user would wrap
+    * negative and sneak PAST a plain <=. */
+  private[graft] def EventsPerUserCap: Int =
+    sys.env.get("GRAFT_EVENTS_PER_USER_CAP").map(_.trim.toInt).getOrElse(10000)
+
   /** q15: theta/range join — keyed on user_id (equi) with a time-band
     * residual, so Spark plans a hash/SMJ join, not a nested loop. Counts,
-    * per user, ordered event pairs within a 10-minute follow window. */
-  val q15ThetaRange: Q = (spark, dir) => {
-    val e1 = events(spark, dir).select(
+    * per user, ordered event pairs within a 10-minute follow window.
+    * Per-user event cap guards the quadratic hot-key blowup (see
+    * [[EventsPerUserCap]]); SkewSpec bounds the fan-out on a planted
+    * bot user. */
+  val q15ThetaRange: Q = (spark, dir) => q15WithCap(EventsPerUserCap)(spark, dir)
+
+  private[graft] def q15WithCap(cap: Int): Q = (spark, dir) => {
+    val wCap = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val capped = events(spark, dir)
+      .withColumn("__rn", row_number().over(wCap))
+      .filter(col("__rn").between(1, cap)).drop("__rn")
+    val e1 = capped.select(
       col("user_id"), col("event_id").as("eid1"), col("ts").as("ts1"))
-    val e2 = events(spark, dir).select(
+    val e2 = capped.select(
       col("user_id").as("user_id2"), col("event_id").as("eid2"), col("ts").as("ts2"))
     val joined = e1.join(e2,
       e1("user_id") === e2("user_id2") &&
@@ -310,8 +339,16 @@ object Joins {
         |  ON c.c_custkey = o.o_custkey
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
     "q15_join_theta_range" ->
-      """SELECT e1.user_id, count(*) AS pair_cnt, count(DISTINCT e1.event_id) AS starters
-        |FROM events e1 JOIN events e2
+      // the per-user cap is serialized from the same env knob the engine
+      // binds (q63's pattern), so both engines trim identical event sets
+      s"""WITH capped AS (
+        |  SELECT user_id, event_id, ts FROM (
+        |    SELECT user_id, event_id, ts,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |    FROM events)
+        |  WHERE rn <= $EventsPerUserCap)
+        |SELECT e1.user_id, count(*) AS pair_cnt, count(DISTINCT e1.event_id) AS starters
+        |FROM capped e1 JOIN capped e2
         |  ON e1.user_id = e2.user_id
         | AND e2.ts > e1.ts
         | AND e2.ts <= e1.ts + INTERVAL 10 MINUTE
