@@ -5,11 +5,12 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Empirical linearity probe for the dedup family — the measured half of
-  * the 100 TB scale story (the analytical half is the pinned plan shapes
-  * in PlanSpec: bucket/shingle equi-joins, fingerprint-only exchanges,
-  * occupancy caps). Writes SCALEPROBE.md, the committed evidence the q63
-  * scaladoc cites.
+/** Empirical linearity probe for the dedup family AND the superlinear-
+  * risk relational plans (q15 theta-range, q16 as-of, q34 gap-fill) —
+  * the measured half of the 100 TB scale story (the analytical half is
+  * the pinned plan shapes in PlanSpec: bucket/shingle equi-joins,
+  * fingerprint-only exchanges, occupancy caps). Writes SCALEPROBE.md,
+  * the committed evidence the q63 scaladoc cites.
   *
   * Method: the documents corpus is scaled by k ∈ {1, 4, 8} via
   * id-shifted, token-salted copies —
@@ -87,6 +88,28 @@ object ScaleProbe {
       k -> dir
     }
 
+    // events for the joins/windows probe: scaled k× by USER-POPULATION
+    // copies — user_id/event_id shifted per copy, timestamps untouched —
+    // i.e. k× more users active in the same time window, the shape
+    // production growth actually takes. Per-user in-band population is
+    // unchanged by construction, so the quadratic-in-band q15 and the
+    // per-user windows of q16/q34 must come out linear; a superlinear
+    // curve would mean per-KEY work grew with corpus size — the failure
+    // mode this probe exists to catch. (ts is TIMESTAMP(NANOS) on disk;
+    // read as long — the convention queries.events() rebuilds from.)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val baseEv = spark.read.parquet(s"$baseDir/events.parquet")
+    val baseEvRows = baseEv.count()
+    dirs.foreach { case (k, dir) =>
+      val scaledEv = (0 until k).map { i =>
+        baseEv.withColumn("user_id", col("user_id") + lit(i * Shift))
+          .withColumn("event_id", col("event_id") + lit(i * Shift))
+      }.reduce(_ unionByName _)
+      scaledEv.coalesce(cpus.toInt).write.mode("overwrite")
+        .parquet(s"$dir/events.parquet")
+      System.err.println(s"[scaleprobe] built k=$k events (${baseEvRows * k} rows)")
+    }
+
     // ---- measure ------------------------------------------------------
     def timeFn(fn: graft.queries.Q, dir: String): (Double, Long) = {
       val t0 = System.nanoTime()
@@ -111,7 +134,7 @@ object ScaleProbe {
 
     // ---- report + gate ------------------------------------------------
     val sb = new StringBuilder
-    sb.append("# SCALEPROBE — measured dedup-family linearity\n\n")
+    sb.append("# SCALEPROBE — measured linearity: dedup family + joins/windows\n\n")
     sb.append(s"Generated by `graft.tools.ScaleProbe` on `$baseDir` " +
       s"($baseRows base docs), local[$cpus], shuffle.partitions=$cpus.\n\n")
     sb.append("Corpus scaled k× by id-shifted (`+k·9,700,000`, residue-preserving) ")
@@ -221,6 +244,45 @@ object ScaleProbe {
     sb.append(f"\nGate (≤1.5k): ${if (q75Pass) "PASS" else "FAIL"}. Row counts " +
       "sit near 3·vectors-with-peers and drift only with bucket occupancy — " +
       "more bits at higher k trims some vectors' peer sets below 3.\n")
+
+    // ---- joins/windows probe (round-8 ask #6) -------------------------
+    // the remaining superlinear-risk plans outside the dedup family:
+    // q15's band join output is quadratic in events-per-user-in-band
+    // (guarded by the per-user cap), q16's as-of join fans views×purchases
+    // per user before the top-1 window, q34's gap-fill explodes a
+    // sequence per user-hour-span. All three key on user_id, so k× users
+    // at constant per-user activity must measure linear.
+    val JoinQueries = Seq("q15_join_theta_range", "q16_join_asof", "q34_gap_fill")
+    val jwWalls = JoinQueries.map { q =>
+      q -> dirs.map { case (k, dir) =>
+        timeOnce(q, dir) // warm, untimed
+        val best = Seq(timeOnce(q, dir), timeOnce(q, dir)).minBy(_._1)
+        System.err.println(f"[scaleprobe] $q k=$k: ${best._1}%.2f s (${best._2} rows)")
+        k -> best
+      }.toMap
+    }.toMap
+    sb.append("\n## joins/windows probe — theta-range, as-of, gap-fill\n\n")
+    sb.append(s"Events scaled k× by user-population copies (user_id/event_id shifted ")
+    sb.append(s"per copy, timestamps untouched — k× users in the same window, ")
+    sb.append(s"constant per-user activity; $baseEvRows base events). These are the ")
+    sb.append("plans whose work is per-key quadratic/fan-out shaped (q15 band pairs, ")
+    sb.append("q16 view×purchase candidates, q34 per-user hour grids), so linear ")
+    sb.append("wall growth here certifies the work stays bounded per key as the ")
+    sb.append("population grows:\n\n")
+    sb.append("| query | k=1 wall | k=4 wall (ratio) | k=8 wall (ratio) | rows k=1→4→8 | gate (≤1.5k) |\n")
+    sb.append("|---|---|---|---|---|---|\n")
+    JoinQueries.foreach { q =>
+      val w = jwWalls(q)
+      val (w1, r1) = w(1); val (w4, r4) = w(4); val (w8, r8) = w(8)
+      val g4 = w4 / w1; val g8 = w8 / w1
+      val pass = g4 <= GrowthFactor * 4 && g8 <= GrowthFactor * 8
+      allPass &&= pass
+      sb.append(f"| $q | $w1%.2f s | $w4%.2f s ($g4%.2f×) | $w8%.2f s ($g8%.2f×) " +
+        f"| $r1%d → $r4%d → $r8%d | ${if (pass) "PASS" else "FAIL"} |\n")
+    }
+    sb.append("\nRow counts scale exactly k×: each user copy reproduces the base " +
+      "population's pairs/grids and cross-copy keys never meet — confirming " +
+      "the joins stay key-local.\n")
 
     // ---- q89 drift attribution (round-7 ask #6) -----------------------
     val q89 = graft.SparkEntry.queries("q89_dedup_simhash")
