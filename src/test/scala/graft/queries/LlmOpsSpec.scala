@@ -252,6 +252,10 @@ class LlmOpsSpec extends SparkSpec {
     val q = Seq("", "   ", "the end.").toDF("text")
       .select(LlmOps.qualityExpr.as("q")).collect().map(r => Option(r.get(0)))
     assert(q.forall(_.isDefined), s"NULL quality on degenerate docs: ${q.toSeq}")
+    // exact values the DuckDB mirror produces for the same inputs
+    // (verified by hand: coalesce(x / nullif(d, 0), 0) over '' and '   ')
+    assert(q.flatten.toSeq == Seq(0.303, 0.312, 0.4685),
+      s"cross-engine drift on degenerate docs: ${q.toSeq}")
   }
 
   test("q90 multimodal features are deterministic and complete") {
