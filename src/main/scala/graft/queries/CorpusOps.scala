@@ -250,16 +250,24 @@ object CorpusOps {
     * max, partially aggregated map-side, so the one shuffle carries a
     * 24-byte struct per vector, never the k-fanned scores (a window
     * row_number over the k·n rows would shuffle k× that). */
-  private def clusterScores(spark: SparkSession, dir: String): DataFrame = {
+  /** Every vector scored against the broadcast 8-centroid codebook,
+    * map-side — the shared coarse-quantizer stage behind q73/q74
+    * (argmax assignment) and q100 (IVF probe lists). */
+  private def centroidScores(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
     val v = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     val cent = v.filter(col("vec_id") < 8)
       .select(col("vec_id").as("c_id"), col("e").as("ce"))
-    val best = v.crossJoin(broadcast(cent))
+    v.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("e"), col("c_id"),
+        round(expr("cosine_sim(e, ce)"), 6).as("cc6"))
+  }
+
+  private def clusterScores(spark: SparkSession, dir: String): DataFrame = {
+    val best = centroidScores(spark, dir)
       .select(col("vec_id"),
-        struct(round(expr("cosine_sim(e, ce)"), 6).as("cos6"),
-          (-col("c_id")).as("nid")).as("sc"))
+        struct(col("cc6").as("cos6"), (-col("c_id")).as("nid")).as("sc"))
       .groupBy("vec_id").agg(max(col("sc")).as("m"))
     best.select(col("vec_id"),
       (-col("m.nid")).as("centroid_id"), col("m.cos6").as("cos6"))
@@ -325,6 +333,53 @@ object CorpusOps {
   }
 
   val q75KnnJoin: Q = (spark, dir) => q75WithGeometry(LlmOps.geom)(spark, dir)
+
+  /** q100: true inverted-file (IVF) ANN — the centroid-quantizer
+    * counterpart to q91's hash-bucketed LSH, completing both halves of
+    * the "IVF or LSH" scale-path pair. Cells come from a codebook (the
+    * 8 deterministic seed centroids q73 uses; production runs Lloyd
+    * rounds through q73's assignment operator and grows k ~ √n), each
+    * corpus vector joins its single argmax-cosine cell, and a query
+    * probes its nProbe=2 nearest cells, exact-cosine re-ranking only the
+    * probed cells' members for its top-3.
+    *
+    * 100 TB: the codebook broadcasts (k vectors); cell assignment is
+    * map-side scoring + a struct-max partial agg (q73's shape — the one
+    * shuffle carries 24-byte structs); the candidate join is equi on
+    * cell id with the tiny fanned-out query side broadcast, so the
+    * corpus stays partitioned and each query scans nProbe/k of it —
+    * recall and work dial with nProbe exactly like q91's hamming
+    * radius. FULLY ORACLED: cells, probe lists, and scores are
+    * deterministic arithmetic (round-6 cosine, ties to lower id),
+    * mirrored in DuckDB SQL. */
+  val q100KnnIvf: Q = (spark, dir) => {
+    // one shared map-side scoring pass feeds assignment AND probes
+    val scored = centroidScores(spark, dir).scopedPersist
+    // assignment shuffles (vec_id, 24-byte struct) only — vectors rejoin
+    // by id afterwards (q73's stated posture, q92's fingerprints-first)
+    val cells = scored
+      .select(col("vec_id"), struct(col("cc6"), (-col("c_id")).as("nc")).as("sc"))
+      .groupBy("vec_id").agg(max(col("sc")).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("cell"))
+    val v = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val corpus = v.join(cells, Seq("vec_id"))
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cc6").desc, col("c_id").asc)
+    val probes = scored.filter(col("vec_id") < 10)
+      .withColumn("pr", row_number().over(wProbe)).filter(col("pr") <= 2)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("c_id").as("cell"))
+    // each corpus vector lives in exactly one cell and a query's two
+    // probed cells are distinct, so (qid, nid) pairs are already unique
+    val cand = corpus.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(expr("cosine_sim(qe, e)"), 6).as("cos6"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos6").desc, col("nid").asc)
+    orderAll(cand.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("rnk"), col("nid"), col("cos6")))
+  }
 
   /** q48: vocabulary coverage / out-of-vocabulary rate — the
     * tokenizer-design metric: fix the vocab at the top-V tokens by
@@ -417,7 +472,8 @@ object CorpusOps {
     "q73_cluster_assign" -> q73ClusterAssign,
     "q74_cluster_balanced_sample" -> q74ClusterBalancedSample,
     "q75_knn_join" -> q75KnnJoin,
-    "q78_bpe_bigrams" -> q78BpeBigrams)
+    "q78_bpe_bigrams" -> q78BpeBigrams,
+    "q100_knn_ivf" -> q100KnnIvf)
 
   val oracles: Map[String, String] = Map(
     "q48_oov_rate" ->
@@ -575,5 +631,40 @@ object CorpusOps {
         |  WHERE t1 <> '' AND t2 <> '' GROUP BY 1, 2),
         |top AS (SELECT t1, t2, cnt FROM c ORDER BY cnt DESC, t1, t2 LIMIT 50)
         |SELECT t1, t2, cnt FROM top
-        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    "q100_knn_ivf" ->
+      // the coarse quantizer, cell assignment, nProbe=2 probe lists, and
+      // exact re-rank are all deterministic arithmetic — round-6 cosine,
+      // ties to the lower id — so the full IVF pipeline mirrors into SQL
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cent AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT v.vec_id, c.c_id,
+        |    round(list_dot_product(v.e, c.ce) /
+        |      (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.ce, c.ce))), 6) AS cc6
+        |  FROM v, cent c),
+        |cells AS (
+        |  SELECT vec_id, c_id AS cell FROM (
+        |    SELECT vec_id, c_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cc6 DESC, c_id ASC) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |corpus AS (SELECT v.vec_id, v.e, cells.cell FROM v JOIN cells USING (vec_id)),
+        |probes AS (
+        |  SELECT s.vec_id AS qid, qv.e AS qe, s.c_id AS cell FROM (
+        |    SELECT vec_id, c_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cc6 DESC, c_id ASC) AS rn
+        |    FROM scored WHERE vec_id < 10) s
+        |  JOIN v qv ON qv.vec_id = s.vec_id
+        |  WHERE s.rn <= 2),
+        |cand AS (
+        |  SELECT p.qid, c.vec_id AS nid,
+        |    round(list_dot_product(p.qe, c.e) /
+        |      (sqrt(list_dot_product(p.qe, p.qe)) * sqrt(list_dot_product(c.e, c.e))), 6) AS cos6
+        |  FROM corpus c JOIN probes p ON c.cell = p.cell AND c.vec_id <> p.qid),
+        |r AS (
+        |  SELECT qid, nid, cos6,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid ASC) AS INT) AS rnk
+        |  FROM cand)
+        |SELECT qid, rnk, nid, cos6 FROM r WHERE rnk <= 3
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin)
 }

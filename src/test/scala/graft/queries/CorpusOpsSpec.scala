@@ -210,6 +210,28 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q100: IVF neighbors come from probed cells only, ranked densely, with real recall") {
+    val out = CorpusOps.q100KnnIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty, "no query found any cell member")
+    assert(out.forall(r => r._1 != r._3), "a query is its own neighbor")
+    out.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length),
+        s"query $qid ranks are not dense 1..${rows.length}")
+      assert(rows.length <= 3)
+    }
+    // recall vs the exact q82 brute-force baseline: probing 2/8 cells
+    // must recover a meaningful share of the true top-3 (the remedy for
+    // the rest is nProbe, q91's radius-knob analog)
+    val truth = graft.queries.LlmOps.q82SimilarityTopk(spark, sf).collect()
+      .filter(_.getInt(1) <= 3) // q82 reports top-5; the IVF contract is top-3
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = out.map(r => (r._1, r._3)).toSet
+    val recall = (truth & got).size.toDouble / truth.size
+    info(f"q100 recall vs q82 top-3: $recall%.2f")
+    assert(recall >= 0.3, f"IVF recall $recall%.2f collapsed below 0.3")
+  }
+
   test("q78: exactly fifty distinct merge candidates, all genuine adjacent pairs") {
     val rows = CorpusOps.q78BpeBigrams(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
