@@ -253,11 +253,12 @@ object CorpusOps {
   /** Every vector scored against the broadcast 8-centroid codebook,
     * map-side — the shared coarse-quantizer stage behind q73/q74
     * (argmax assignment) and q100 (IVF probe lists). */
-  private def centroidScores(spark: SparkSession, dir: String): DataFrame = {
+  private def centroidScores(spark: SparkSession, dir: String,
+      k: Int = 8): DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
     val v = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-    val cent = v.filter(col("vec_id") < 8)
+    val cent = v.filter(col("vec_id") < k)
       .select(col("vec_id").as("c_id"), col("e").as("ce"))
     v.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("e"), col("c_id"),
@@ -352,9 +353,16 @@ object CorpusOps {
     * radius. FULLY ORACLED: cells, probe lists, and scores are
     * deterministic arithmetic (round-6 cosine, ties to lower id),
     * mirrored in DuckDB SQL. */
-  val q100KnnIvf: Q = (spark, dir) => {
+  val q100KnnIvf: Q = (spark, dir) => q100WithCodebook(8, 2)(spark, dir)
+
+  /** q100 with explicit codebook size / probe count — the declared query
+    * binds (k=8, nProbe=2); ScaleProbe drives k ∝ corpus (occupancy
+    * n/k held constant, the production operating procedure: k ~ √n with
+    * Lloyd-refined centroids) and specs measure the recall-vs-nProbe
+    * curve. */
+  private[graft] def q100WithCodebook(k: Int, nProbe: Int): Q = (spark, dir) => {
     // one shared map-side scoring pass feeds assignment AND probes
-    val scored = centroidScores(spark, dir).scopedPersist
+    val scored = centroidScores(spark, dir, k).scopedPersist
     // assignment shuffles (vec_id, 24-byte struct) only — vectors rejoin
     // by id afterwards (q73's stated posture, q92's fingerprints-first)
     val cells = scored
@@ -367,7 +375,7 @@ object CorpusOps {
     val wProbe = Window.partitionBy(col("vec_id"))
       .orderBy(col("cc6").desc, col("c_id").asc)
     val probes = scored.filter(col("vec_id") < 10)
-      .withColumn("pr", row_number().over(wProbe)).filter(col("pr") <= 2)
+      .withColumn("pr", row_number().over(wProbe)).filter(col("pr") <= nProbe)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("c_id").as("cell"))
     // each corpus vector lives in exactly one cell and a query's two
     // probed cells are distinct, so (qid, nid) pairs are already unique

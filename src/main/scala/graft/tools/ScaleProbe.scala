@@ -245,6 +245,40 @@ object ScaleProbe {
       "sit near 3·vectors-with-peers and drift only with bucket occupancy — " +
       "more bits at higher k trims some vectors' peer sets below 3.\n")
 
+    // ---- q100 true-IVF under the codebook dial ------------------------
+    // the IVF analog of the srpBits dial: per-cell occupancy is n/k, so
+    // the codebook grows with the corpus (production: k ~ √n, centroids
+    // Lloyd-refined through q73's assignment op); here k = 8·dataK holds
+    // occupancy — and so per-query probe work at fixed nProbe=2 —
+    // constant as data scales.
+    val q100Cells = dirs.map { case (dk, dir) =>
+      val kCells = 8 * dk
+      val fn = graft.queries.CorpusOps.q100WithCodebook(kCells, 2)
+      timeFn(fn, dir) // warm, untimed
+      val best = Seq(timeFn(fn, dir), timeFn(fn, dir)).minBy(_._1)
+      System.err.println(f"[scaleprobe] q100 k=$dk cells=$kCells: ${best._1}%.2f s (${best._2} rows)")
+      (dk, kCells, best._1, best._2)
+    }
+    val w100_1 = q100Cells(0)._3
+    val q100Pass = q100Cells(1)._3 / w100_1 <= GrowthFactor * 4 &&
+      q100Cells(2)._3 / w100_1 <= GrowthFactor * 8
+    allPass &&= q100Pass
+    sb.append("\n## q100 true-IVF under the codebook dial\n\n")
+    sb.append("The centroid-quantizer analog of q92/q75's srpBits dial: per-cell ")
+    sb.append("occupancy is n/k, so the codebook grows with the corpus (k = 8·dataK ")
+    sb.append("here; production runs k ~ √n with Lloyd-refined centroids through ")
+    sb.append("q73's assignment operator), holding per-query probe work at fixed ")
+    sb.append("nProbe constant:\n\n")
+    sb.append("| k | cells | wall | ratio | rows |\n|---|---|---|---|---|\n")
+    q100Cells.foreach { case (dk, kCells, w, n) =>
+      sb.append(f"| $dk | $kCells | $w%.2f s | ${w / w100_1}%.2f× | $n%d |\n")
+    }
+    sb.append(f"\nGate (≤1.5k): ${if (q100Pass) "PASS" else "FAIL"}. The codebook " +
+      "scoring pass is k·n map-side work — with k ∝ data that term is the one " +
+      "superlinear ingredient, which is exactly why production uses k ~ √n " +
+      "(k·n = n^1.5 spread over the cluster) or a two-level coarse quantizer; " +
+      "at these scales it stays far below the join/shuffle floor.\n")
+
     // ---- joins/windows probe (round-8 ask #6) -------------------------
     // the remaining superlinear-risk plans outside the dedup family:
     // q15's band join output is quadratic in events-per-user-in-band
