@@ -389,6 +389,115 @@ object CorpusOps {
       .select(col("qid"), col("rnk"), col("nid"), col("cos6")))
   }
 
+  /** Squared L2 distance between two double arrays, rounded to exact
+    * BIGINT micro-units (×1e6) — pure codegen'd higher-order functions,
+    * summed left-to-right like DuckDB's list_dot_product expansion, so
+    * the micro-unit rounding agrees across engines (the round-6 cosine
+    * argument, applied to distances). Integer micro-units exist so ADC
+    * sums of m per-subspace distances are EXACT BIGINT adds — a double
+    * sum would depend on Spark's partition-order reduction. */
+  private def l2micro(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0d), (s, x) => s + x) * 1e6).cast("long")
+
+  /** q101: IVF-PQ ANN — product quantization over q100's inverted file,
+    * the memory posture that actually holds 100 TB of embeddings: a
+    * 64-dim float vector is 256 bytes, its PQ code is m=8 sub-space
+    * centroid ids (≤ 1 byte each at ks=8) — a 32× compression, so the
+    * scan side of query serving fits in executor memory where raw
+    * vectors cannot. Encode: each vector's j-th 8-dim slice maps to the
+    * argmin-L2 sub-centroid (micro-unit exact, ties to the lower code).
+    * Query: probes its nProbe=2 coarse cells (q100's machinery), builds
+    * an m×ks asymmetric-distance table against the FULL-precision query
+    * (ADC — the query is never quantized), scores every probed member by
+    * the exact-BIGINT sum of m table lookups, shortlists the 10 best,
+    * and exact-cosine re-ranks only those for its top-3 — the
+    * FAISS-style IVFADC pipeline re-expressed as five Spark joins.
+    *
+    * 100 TB: the sub-codebook (m·ks rows) and per-query tables (m·ks
+    * per query) broadcast; encoding is map-side scoring + a struct-min
+    * partial agg keyed (vec_id, j) — the shuffle carries one 12-byte
+    * struct per code, never the fanned scores (q73's posture); the ADC
+    * join moves (qid, nid, code) ints with bodies NEVER shuffled —
+    * vectors re-join by id for the 10-row shortlist only
+    * (fingerprints-first, q92's posture). Per-query work is
+    * nProbe/k of the corpus × m integer lookups — dialed by nProbe
+    * (recall) and k (cell size) exactly like q100, with recall-vs-m
+    * measured in CorpusOpsSpec. FULLY ORACLED: coarse cells, codes,
+    * tables, ADC sums, and the re-rank are deterministic arithmetic
+    * (round-6 cosine, micro-unit BIGINT distances, ties to lower id)
+    * mirrored in DuckDB SQL. */
+  val q101KnnPq: Q = (spark, dir) => q101WithPq(8, 2, 8, 8, 10)(spark, dir)
+
+  /** q101 with explicit geometry — coarse codebook k / probe count
+    * (q100's dials), sub-space count m, per-sub-space codebook ks, and
+    * the exact-re-rank shortlist size. The declared query binds
+    * (8, 2, 8, 8, 10); ScaleProbe grows k with the corpus and the spec
+    * sweeps m for the compression-vs-recall curve. */
+  private[graft] def q101WithPq(k: Int, nProbe: Int, m: Int, ks: Int,
+      shortlist: Int): Q = (spark, dir) => {
+    graft.functions.CosineSimilarity.register(spark)
+    val dim = LlmOps.geom.embeddingDim
+    require(dim % m == 0, s"embeddingDim $dim not divisible into $m sub-spaces")
+    val sub = dim / m
+    // coarse quantizer: one shared scoring pass feeds cells AND probes
+    val scored = centroidScores(spark, dir, k).scopedPersist
+    val cells = scored
+      .select(col("vec_id"), struct(col("cc6"), (-col("c_id")).as("nc")).as("sc"))
+      .groupBy("vec_id").agg(max(col("sc")).as("mx"))
+      .select(col("vec_id"), (-col("mx.nc")).as("cell"))
+    val v = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    // long-form sub-vectors: (vec_id, j, 8-dim slice) — row-local
+    val subv = v.select(col("vec_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("j"), col("e"))
+      .select(col("vec_id"), col("j"),
+        slice(col("e"), col("j") * sub + 1, lit(sub)).as("se"))
+    // per-sub-space codebook: slices of the ks seed vectors (production
+    // refines them with Lloyd rounds through this same operator)
+    val cb = subv.filter(col("vec_id") < ks)
+      .select(col("j"), col("vec_id").as("code"), col("se").as("ce"))
+    // encode: argmin-L2 sub-centroid per (vec_id, j), scored map-side
+    // against the broadcast codebook, reduced by a struct-min partial agg
+    val codes = subv.join(broadcast(cb), Seq("j"))
+      .select(col("vec_id"), col("j"),
+        struct(l2micro(col("se"), col("ce")).as("d"), col("code")).as("sc"))
+      .groupBy("vec_id", "j").agg(min(col("sc")).as("mn"))
+      .select(col("vec_id").as("nid"), col("j"), col("mn.code").as("code"))
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cc6").desc, col("c_id").asc)
+    val probes = scored.filter(col("vec_id") < 10)
+      .withColumn("pr", row_number().over(wProbe)).filter(col("pr") <= nProbe)
+      .select(col("vec_id").as("qid"), col("c_id").as("cell"))
+    // per-query ADC tables: full-precision query slice × every
+    // sub-centroid — m·ks BIGINT entries per query, broadcast
+    val qtab = subv.filter(col("vec_id") < 10)
+      .withColumnRenamed("vec_id", "qid").withColumnRenamed("se", "qse")
+      .join(broadcast(cb), Seq("j"))
+      .select(col("qid"), col("j"), col("code"),
+        l2micro(col("qse"), col("ce")).as("tmic"))
+    // probed members → ADC score = exact BIGINT sum of m table lookups
+    val members = cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"))
+    val adc = members.join(codes, Seq("nid"))
+      .join(broadcast(qtab), Seq("qid", "j", "code"))
+      .groupBy("qid", "nid").agg(sum(col("tmic")).as("adcv"))
+    val wS = Window.partitionBy(col("qid")).orderBy(col("adcv").asc, col("nid").asc)
+    val shortl = adc.withColumn("sr", row_number().over(wS))
+      .filter(col("sr") <= shortlist).select(col("qid"), col("nid"))
+    // exact re-rank: bodies fetched by id for the shortlist only
+    val rer = shortl
+      .join(v.select(col("vec_id").as("qid"), col("e").as("qe")), Seq("qid"))
+      .join(v.select(col("vec_id").as("nid"), col("e").as("ne")), Seq("nid"))
+      .select(col("qid"), col("nid"),
+        round(expr("cosine_sim(qe, ne)"), 6).as("cos6"))
+    val wF = Window.partitionBy(col("qid")).orderBy(col("cos6").desc, col("nid").asc)
+    orderAll(rer.withColumn("rnk", row_number().over(wF)).filter(col("rnk") <= 3)
+      .select(col("qid"), col("rnk"), col("nid"), col("cos6")))
+  }
+
   /** q48: vocabulary coverage / out-of-vocabulary rate — the
     * tokenizer-design metric: fix the vocab at the top-V tokens by
     * corpus frequency (V = [[graft.core.SketchGeometry]] `oovVocabSize`,
@@ -481,7 +590,8 @@ object CorpusOps {
     "q74_cluster_balanced_sample" -> q74ClusterBalancedSample,
     "q75_knn_join" -> q75KnnJoin,
     "q78_bpe_bigrams" -> q78BpeBigrams,
-    "q100_knn_ivf" -> q100KnnIvf)
+    "q100_knn_ivf" -> q100KnnIvf,
+    "q101_knn_pq" -> q101KnnPq)
 
   val oracles: Map[String, String] = Map(
     "q48_oov_rate" ->
@@ -673,6 +783,72 @@ object CorpusOps {
         |  SELECT qid, nid, cos6,
         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid ASC) AS INT) AS rnk
         |  FROM cand)
+        |SELECT qid, rnk, nid, cos6 FROM r WHERE rnk <= 3
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
+    "q101_knn_pq" ->
+      // the whole IVFADC pipeline is deterministic arithmetic — coarse
+      // cells by round-6 cosine, PQ codes and ADC tables in exact BIGINT
+      // micro-units (sum of m BIGINTs, no float reduction order), re-rank
+      // by round-6 cosine, every tie to the lower id — so it mirrors into
+      // SQL; the sub-space slicing is interpolated from the same
+      // env-backed embedding dim the Spark side reads
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cent AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id < 8),
+        |cscored AS (
+        |  SELECT v.vec_id, c.c_id,
+        |    round(list_dot_product(v.e, c.ce) /
+        |      (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.ce, c.ce))), 6) AS cc6
+        |  FROM v, cent c),
+        |cells AS (
+        |  SELECT vec_id, c_id AS cell FROM (
+        |    SELECT vec_id, c_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cc6 DESC, c_id ASC) AS rn
+        |    FROM cscored) WHERE rn = 1),
+        |subv AS (
+        |  SELECT vec_id, j,
+        |    list_slice(e, j * ${LlmOps.geom.embeddingDim / 8} + 1,
+        |      j * ${LlmOps.geom.embeddingDim / 8} + ${LlmOps.geom.embeddingDim / 8}) AS se
+        |  FROM v, unnest(range(0, 8)) AS t(j)),
+        |cb AS (SELECT j, vec_id AS code, se AS ce FROM subv WHERE vec_id < 8),
+        |dists AS (
+        |  SELECT s.vec_id, s.j, cb.code,
+        |    CAST(round((list_dot_product(s.se, s.se) - 2 * list_dot_product(s.se, cb.ce)
+        |      + list_dot_product(cb.ce, cb.ce)) * 1000000) AS BIGINT) AS dmic
+        |  FROM subv s JOIN cb ON s.j = cb.j),
+        |codes AS (
+        |  SELECT vec_id AS nid, j, code FROM (
+        |    SELECT vec_id, j, code,
+        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY dmic ASC, code ASC) AS rn
+        |    FROM dists) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS qid, c_id AS cell FROM (
+        |    SELECT vec_id, c_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cc6 DESC, c_id ASC) AS rn
+        |    FROM cscored WHERE vec_id < 10) WHERE rn <= 2),
+        |qtab AS (
+        |  SELECT vec_id AS qid, j, code, dmic AS tmic FROM dists WHERE vec_id < 10),
+        |members AS (
+        |  SELECT p.qid, c.vec_id AS nid FROM cells c JOIN probes p ON c.cell = p.cell
+        |  WHERE c.vec_id <> p.qid),
+        |adc AS (
+        |  SELECT m.qid, m.nid, SUM(q.tmic) AS adcv
+        |  FROM members m JOIN codes k ON k.nid = m.nid
+        |  JOIN qtab q ON q.qid = m.qid AND q.j = k.j AND q.code = k.code
+        |  GROUP BY 1, 2),
+        |shortl AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT qid, nid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY adcv ASC, nid ASC) AS sr
+        |    FROM adc) WHERE sr <= 10),
+        |rer AS (
+        |  SELECT s.qid, s.nid,
+        |    round(list_dot_product(qv.e, nv.e) /
+        |      (sqrt(list_dot_product(qv.e, qv.e)) * sqrt(list_dot_product(nv.e, nv.e))), 6) AS cos6
+        |  FROM shortl s JOIN v qv ON qv.vec_id = s.qid JOIN v nv ON nv.vec_id = s.nid),
+        |r AS (
+        |  SELECT qid, nid, cos6,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid ASC) AS INT) AS rnk
+        |  FROM rer)
         |SELECT qid, rnk, nid, cos6 FROM r WHERE rnk <= 3
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin)
 }

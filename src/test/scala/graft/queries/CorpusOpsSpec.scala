@@ -232,6 +232,37 @@ class CorpusOpsSpec extends SparkSpec {
     assert(recall >= 0.3, f"IVF recall $recall%.2f collapsed below 0.3")
   }
 
+  test("q101: PQ/ADC neighbors are probed-cell members, ranked densely, with real recall") {
+    val out = CorpusOps.q101KnnPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty, "no query produced a PQ neighbor")
+    assert(out.forall(r => r._1 != r._3), "a query is its own neighbor")
+    out.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length),
+        s"query $qid ranks are not dense 1..${rows.length}")
+      assert(rows.length <= 3)
+    }
+    // recall vs the exact q82 brute-force baseline. PQ adds quantization
+    // loss ON TOP of q100's cell-probe loss, but the 10-deep exact
+    // re-rank claws most of it back — it must not collapse below the
+    // same floor q100 is held to (the remedies are nProbe and m).
+    val truth = graft.queries.LlmOps.q82SimilarityTopk(spark, sf).collect()
+      .filter(_.getInt(1) <= 3)
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = out.map(r => (r._1, r._3)).toSet
+    val recall = (truth & got).size.toDouble / truth.size
+    info(f"q101 recall vs q82 top-3: $recall%.2f")
+    assert(recall >= 0.3, f"IVF-PQ recall $recall%.2f collapsed below 0.3")
+    // finer quantization can only widen what the ADC shortlist sees:
+    // m=16 (4-dim sub-spaces) must not do worse than the declared m=8
+    val fine = CorpusOps.q101WithPq(8, 2, 16, 8, 10)(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val fineRecall = (truth & fine).size.toDouble / truth.size
+    info(f"q101 recall at m=16: $fineRecall%.2f")
+    assert(fineRecall >= recall - 0.15,
+      f"recall fell sharply under finer quantization: $fineRecall%.2f vs $recall%.2f")
+  }
+
   test("q78: exactly fifty distinct merge candidates, all genuine adjacent pairs") {
     val rows = CorpusOps.q78BpeBigrams(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))

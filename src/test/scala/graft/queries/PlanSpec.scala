@@ -49,8 +49,10 @@ class PlanSpec extends SparkSpec {
     // samples from q73's assignment so it inherits the same node.
     // q100 runs the same broadcast-codebook fan-out as q73 for its
     // coarse-quantizer stage (the candidate join itself is equi on cell)
+    // q101 shares q100's coarse stage and scores its m·ks-row PQ
+    // codebook the same broadcast-fan-out way
     val exempt = Set("q82_similarity_topk", "q73_cluster_assign",
-      "q74_cluster_balanced_sample", "q100_knn_ivf")
+      "q74_cluster_balanced_sample", "q100_knn_ivf", "q101_knn_pq")
     val offenders = (graft.SparkEntry.queries.keySet -- exempt).toSeq.sorted.filter { name =>
       val p = plan(name)
       p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
@@ -377,6 +379,27 @@ class PlanSpec extends SparkSpec {
         .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
       assert(arrays.isEmpty,
         s"knn bucket join carries array columns through the shuffle: ${arrays.map(_.name)}")
+    }
+  }
+
+  test("q101: the ADC scoring join shuffles codes and ids only, never vectors") {
+    // PQ's entire point is that the scan side is compressed codes: the
+    // shuffled joins (members⋈codes on nid, then the grouped ADC sum)
+    // must carry int codes, with full vectors re-joined by id only for
+    // the 10-row exact-re-rank shortlist
+    val df = graft.SparkEntry.queries("q101_knn_pq")(spark, sf)
+    // key on "code": the re-rank joins also reference nid but fetch
+    // vectors by id deliberately — only the code-keyed lookups are pinned
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists(_.references.exists(_.name == "code")) => j
+    }
+    assert(joins.nonEmpty, "no code-keyed ADC lookup join found in q101's plan")
+    joins.foreach { j =>
+      val arrays = (j.left.output ++ j.right.output)
+        .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      assert(arrays.isEmpty,
+        s"ADC join carries array columns through the shuffle: ${arrays.map(_.name)}")
     }
   }
 
