@@ -22,7 +22,7 @@ object SparkEntry {
     ScanProject.defs ++ Joins.defs ++ Aggregates.defs ++ Windows.defs ++
       SortSetOps.defs ++ Subqueries.defs ++ Functions.defs ++
       StreamWindows.defs ++ LlmOps.defs ++ MultiModal.defs ++ Curation.defs ++
-      CorpusOps.defs
+      CorpusOps.defs ++ Profiling.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +30,6 @@ object SparkEntry {
     ScanProject.oracles ++ Joins.oracles ++ Aggregates.oracles ++
       Windows.oracles ++ SortSetOps.oracles ++ Subqueries.oracles ++
       Functions.oracles ++ StreamWindows.oracles ++ LlmOps.oracles ++
-      MultiModal.oracles ++ Curation.oracles ++ CorpusOps.oracles
+      MultiModal.oracles ++ Curation.oracles ++ CorpusOps.oracles ++
+      Profiling.oracles
 }
