@@ -1035,6 +1035,39 @@ object LlmOps {
 
   val q63Decontaminate: Q = q63With(geom.deconShingleN)
 
+  /** q103: the streaming decontamination GATE's batch mirror —
+    * [[graft.streaming.Decontaminator.flag]], the SAME function s82
+    * runs over a watermark-less document stream, folded over the q63
+    * corpus fixture (eval docs + planted near-copy leaks) so the
+    * row-local set-probe scoring carries a CORRECTNESS row (the
+    * s74/q66 and s81/q49 pattern). Differs from q63 by contract, not
+    * just plumbing: q63 is the offline REPORT (hits only, join+agg over
+    * the corpus — the scale path when the eval set is exploded and
+    * joined); q103 is the per-doc GATE (total — every corpus doc gets a
+    * verdict, including unscorably-short ones, because a gate that
+    * drops the unscorable passes contamination through).
+    *
+    * 100 TB: the eval fingerprint set (benchmarks — ~1e6 longs) is
+    * collected ONCE driver-side and rides every task as a broadcast-
+    * sized array literal; the corpus side is a pure codegen'd
+    * projection — no shuffle, no explode, no join. */
+  val q103DeconGate: Q = (spark, dir) => {
+    val n = geom.deconShingleN
+    val base = t(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+    val evalDocs = base.filter(col("doc_id") % 97 === 0)
+    // same leak plant as q63: an eval doc re-ingested minus its last token
+    val leaked = evalDocs.select((col("doc_id") + 3000000).as("doc_id"),
+      array_join(slice(col("toks"), lit(1), size(col("toks")) - 1), " ").as("text"))
+    val corpus = base.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("text")).unionByName(leaked)
+    val evalSh = evalDocs
+      .select(explode(graft.streaming.Decontaminator
+        .shingleFingerprints(col("toks"), n)).as("sh"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    orderAll(graft.streaming.Decontaminator.flag(corpus, evalSh, n))
+  }
+
   /** q64: repetition-based quality filter (the Gopher repetition rules'
     * shape): per-doc duplicate-token fraction and duplicate-2/3-gram
     * fractions, flagged when any crosses its threshold. Every 10th doc
@@ -1103,6 +1136,7 @@ object LlmOps {
 
   val defs: Map[String, Q] = Map(
     "q63_decontaminate" -> q63Decontaminate,
+    "q103_decon_gate" -> q103DeconGate,
     "q64_repetition_filter" -> q64RepetitionFilter,
     "q65_dedup_incremental" -> q65DedupIncremental,
     "q67_tfidf_terms" -> q67TfidfTerms,
@@ -1161,8 +1195,49 @@ object LlmOps {
        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""".stripMargin
   }
 
+  /** q103's oracle — q63's CTE chain with the gate's TOTAL contract:
+    * corpus is unfiltered by length (short docs shingle to the empty
+    * set via the empty unnest range), sizes/hits left-join back so
+    * every corpus doc gets a verdict. Same string-form shingles
+    * (membership-invariant vs the engine's xxhash64, q88's argument),
+    * same eval/leak plant, same width knob. */
+  private[queries] def q103OracleWith(n: Int): String = {
+    require(n >= 2, s"decontamination shingle width must be >= 2, got $n")
+    val sh = (0 until n).map(o => s"toks[i + $o]").mkString(" || ' ' || ")
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |ev AS (SELECT * FROM base WHERE doc_id % 97 = 0),
+       |leaked AS (
+       |  SELECT doc_id + 3000000 AS doc_id, toks[1:len(toks) - 1] AS toks FROM ev),
+       |corpus AS (
+       |  SELECT * FROM base WHERE doc_id % 97 != 0
+       |  UNION ALL SELECT * FROM leaked),
+       |csh AS (
+       |  SELECT DISTINCT doc_id, $sh AS sh
+       |  FROM corpus, unnest(range(1, len(toks) - ${n - 2})) AS t(i)),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS INT) AS n_sh FROM csh GROUP BY 1),
+       |esh AS (
+       |  SELECT DISTINCT $sh AS sh
+       |  FROM ev, unnest(range(1, len(toks) - ${n - 2})) AS t(i)),
+       |hits AS (
+       |  SELECT c.doc_id, CAST(count(*) AS INT) AS n_hit
+       |  FROM csh c JOIN esh e USING (sh) GROUP BY 1),
+       |tot AS (
+       |  SELECT c.doc_id,
+       |    coalesce(s.n_sh, 0) AS n_sh, coalesce(h.n_hit, 0) AS n_hit
+       |  FROM corpus c
+       |  LEFT JOIN sizes s USING (doc_id) LEFT JOIN hits h USING (doc_id))
+       |SELECT doc_id, n_sh, n_hit,
+       |  CASE WHEN n_sh > 0 THEN round(CAST(n_hit AS DOUBLE) / n_sh, 6) END AS overlap,
+       |  coalesce(CASE WHEN n_sh > 0
+       |    THEN round(CAST(n_hit AS DOUBLE) / n_sh, 6) END >= 0.5, FALSE) AS contaminated
+       |FROM tot
+       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q63_decontaminate" -> q63OracleWith(geom.deconShingleN),
+    "q103_decon_gate" -> q103OracleWith(geom.deconShingleN),
     "q67_tfidf_terms" ->
       // DuckDB count(*) is already BIGINT (matching Spark's count), so
       // the casts here are documentation, not gate requirements — uncast

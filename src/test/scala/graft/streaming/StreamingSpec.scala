@@ -421,6 +421,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s82: stateless decontamination gate flags leaked eval text in-stream") {
+    // eval set: two benchmark sentences; their shingle fingerprints are
+    // the static probe set (Decontaminator.shingleFingerprints — the
+    // same kernel q103's oracled batch mirror hash-gates)
+    val evalDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs")).toDF("doc_id", "text")
+    val n = graft.queries.LlmOps.geom.deconShingleN
+    val evalSh = evalDocs
+      .select(explode(Decontaminator.shingleFingerprints(
+        split(col("text"), " "), n)).as("sh"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val in = MemoryStream[(Long, String)](spark)
+    val flagged = Decontaminator.flag(in.toDF().toDF("doc_id", "text"), evalSh, n)
+    val q = flagged.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("s82_out").start()
+    try {
+      in.addData(
+        (10L, "the quick brown fox jumps over the lazy dog"), // verbatim leak
+        (11L, "quick brown fox jumps over the lazy"),         // truncated leak
+        (12L, "completely unrelated training document text here"),
+        (13L, "ok"))                                          // too short to score
+      q.processAllAvailable()
+      val rows = spark.table("s82_out").collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getBoolean(4)))).toMap
+      assert(rows.size == 4, "the gate must emit a verdict per doc — none dropped")
+      assert(rows(10L)._3, "verbatim eval copy not flagged")
+      assert(rows(11L)._3, "truncated eval copy not flagged")
+      assert(!rows(12L)._3, "clean doc flagged")
+      assert(rows(13L) == ((0, 0, false)), "short doc must gate clean with 0 shingles")
+      // the operational claim: the gate is a pure projection — nothing
+      // entered a state store, so output mode / recovery are untouched
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(q.lastProgress.stateOperators.isEmpty || stateRows == 0,
+        s"decontamination gate is supposed to be stateless, found $stateRows state rows")
+    } finally q.stop()
+  }
+
   test("s77: foreachBatch sink receives batch ids and every row exactly once") {
     val in = MemoryStream[Long](spark)
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Long])]()
