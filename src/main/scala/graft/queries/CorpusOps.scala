@@ -580,8 +580,76 @@ object CorpusOps {
       .limit(50))
   }
 
+  /** The planted boilerplate tail — a 12-token footer shared across the
+    * plant (every `% 7` doc gets it appended; every `% 11` doc spawns an
+    * almost-pure-boilerplate page). Interpolated into the q105 oracle so
+    * the plant cannot drift between engines. */
+  private[queries] val BoilerplateTail =
+    "please subscribe to our newsletter terms of service apply all rights reserved"
+
+  /** q105: boilerplate coverage — the corpus-level repetition signal
+    * q64's WITHIN-doc rules cannot see: for each doc, the fraction of
+    * its distinct 3-gram shingles that are corpus-COMMON (document
+    * frequency > the same `shingleDfCap` dial q88 uses — q105 reports
+    * on exactly the head q88's index drops as non-informative). Docs
+    * mostly made of common shingles (coverage ≥ 0.5) are flagged: the
+    * template-page/footer-farm filter (C4's and RefinedWeb's line-dedup
+    * motivation) re-expressed over shingles, since this corpus has no
+    * line structure.
+    *
+    * Fixture plants a footer economy: `% 7` docs get [[BoilerplateTail]]
+    * appended (a footer on a substantial page stays well under 0.5 and
+    * must NOT flag; on a SHORT page the footer can dominate — at sf0.01
+    * exactly one such page crosses 0.5 and flags, which is the correct
+    * verdict for a mostly-footer page); `% 11` docs spawn a near-pure
+    * boilerplate page (tail + 1 varying filler token, id + 5e6) whose
+    * coverage ≈ 10/11 MUST flag.
+    *
+    * 100 TB: df is a map-side-combinable count over 8-byte shingle
+    * fingerprints; the common set is the Zipf HEAD (df > cap), small by
+    * definition, so it broadcasts back to the shingle stream; the
+    * per-doc coverage agg is two-phase. Same shape as q48's OOV join —
+    * one corpus-scale shuffle (the df agg), everything else broadcast.
+    * TOTAL contract: shingle-less docs report n_sh = 0, NULL coverage,
+    * flag false. */
+  val q105BoilerplateCoverage: Q = (spark, dir) => {
+    val base = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = base.withColumn("text",
+      when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" " + BoilerplateTail))).otherwise(col("text")))
+    val pure = base.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 5000000).as("doc_id"),
+        concat(lit(BoilerplateTail + " filler"),
+          (col("doc_id") % 5).cast("string")).as("text"))
+    val corpus = planted.unionByName(pure)
+    val toks = split(col("text"), " ")
+    val withSh = corpus.select(col("doc_id"),
+      when(size(toks) >= 3,
+        array_distinct(transform(sequence(lit(1), size(toks) - 2),
+          i => xxhash64(
+            element_at(toks, i),
+            element_at(toks, i + 1),
+            element_at(toks, i + 2)))))
+        .otherwise(array().cast("array<bigint>")).as("shingles"))
+    // exploded stream persisted: df agg and the common-hit agg both read it
+    val sh = withSh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .scopedPersist
+    val common = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > shingleDfCap).select("sh")
+    val hits = sh.join(broadcast(common), Seq("sh"))
+      .groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_common"))
+    val cov = withSh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0)))
+      .withColumn("coverage", when(col("n_sh") > 0,
+        round(col("n_common").cast("double") / col("n_sh"), 6)))
+      .withColumn("boilerplate", coalesce(col("coverage") >= 0.5, lit(false)))
+    orderAll(cov)
+  }
+
   val defs: Map[String, Q] = Map(
     "q48_oov_rate" -> q48OovRate,
+    "q105_boilerplate_coverage" -> q105BoilerplateCoverage,
     "q69_dedup_substring" -> q69DedupSubstring,
     "q70_rarity_score" -> q70RarityScore,
     "q71_length_band_filter" -> q71LengthBandFilter,
@@ -594,6 +662,42 @@ object CorpusOps {
     "q101_knn_pq" -> q101KnnPq)
 
   val oracles: Map[String, String] = Map(
+    "q105_boilerplate_coverage" ->
+      // same plant (tail constant interpolated), string-form shingles
+      // (df-invariant vs the engine's xxhash64, q88's argument), same
+      // df > cap head, same total left-join-back contract
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+        |docs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' $BoilerplateTail'
+        |         ELSE text END AS text
+        |  FROM base
+        |  UNION ALL
+        |  SELECT b.doc_id + 5000000,
+        |    '$BoilerplateTail filler' || CAST(b.doc_id % 5 AS VARCHAR)
+        |  FROM base b WHERE b.doc_id % 11 = 0),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM docs),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS sh
+        |  FROM tok, unnest(range(1, len(toks) - 1)) AS t(i)),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS INT) AS n_sh FROM sh GROUP BY 1),
+        |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1),
+        |common AS (SELECT sh FROM df WHERE df > $shingleDfCap),
+        |hits AS (
+        |  SELECT s.doc_id, CAST(count(*) AS INT) AS n_common
+        |  FROM sh s JOIN common c USING (sh) GROUP BY 1),
+        |tot AS (
+        |  SELECT d.doc_id, coalesce(z.n_sh, 0) AS n_sh,
+        |    coalesce(h.n_common, 0) AS n_common
+        |  FROM docs d
+        |  LEFT JOIN sizes z USING (doc_id) LEFT JOIN hits h USING (doc_id))
+        |SELECT doc_id, n_sh, n_common,
+        |  CASE WHEN n_sh > 0
+        |    THEN round(CAST(n_common AS DOUBLE) / n_sh, 6) END AS coverage,
+        |  coalesce(CASE WHEN n_sh > 0
+        |    THEN round(CAST(n_common AS DOUBLE) / n_sh, 6) END >= 0.5, FALSE) AS boilerplate
+        |FROM tot
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
     "q48_oov_rate" ->
       s"""WITH $toksCte,
         |vocab AS (

@@ -1134,9 +1134,47 @@ object LlmOps {
       col("text_len")))
   }
 
+  /** q104: incremental NEAR-dup dedup — q65's daily-ingest posture with
+    * fuzzy matching: the new batch is gated against the existing corpus
+    * by [[graft.streaming.NearDupGate.flag]], the SAME function s83 runs
+    * per micro-batch (the s74/q66, s81/q49, s82/q103 pattern), so the
+    * cross-relation minhash-band pipeline carries a CORRECTNESS row.
+    *
+    * Batch fixture (a re-crawl, one class per `doc_id % 4` residue):
+    * 0 = verbatim copy (j = 1, must drop); 1 = last token dropped
+    * (j = (n-3)/(n-2) ≈ 0.97, must drop); 2 = first ⌊n/4⌋ tokens
+    * (j ≤ 0.25 — CONTAINED in the corpus doc, so q69's containment
+    * dedup would drop it, but the Jaccard gate keeps it: the two
+    * operators' contracts genuinely differ); 3 = every token suffixed
+    * (fresh content, j = 0, must keep).
+    *
+    * ORACLED by q81's verified-pairs recipe: the final stage is exact
+    * Jaccard ≥ 0.5 on candidates, and the batch×corpus pair space here
+    * is content-identical to pair structures q81's recall-1 measurement
+    * already covers at the gate SF (verbatim pairs collide in every
+    * band by construction; truncated-copy pairs are q81's own plant;
+    * classes 2/3 sit at j ≤ 0.25). The DuckDB oracle recomputes the
+    * verified set from distinct string shingles (membership-invariant
+    * vs xxhash64, q88's argument). */
+  val q104DedupNearIncremental: Q = (spark, dir) => {
+    val base = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val toks = split(col("text"), " ")
+    val batch = base.select((col("doc_id") + 4000000).as("doc_id"),
+      when(col("doc_id") % 4 === 0, col("text"))
+        .when(col("doc_id") % 4 === 1,
+          array_join(slice(toks, lit(1), size(toks) - 1), " "))
+        .when(col("doc_id") % 4 === 2,
+          array_join(slice(toks, lit(1), (size(toks) / lit(4)).cast("int")), " "))
+        .otherwise(array_join(transform(toks, t => concat(t, lit("_new"))), " "))
+        .as("text"))
+    val index = graft.streaming.NearDupGate.index(spark, base, geom).scopedPersist
+    orderAll(graft.streaming.NearDupGate.flag(spark, batch, index, geom))
+  }
+
   val defs: Map[String, Q] = Map(
     "q63_decontaminate" -> q63Decontaminate,
     "q103_decon_gate" -> q103DeconGate,
+    "q104_dedup_near_incremental" -> q104DedupNearIncremental,
     "q64_repetition_filter" -> q64RepetitionFilter,
     "q65_dedup_incremental" -> q65DedupIncremental,
     "q67_tfidf_terms" -> q67TfidfTerms,
@@ -1238,6 +1276,51 @@ object LlmOps {
   val oracles: Map[String, String] = Map(
     "q63_decontaminate" -> q63OracleWith(geom.deconShingleN),
     "q103_decon_gate" -> q103OracleWith(geom.deconShingleN),
+    "q104_dedup_near_incremental" ->
+      // the verified batch×corpus match set from first principles —
+      // distinct string shingles, exact Jaccard, same rounded-≥0.5 gate
+      // as the engine — sound by q81's recall-1 measurement (see
+      // q104DedupNearIncremental scaladoc); the CASE mirrors the
+      // engine's four re-crawl classes on the PRE-shift doc_id
+      """WITH corpus AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |batch AS (
+        |  SELECT c.doc_id + 4000000 AS doc_id,
+        |    CASE CAST(c.doc_id % 4 AS INT)
+        |      WHEN 0 THEN c.toks
+        |      WHEN 1 THEN c.toks[1:len(c.toks) - 1]
+        |      WHEN 2 THEN c.toks[1:CAST(len(c.toks) // 4 AS INT)]
+        |      ELSE list_transform(c.toks, t -> t || '_new')
+        |    END AS toks
+        |  FROM corpus c),
+        |csh AS (
+        |  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS sh
+        |  FROM corpus, unnest(range(1, len(toks) - 1)) AS t(i)),
+        |bsh AS (
+        |  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS sh
+        |  FROM batch, unnest(range(1, len(toks) - 1)) AS t(i)),
+        |bsizes AS (SELECT doc_id, CAST(count(*) AS INT) AS n_sh FROM bsh GROUP BY 1),
+        |csizes AS (SELECT doc_id, CAST(count(*) AS INT) AS n_sh FROM csh GROUP BY 1),
+        |pairs AS (
+        |  SELECT b.doc_id AS b_id, c.doc_id AS c_id, count(*) AS common
+        |  FROM bsh b JOIN csh c USING (sh) GROUP BY 1, 2),
+        |jacc AS (
+        |  SELECT b_id, c_id,
+        |    round(CAST(common AS DOUBLE) / (bs.n_sh + cs.n_sh - common), 6) AS jacc
+        |  FROM pairs
+        |  JOIN bsizes bs ON bs.doc_id = b_id
+        |  JOIN csizes cs ON cs.doc_id = c_id
+        |  WHERE round(CAST(common AS DOUBLE) / (bs.n_sh + cs.n_sh - common), 6) >= 0.5),
+        |m AS (
+        |  SELECT b_id, CAST(count(*) AS INT) AS n_matches, max(jacc) AS best_jacc
+        |  FROM jacc GROUP BY 1)
+        |SELECT b.doc_id, coalesce(bs.n_sh, 0) AS n_sh,
+        |  coalesce(m.n_matches, 0) AS n_matches, m.best_jacc,
+        |  (coalesce(m.n_matches, 0) = 0) AS kept
+        |FROM batch b
+        |LEFT JOIN bsizes bs ON bs.doc_id = b.doc_id
+        |LEFT JOIN m ON m.b_id = b.doc_id
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
     "q67_tfidf_terms" ->
       // DuckDB count(*) is already BIGINT (matching Spark's count), so
       // the casts here are documentation, not gate requirements — uncast

@@ -46,7 +46,12 @@ object Decontaminator {
     val sha = shingleFingerprints(split(col("text"), " "), n)
     docs
       .withColumn("n_sh", size(sha))
-      .withColumn("n_hit", size(array_intersect(sha, typedlit(evalShingles))))
+      // set_hit_count, NOT array_intersect(sha, lit(evalShingles)):
+      // ArrayIntersect rebuilds the probe hash table per ROW, scaling
+      // each document by the eval-set size; the custom kernel sorts the
+      // probe set once per executor and charges O(|sha| log m) per doc
+      .withColumn("n_hit",
+        graft.functions.SetHitCount(sha, evalShingles))
       .withColumn("overlap", when(col("n_sh") > 0,
         round(col("n_hit").cast("double") / col("n_sh"), 6)))
       .withColumn("contaminated", coalesce(col("overlap") >= 0.5, lit(false)))

@@ -1,0 +1,127 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.SketchGeometry
+
+/** Incremental NEAR-dup ingest gate — the fuzzy upgrade of q65's exact
+  * fingerprint anti-join: newly-ingested documents are dropped when they
+  * are near-copies (shingle Jaccard ≥ 0.5) of anything already in the
+  * corpus, not just byte-identical re-crawls (the reference re-forwards
+  * every row it reads, `app.py:161-173` — a training pipeline ingesting
+  * continuously must not re-admit lightly-edited copies).
+  *
+  * Matching is q81's exact pipeline — 3-token xxhash64 shingles, k
+  * minhashes via the codegen'd `minhash_sig` kernel, r-row bands,
+  * band-equality candidates, exact-Jaccard verification on candidates
+  * only — pointed ACROSS two relations (new batch × corpus index)
+  * instead of self-joined.
+  *
+  * 100 TB: the corpus side is a persisted fingerprint INDEX —
+  * (doc_id, band) rows and (doc_id, shingles) arrays, ~100 B/doc, built
+  * once and appended to as batches are admitted; bodies are never read
+  * back. The ingest batch is small by construction (a poll cycle,
+  * `app.py:176-196`), so its band table and shingle arrays ride the
+  * candidate join as BROADCAST sides against the bucketed index, the
+  * only shuffle-scale work being the index scan itself. Verification
+  * touches candidate pairs only. The verdict is TOTAL over the batch —
+  * unscorable docs (< 3 tokens) carry n_sh = 0 and pass, like q103's
+  * gate: a dedup gate that silently drops the unscorable loses data.
+  */
+object NearDupGate {
+
+  /** Distinct 3-token shingle fingerprints (q81's kernel, LlmOps.scala
+    * q81Pairs) of a (doc_id, text) frame; docs with < 3 tokens get an
+    * empty set. */
+  private def shingled(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    docs.select(col("doc_id"),
+      when(size(toks) >= 3,
+        array_distinct(transform(sequence(lit(1), size(toks) - 2),
+          i => xxhash64(
+            element_at(toks, i),
+            element_at(toks, i + 1),
+            element_at(toks, i + 2)))))
+        .otherwise(array().cast("array<bigint>")).as("shingles"))
+  }
+
+  /** The persisted corpus index: (doc_id, shingles, sig, bands). In
+    * production this is a table bucketed by band, appended per admitted
+    * batch; here it is derived from the corpus frame on the fly. */
+  def index(spark: SparkSession, corpus: DataFrame, g: SketchGeometry): DataFrame = {
+    graft.functions.MinHashSignature.register(spark)
+    shingled(corpus)
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sig", expr(s"minhash_sig(shingles, ${g.minhashK})"))
+      .withColumn("bands", bandKeys(g))
+  }
+
+  /** Band join keys from the `sig` column: bands of r consecutive
+    * minhashes, rendered `b:h1:…:hr` (q81's key form). */
+  private def bandKeys(g: SketchGeometry) =
+    transform(sequence(lit(0), lit(g.minhashBands - 1)),
+      b => concat_ws(":", b +: (0 until g.minhashRowsPerBand).map(r =>
+        element_at(col("sig"), b * g.minhashRowsPerBand + r + 1)): _*))
+
+  /** Per-batch-doc near-dup verdict against a prepared corpus index:
+    * (doc_id, n_sh, n_matches, best_jacc, kept) — TOTAL over the batch.
+    * `kept` = no corpus doc verifies at Jaccard ≥ 0.5. Runs identically
+    * as a batch stage (q104's CORRECTNESS row) and inside a streaming
+    * foreachBatch (s83). */
+  def flag(spark: SparkSession, batch: DataFrame, corpusIndex: DataFrame,
+      g: SketchGeometry): DataFrame = {
+    import graft.queries.ScopedPersist
+    graft.functions.MinHashSignature.register(spark)
+    val bsh = shingled(batch).scopedPersist
+    val bBands = bsh.filter(size(col("shingles")) > 0)
+      .withColumn("sig", expr(s"minhash_sig(shingles, ${g.minhashK})"))
+      .select(col("doc_id").as("b_id"),
+        explode(bandKeys(g)).as("band"))
+    val iBands = corpusIndex.select(col("doc_id").as("c_id"),
+      explode(col("bands")).as("band"))
+    // batch side is the small side by construction: broadcast its band
+    // table into the index scan, dedup the (batch, corpus) pairs
+    val cands = iBands.join(broadcast(bBands), Seq("band"))
+      .select(col("b_id"), col("c_id")).dropDuplicates("b_id", "c_id")
+    // verify on candidates only: batch shingle arrays broadcast by id,
+    // corpus arrays joined by id (candidates << corpus at any scale)
+    val verified = cands
+      .join(broadcast(bsh.select(col("doc_id").as("b_id"), col("shingles").as("bsh"))), Seq("b_id"))
+      .join(corpusIndex.select(col("doc_id").as("c_id"), col("shingles").as("csh")), Seq("c_id"))
+      .withColumn("common", size(array_intersect(col("bsh"), col("csh"))))
+      .withColumn("jacc", round(col("common").cast("double") /
+        (size(col("bsh")) + size(col("csh")) - col("common")), 6))
+      .filter(col("jacc") >= 0.5)
+    val matches = verified.groupBy(col("b_id").as("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_matches"),
+        max(col("jacc")).as("best_jacc"))
+    bsh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
+      .join(matches, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_matches"), lit(0)).as("n_matches"),
+        col("best_jacc"),
+        (coalesce(col("n_matches"), lit(0)) === 0).as("kept"))
+  }
+
+  /** s83: the gate as a stream stage — each micro-batch of ingested docs
+    * is flagged against the (static) corpus index inside foreachBatch,
+    * the production pattern for batch-semantics-per-trigger operators:
+    * the gate itself holds NO stream state (the index is the state, and
+    * it lives in a table, not a state store), so recovery is the sink's
+    * idempotence story (s77), not a state-store one. `admit` receives
+    * (verdicts, batchId) per trigger. */
+  def stream(spark: SparkSession, docs: DataFrame, corpusIndex: DataFrame,
+      g: SketchGeometry)(admit: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      // drain the per-trigger scoped caches once the sink has consumed
+      // the verdicts — an unbounded stream must not accumulate one
+      // cached shingle frame per micro-batch. (Callers keeping the
+      // corpus index hot across triggers should use plain .persist(),
+      // which the scope drain does not touch.)
+      try admit(flag(spark, batch, corpusIndex, g), batchId)
+      finally graft.core.CacheScope.drain()
+    }
+  }
+}

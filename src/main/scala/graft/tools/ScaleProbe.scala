@@ -39,7 +39,14 @@ object ScaleProbe {
 
   private val Queries = Seq("q80_dedup_exact", "q81_dedup_minhash",
     "q88_dedup_ngram", "q89_dedup_simhash", "q63_decontaminate",
-    "q65_dedup_incremental", "q68_dedup_clusters", "q69_dedup_substring")
+    "q65_dedup_incremental", "q68_dedup_clusters", "q69_dedup_substring",
+    // round 10: the gate mirrors + corpus-common head — q103's per-doc
+    // probe cost must stay flat as the eval set grows k× (the
+    // set_hit_count kernel's log-factor, vs ArrayIntersect's per-row
+    // table rebuild), q104's batch×index band join must stay key-local,
+    // q105's df head must stay broadcast-sized
+    "q103_decon_gate", "q104_dedup_near_incremental",
+    "q105_boilerplate_coverage")
   private val Ks = Seq(1, 4, 8)
   private val Shift = 9700000L // lcm(97, 10) × 10,000 — residue-preserving
   private val GrowthFactor = 1.5

@@ -263,6 +263,33 @@ class CorpusOpsSpec extends SparkSpec {
       f"recall fell sharply under finer quantization: $fineRecall%.2f vs $recall%.2f")
   }
 
+  test("q105: boilerplate coverage flags near-pure template pages, spares substantial ones") {
+    val rows = CorpusOps.q105BoilerplateCoverage(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4)))
+    val base = spark.read.parquet(s"$sf/documents.parquet").count()
+    val nPure = rows.count(_._1 >= 5000000)
+    assert(rows.length == base + nPure, "one verdict per doc (base + planted pages)")
+    // every planted near-pure boilerplate page must flag: its 10 tail
+    // shingles are corpus-common (df > cap across ~1/7 of the corpus +
+    // all plants), its 1 filler junction shingle is not
+    val pure = rows.filter(_._1 >= 5000000)
+    assert(pure.nonEmpty && pure.forall(_._5),
+      s"unflagged template pages: ${pure.filterNot(_._5).map(_._1).toSeq}")
+    assert(pure.forall(t => t._4.exists(_ >= 0.8)),
+      "template-page coverage should be ≈10/11")
+    // docs that never touch the plant must not flag (at this SF no
+    // natural trigram crosses the df cap, so their coverage is 0)
+    val untouched = rows.filter(t => t._1 < 5000000 && t._1 % 7 != 0)
+    assert(untouched.forall(t => !t._5), "an ordinary doc flagged as boilerplate")
+    // every footer-bearing doc sees the common head (its 10 tail
+    // shingles), and a footer on a SUBSTANTIAL page must not flag it
+    val appended = rows.filter(t => t._1 < 5000000 && t._1 % 7 == 0)
+    assert(appended.forall(_._3 >= 10), "a footer-bearing doc missed the common head")
+    assert(appended.filter(_._2 >= 40).forall(!_._5),
+      "a substantial page was flagged for carrying a footer")
+  }
+
   test("q78: exactly fifty distinct merge candidates, all genuine adjacent pairs") {
     val rows = CorpusOps.q78BpeBigrams(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))

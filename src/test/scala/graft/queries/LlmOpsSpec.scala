@@ -258,6 +258,24 @@ class LlmOpsSpec extends SparkSpec {
       s"cross-engine drift on degenerate docs: ${q.toSeq}")
   }
 
+  test("q104: near-dup ingest gate — verbatim/truncated drop, prefix/fresh keep, total verdicts") {
+    val rows = LlmOps.q104DedupNearIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getBoolean(4)))
+    val base = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.length == base, "gate must emit one verdict per batch doc — none dropped")
+    def cls(c: Long) = rows.filter(t => (t._1 - 4000000) % 4 == c)
+    // class 0 (verbatim, j=1) and class 1 (minus last token, j≈0.97):
+    // every doc must be flagged — a near-dup gate that re-admits a
+    // re-crawl is broken
+    assert(cls(0).forall(!_._4), "a verbatim re-crawl was re-admitted")
+    assert(cls(1).forall(!_._4), "a truncated re-crawl was re-admitted")
+    // class 2 is CONTAINED in its corpus doc (q69 would drop it) but
+    // sits at Jaccard ≤ 0.25 — the set-overlap contract keeps it
+    assert(cls(2).forall(_._4), "a j≤0.25 prefix doc was dropped — threshold drift")
+    // class 3 shares no shingles with the corpus
+    assert(cls(3).forall(t => t._4 && t._3 == 0), "fresh content matched something")
+  }
+
   test("q90 multimodal features are deterministic and complete") {
     val f1 = MultiModal.q90Multimodal(spark, sf).collect()
     val f2 = MultiModal.q90Multimodal(spark, sf).collect()

@@ -459,6 +459,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s83: near-dup ingest gate flags re-crawled copies per micro-batch, admits fresh docs") {
+    // static corpus: two "already admitted" documents → the persisted
+    // band/shingle index a production pipeline appends to per batch
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val g = graft.queries.LlmOps.geom
+    val index = NearDupGate.index(spark, corpus, g)
+    val in = MemoryStream[(Long, String)](spark)
+    val got = scala.collection.mutable.Map[Long, Seq[(Long, Int, Boolean)]]()
+    val q = NearDupGate.stream(spark, in.toDF().toDF("doc_id", "text"), index, g) {
+      (verdicts, batchId) =>
+        got.synchronized {
+          got(batchId) = verdicts.collect()
+            .map(r => (r.getLong(0), r.getInt(2), r.getBoolean(4))).toSeq
+        }
+    }.start()
+    try {
+      in.addData(
+        (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // verbatim
+        (11L, "alpha beta gamma delta epsilon zeta eta theta iota"),       // truncated
+        (12L, "totally fresh document content nothing shared here at all"),
+        (13L, "hi"))                                                       // unscorable
+      q.processAllAvailable()
+      // second trigger: the gate re-evaluates against the same index —
+      // batch-local semantics, no cross-batch state
+      in.addData((14L, "one two three four five six seven eight nine ten"))
+      q.processAllAvailable()
+      val all = got.synchronized(got.values.flatten.toSeq).map(t => t._1 -> t).toMap
+      assert(all.size == 5, s"one verdict per ingested doc, got ${all.keySet}")
+      assert(!all(10L)._3, "verbatim re-crawl admitted")
+      assert(!all(11L)._3, "truncated re-crawl admitted")
+      assert(all(12L)._3 && all(12L)._2 == 0, "fresh doc flagged")
+      assert(all(13L)._3, "unscorably-short doc must pass the gate")
+      assert(!all(14L)._3, "second-trigger re-crawl admitted — index not consulted")
+      // the gate holds no stream state: batch semantics live in
+      // foreachBatch, recovery is the sink's idempotence story (s77)
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(q.lastProgress.stateOperators.isEmpty || stateRows == 0,
+        s"near-dup gate is supposed to be stateless, found $stateRows state rows")
+    } finally q.stop()
+  }
+
   test("s77: foreachBatch sink receives batch ids and every row exactly once") {
     val in = MemoryStream[Long](spark)
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Long])]()
