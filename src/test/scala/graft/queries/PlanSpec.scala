@@ -455,6 +455,40 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q103: the decontamination gate is a pure projection — no join, no Generate, one dump-sort exchange") {
+    val p = plan("q103_decon_gate")
+    assert(!p.contains("Join"), s"gate grew a join:\n${p.take(2000)}")
+    assert(!p.contains("Generate"), s"gate explodes shingles:\n${p.take(2000)}")
+    assert(!p.contains("HashAggregate"), s"gate aggregates:\n${p.take(2000)}")
+    // the only Exchange is the oracle dump's total ORDER BY; the gate
+    // itself (s82's stream form) adds none
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"gate shuffles beyond the dump sort:\n${p.take(2000)}")
+    assert(p.contains("set_hit_count"),
+      "membership probe lost the native kernel (array_intersect rebuilds per row)")
+  }
+
+  test("q104: the near-dup candidate and verdict joins broadcast the batch side") {
+    val p = plan("q104_dedup_near_incremental")
+    // band-candidate join + batch-shingle verify join + final verdict
+    // join all build on broadcast (batch << corpus at any real scale);
+    // only the corpus-side id join and aggs may shuffle
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2,
+      s"batch side not broadcast:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q105: the shingle stream is cache-served to both aggs; the common head joins broadcast") {
+    val df = graft.SparkEntry.queries("q105_boilerplate_coverage")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"shingle stream recomputed per consumer:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"common-head join did not broadcast:\n${p.take(3000)}")
+    graft.core.CacheScope.drain()
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     // AQE reports WholeStageCodegen spans only in the finalized plan
     val df = graft.SparkEntry.queries("q20_agg_hash")(spark, sf)
