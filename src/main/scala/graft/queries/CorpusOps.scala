@@ -622,17 +622,28 @@ object CorpusOps {
         concat(lit(BoilerplateTail + " filler"),
           (col("doc_id") % 5).cast("string")).as("text"))
     val corpus = planted.unionByName(pure)
-    val toks = split(col("text"), " ")
-    val withSh = corpus.select(col("doc_id"),
-      when(size(toks) >= 3,
-        array_distinct(transform(sequence(lit(1), size(toks) - 2),
-          i => xxhash64(
-            element_at(toks, i),
-            element_at(toks, i + 1),
-            element_at(toks, i + 2)))))
-        .otherwise(array().cast("array<bigint>")).as("shingles"))
-    // exploded stream persisted: df agg and the common-hit agg both read it
-    val sh = withSh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    // toks materialized in its own projection (multi-use alias): an
+    // inlined `element_at(split(text), i)` inside the transform lambda
+    // re-splits the document per element — lambda interiors evaluate
+    // interpretively, outside codegen CSE — measured 11× slower here
+    val toks = col("toks")
+    val withSh = corpus.withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        when(size(toks) >= 3,
+          array_distinct(transform(sequence(lit(1), size(toks) - 2),
+            i => xxhash64(
+              element_at(toks, i),
+              element_at(toks, i + 1),
+              element_at(toks, i + 2)))))
+          .otherwise(array().cast("array<bigint>")).as("shingles"))
+    // exploded stream persisted: df agg and the common-hit agg both read
+    // it. explode_OUTER, deliberately (q63's gotcha): plain explode
+    // triggers InferFiltersFromGenerate, whose `size(shingles) > 0`
+    // filter re-expands the whole shingle transform — split re-inlined —
+    // into a per-row Filter at the scan (measured ~8 s of the original
+    // 10 s wall at sf0.1). Null sh rows from shingle-less docs form at
+    // most a null df group the inner hits-join can never match.
+    val sh = withSh.select(col("doc_id"), explode_outer(col("shingles")).as("sh"))
       .scopedPersist
     val common = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > shingleDfCap).select("sh")

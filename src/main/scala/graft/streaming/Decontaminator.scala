@@ -26,7 +26,10 @@ object Decontaminator {
 
   /** Distinct n-token shingle fingerprints of a `toks` string-array
     * column — q63's shingle kernel (`LlmOps.q63With`), shared so the
-    * batch oracle and the streaming gate cannot drift. */
+    * batch oracle and the streaming gate cannot drift. Pass a
+    * MATERIALIZED token column (its own projection), not an inline
+    * `split(...)`: the lambda interior evaluates interpretively, so an
+    * inlined split re-runs once per array element. */
   def shingleFingerprints(toks: Column, n: Int): Column = {
     require(n >= 2, s"decontamination shingle width must be >= 2, got $n")
     // sequence(1, k) DESCENDS for k <= 0 (q64's gotcha): short docs get
@@ -43,15 +46,22 @@ object Decontaminator {
     * TOTAL over input docs (a gate that silently drops the unscorable
     * passes contamination through; every doc gets a verdict). */
   def flag(docs: DataFrame, evalShingles: Seq[Long], n: Int): DataFrame = {
-    val sha = shingleFingerprints(split(col("text"), " "), n)
     docs
-      .withColumn("n_sh", size(sha))
+      // toks and sha ride their own projections (multi-use aliases, so
+      // CollapseProject keeps them): inlining `split` into the shingle
+      // lambda would re-split the document per element — lambda
+      // interiors evaluate interpretively, outside codegen CSE — and
+      // inlining sha would run the whole shingle transform once per
+      // consumer
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("sha", shingleFingerprints(col("toks"), n))
+      .withColumn("n_sh", size(col("sha")))
       // set_hit_count, NOT array_intersect(sha, lit(evalShingles)):
       // ArrayIntersect rebuilds the probe hash table per ROW, scaling
       // each document by the eval-set size; the custom kernel sorts the
       // probe set once per executor and charges O(|sha| log m) per doc
       .withColumn("n_hit",
-        graft.functions.SetHitCount(sha, evalShingles))
+        graft.functions.SetHitCount(col("sha"), evalShingles))
       .withColumn("overlap", when(col("n_sh") > 0,
         round(col("n_hit").cast("double") / col("n_sh"), 6)))
       .withColumn("contaminated", coalesce(col("overlap") >= 0.5, lit(false)))

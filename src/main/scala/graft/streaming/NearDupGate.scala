@@ -33,17 +33,25 @@ object NearDupGate {
 
   /** Distinct 3-token shingle fingerprints (q81's kernel, LlmOps.scala
     * q81Pairs) of a (doc_id, text) frame; docs with < 3 tokens get an
-    * empty set. */
+    * empty set.
+    *
+    * `toks` is materialized in its OWN projection, never inlined into
+    * the transform lambda: lambda interiors are evaluated interpretively
+    * (outside codegen subexpression elimination), so an inlined
+    * `element_at(split(text), i)` re-splits the document once per
+    * element — measured 11× slower on this exact shape. The multi-use
+    * alias keeps CollapseProject from re-inlining it. */
   private def shingled(docs: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
-    docs.select(col("doc_id"),
-      when(size(toks) >= 3,
-        array_distinct(transform(sequence(lit(1), size(toks) - 2),
-          i => xxhash64(
-            element_at(toks, i),
-            element_at(toks, i + 1),
-            element_at(toks, i + 2)))))
-        .otherwise(array().cast("array<bigint>")).as("shingles"))
+    val toks = col("toks")
+    docs.withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        when(size(toks) >= 3,
+          array_distinct(transform(sequence(lit(1), size(toks) - 2),
+            i => xxhash64(
+              element_at(toks, i),
+              element_at(toks, i + 1),
+              element_at(toks, i + 2)))))
+          .otherwise(array().cast("array<bigint>")).as("shingles"))
   }
 
   /** The persisted corpus index: (doc_id, shingles, sig, bands). In
@@ -51,10 +59,16 @@ object NearDupGate {
     * batch; here it is derived from the corpus frame on the fly. */
   def index(spark: SparkSession, corpus: DataFrame, g: SketchGeometry): DataFrame = {
     graft.functions.MinHashSignature.register(spark)
+    // NO `filter(size(shingles) > 0)` here: predicate pushdown would
+    // substitute the alias chain and re-expand the whole shingle
+    // transform (split re-inlined) into a per-row Filter at the scan —
+    // q63's InferFiltersFromGenerate gotcha, measured as most of q104's
+    // wall. Shingle-less docs instead carry NULL `bands` (a real
+    // minhash_sig of an empty array would band-collide them all), and
+    // the band join's null rejection drops them for free.
     shingled(corpus)
-      .filter(size(col("shingles")) > 0)
       .withColumn("sig", expr(s"minhash_sig(shingles, ${g.minhashK})"))
-      .withColumn("bands", bandKeys(g))
+      .withColumn("bands", when(size(col("shingles")) > 0, bandKeys(g)))
   }
 
   /** Band join keys from the `sig` column: bands of r consecutive
@@ -73,13 +87,19 @@ object NearDupGate {
       g: SketchGeometry): DataFrame = {
     import graft.queries.ScopedPersist
     graft.functions.MinHashSignature.register(spark)
+    // bsh is persisted, so the size filter below applies to CACHED
+    // arrays (cheap per-row check) — pushdown stops at the cache
+    // boundary and cannot re-expand the shingle transform
     val bsh = shingled(batch).scopedPersist
     val bBands = bsh.filter(size(col("shingles")) > 0)
       .withColumn("sig", expr(s"minhash_sig(shingles, ${g.minhashK})"))
       .select(col("doc_id").as("b_id"),
         explode(bandKeys(g)).as("band"))
+    // explode_OUTER: index rows with NULL bands (shingle-less docs) fall
+    // out at the band join's null rejection; plain explode would infer a
+    // size filter that re-expands `bands` below an unpersisted index
     val iBands = corpusIndex.select(col("doc_id").as("c_id"),
-      explode(col("bands")).as("band"))
+      explode_outer(col("bands")).as("band"))
     // batch side is the small side by construction: broadcast its band
     // table into the index scan, dedup the (batch, corpus) pairs
     val cands = iBands.join(broadcast(bBands), Seq("band"))
