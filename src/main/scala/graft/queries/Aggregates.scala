@@ -135,7 +135,36 @@ object Aggregates {
         col("N").as("qty_n"), col("R").as("qty_r")))
   }
 
+  /** q106: mergeable-sketch rollup — the pre-aggregation pattern that
+    * makes distinct-count dashboards affordable at 100 TB: per
+    * (day, hour) bucket an Apache DataSketches HLL sketch of user_id is
+    * computed ONCE (`hll_sketch_agg`, lgK=12 → ~2.5 KB, partial-agg
+    * mergeable map-side); any coarser range — here day level — is then
+    * `hll_union_agg` over the bucket sketches, never a re-scan of raw
+    * events. Contrast q21's exact distinct, which must shuffle every
+    * user_id per queried range, and q25's single-shot HLL, which answers
+    * ONE range: a production metrics store persists the hourly sketch
+    * column and serves arbitrary ranges by union.
+    *
+    * No oracle (DuckDB's approx_count_distinct is a different HLL
+    * implementation); rows-only, with TWO spec-pinned properties in
+    * ApproxSpec: the union-of-bucket-sketches estimate must EQUAL the
+    * direct whole-day sketch estimate (register-wise max is associative
+    * and order-independent — the property that makes the rollup sound),
+    * and the day estimates sit within 5% of exact distinct counts. */
+  val q106HllRollup: Q = (spark, dir) => {
+    val ev = events(spark, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        hour(col("ts")).as("hr"), col("user_id"))
+    val hourly = ev.groupBy(col("day"), col("hr"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+    orderAll(hourly.groupBy(col("day"))
+      .agg(count(lit(1)).cast("int").as("n_hours"),
+        expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("est_users")))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q106_hll_rollup" -> q106HllRollup,
     "q20_agg_hash" -> q20Hash,
     "q21_agg_distinct" -> q21Distinct,
     "q22_agg_rollup" -> q22Rollup,

@@ -24,6 +24,34 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("q106: hour-sketch union ≡ direct day sketch, and within 5% of exact") {
+    // property 1 — the rollup's soundness: unioning the hourly sketches
+    // must give the SAME estimate as sketching the whole day directly
+    // (HLL register-wise max is associative/order-independent, so
+    // pre-aggregation loses nothing)
+    val ev = events(spark, sf)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+    val direct = ev.groupBy(col("day"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rolled = Aggregates.q106HllRollup(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(rolled.nonEmpty)
+    rolled.foreach { case (day, nHours, est) =>
+      assert(nHours >= 1 && nHours <= 24, s"$day: $nHours hourly buckets")
+      assert(est == direct(day),
+        s"$day: union-of-hours $est != direct day sketch ${direct(day)} — rollup unsound")
+    }
+    // property 2 — the estimate is usable: within 5% of exact distinct
+    val exact = ev.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rolled.foreach { case (day, _, est) =>
+      val n = exact(day)
+      assert(math.abs(est - n).toDouble / n < 0.05, s"$day: rollup $est vs exact $n")
+    }
+  }
+
   test("q25 approx distinct lands within 5% of the exact counts") {
     val approx = Aggregates.q25ApproxDistinct(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
