@@ -144,4 +144,61 @@ object NearDupGate {
       finally graft.core.CacheScope.drain()
     }
   }
+
+  /** Within-batch near-dup self-dedup: among docs of ONE ingest batch,
+    * drop every doc that has a lower-id near-duplicate peer (the greedy
+    * keep-min rule of q80/q81-based dedup) — q81's band self-join scoped
+    * to the batch. Returns the surviving (doc_id, text) rows. */
+  def selfDedup(spark: SparkSession, batch: DataFrame,
+      g: SketchGeometry): DataFrame = {
+    import graft.queries.ScopedPersist
+    graft.functions.MinHashSignature.register(spark)
+    val bsh = shingled(batch).scopedPersist
+    val bands = bsh.filter(size(col("shingles")) > 0)
+      .withColumn("sig", expr(s"minhash_sig(shingles, ${g.minhashK})"))
+      .select(col("doc_id"), explode(bandKeys(g)).as("band"))
+    val cands = graft.queries.LlmOps.bandCandidates(bands, g.bandOccupancyCap)
+    val losers = cands
+      .join(bsh.select(col("doc_id").as("d1"), col("shingles").as("sh1")), Seq("d1"))
+      .join(bsh.select(col("doc_id").as("d2"), col("shingles").as("sh2")), Seq("d2"))
+      .withColumn("common", size(array_intersect(col("sh1"), col("sh2"))))
+      .filter(round(col("common").cast("double") /
+        (size(col("sh1")) + size(col("sh2")) - col("common")), 6) >= 0.5)
+      .select(col("d2").as("doc_id")).distinct()
+    batch.join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  /** s84: the full self-growing ingest-dedup loop — what a continuous
+    * training-corpus ingest actually runs per trigger:
+    *
+    *   1. within-batch self-dedup ([[selfDedup]] — a re-crawl burst
+    *      often contains its own near-copies);
+    *   2. gate the survivors against the CURRENT index ([[flag]]);
+    *   3. append the admitted docs' index rows (fingerprints, never
+    *      bodies) to the index store, so the NEXT trigger dedups against
+    *      everything admitted so far.
+    *
+    * The index is re-read per trigger via `indexProvider` (production: a
+    * parquet/Delta fingerprint table the sink appends to — here the spec
+    * appends to a parquet dir). Still NO state store: the stream's state
+    * IS the index table, giving exactly-once-by-idempotence recovery
+    * (s77's story) instead of checkpointed operator state — and making
+    * the dedup boundary queryable/repairable with plain batch SQL.
+    * `admit` receives (adopted survivors' verdicts, batchId); the
+    * returned writer is not yet started. */
+  def ingest(spark: SparkSession, docs: DataFrame,
+      indexProvider: () => DataFrame, appendIndex: DataFrame => Unit,
+      g: SketchGeometry)(admit: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      try {
+        val deduped = selfDedup(spark, batch, g)
+        val verdicts = flag(spark, deduped, indexProvider(), g)
+        val admitted = deduped.join(
+          verdicts.filter(col("kept")).select("doc_id"), Seq("doc_id"))
+        appendIndex(index(spark, admitted, g))
+        admit(verdicts, batchId)
+      } finally graft.core.CacheScope.drain()
+    }
+  }
 }

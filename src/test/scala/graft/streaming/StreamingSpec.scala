@@ -502,6 +502,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s84: self-growing ingest-dedup loop — batch self-dedup, gate, index append") {
+    val g = graft.queries.LlmOps.geom
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val baseIndex = NearDupGate.index(spark, corpus, g)
+    val idxDir = tmpDir("s84_index")
+    def storedIndex() = {
+      val files = new java.io.File(idxDir).listFiles()
+      if (files == null || !files.exists(_.getName.endsWith(".parquet"))) baseIndex
+      else baseIndex.unionByName(spark.read.parquet(idxDir))
+    }
+    val in = MemoryStream[(Long, String)](spark)
+    val got = scala.collection.mutable.Map[Long, Map[Long, Boolean]]()
+    val q = NearDupGate.ingest(spark, in.toDF().toDF("doc_id", "text"),
+      () => storedIndex(),
+      idx => idx.write.mode("append").parquet(idxDir), g) { (verdicts, batchId) =>
+      got.synchronized {
+        got(batchId) = verdicts.collect()
+          .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+      }
+    }.start()
+    try {
+      // trigger 1: a within-batch near-dup pair (20, 21) + a fresh doc
+      in.addData(
+        (20L, "one two three four five six seven eight nine ten"),
+        (21L, "one two three four five six seven eight nine"), // loses to 20
+        (22L, "crimson amber violet indigo teal maroon ochre jade pearl onyx"))
+      q.processAllAvailable()
+      // trigger 2: near-copies of an EARLIER-TRIGGER admission (22) and
+      // of the base corpus (1), plus a fresh doc
+      in.addData(
+        (30L, "crimson amber violet indigo teal maroon ochre jade pearl"),
+        (31L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (32L, "quartz basalt granite shale marble slate flint obsidian gneiss chert"))
+      q.processAllAvailable()
+      val t1 = got.synchronized(got(0L)); val t2 = got.synchronized(got(1L))
+      assert(t1.keySet == Set(20L, 22L),
+        s"within-batch loser 21 must be gone before the gate, got ${t1.keySet}")
+      assert(t1(20L) && t1(22L), "fresh trigger-1 docs must be admitted")
+      assert(!t2(30L), "near-copy of a trigger-1 ADMISSION re-admitted — index did not grow")
+      assert(!t2(31L), "near-copy of the base corpus re-admitted")
+      assert(t2(32L), "fresh trigger-2 doc rejected")
+      // the index store holds fingerprints for exactly the admissions
+      val stored = spark.read.parquet(idxDir).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(stored == Set(20L, 22L, 32L), s"index store: $stored")
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(q.lastProgress.stateOperators.isEmpty || stateRows == 0,
+        "ingest loop must hold no stream state — the index table IS the state")
+    } finally q.stop()
+  }
+
   test("s77: foreachBatch sink receives batch ids and every row exactly once") {
     val in = MemoryStream[Long](spark)
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Long])]()
