@@ -266,9 +266,45 @@ object Joins {
     orderAll(merged)
   }
 
+  /** q107: MERGE, SCD type 2 — q39's change feed applied
+    * HISTORY-PRESERVING: a changed key closes its open version
+    * (valid_to = T) and opens a new one, an inserted key opens its first
+    * version, untouched keys pass through open. The warehouse dimension
+    * pattern time-travel queries need (q39 overwrites; SCD2 answers
+    * "what was the balance when the order shipped").
+    *
+    * Same 100 TB posture as q39: every arm of the union either
+    * BROADCASTS the small change feed against the dimension (anti join
+    * for untouched rows, semi-shaped inner join for changed ones) or is
+    * feed-sized — the dimension is never shuffled, and at scale the
+    * whole statement maps onto one Delta/Iceberg MERGE whose matched /
+    * not-matched arms are exactly these branches. Change detection is by
+    * key membership (the feed carries only real changes, q39's
+    * contract); a value-diff residual would ride the same join. */
+  val q107Scd2Merge: Q = (spark, dir) => {
+    val T = 1000L
+    val cur = t(spark, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+    val updates = cur.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), (col("c_acctbal") + 100).as("c_acctbal"))
+    val inserts = cur.filter(col("c_custkey") % 7 === 0)
+      .select((col("c_custkey") + 1000000).as("c_custkey"), col("c_acctbal"))
+    val untouched = cur.join(broadcast(updates), Seq("c_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_acctbal"),
+        lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"))
+    val closed = cur.join(broadcast(updates.select("c_custkey")), Seq("c_custkey"))
+      .select(col("c_custkey"), col("c_acctbal"),
+        lit(0L).as("valid_from"), lit(T).as("valid_to"))
+    val opened = updates.unionByName(inserts)
+      .select(col("c_custkey"), col("c_acctbal"),
+        lit(T).as("valid_from"), lit(null).cast("long").as("valid_to"))
+    orderAll(untouched.unionByName(closed).unionByName(opened)
+      .withColumn("is_current", col("valid_to").isNull))
+  }
+
   val defs: Map[String, Q] = Map(
     "q10_join_inner_hash" -> q10InnerHash,
     "q39_merge_upsert" -> q39MergeUpsert,
+    "q107_scd2_merge" -> q107Scd2Merge,
     "q38_join_bucketed" -> q38Bucketed,
     "q11_join_broadcast" -> q11Broadcast,
     "q12_join_left_outer" -> q12LeftOuter,
@@ -282,6 +318,32 @@ object Joins {
     "q19_join_salted_skew" -> q19SaltedSkew)
 
   val oracles: Map[String, String] = Map(
+    "q107_scd2_merge" ->
+      // the same three history arms from first principles; +100 on a
+      // DOUBLE is exact, and both change classes key on the PRE-shift
+      // c_custkey residues the engine uses
+      """WITH cur AS (SELECT c_custkey, c_acctbal FROM customer),
+        |upd AS (
+        |  SELECT c_custkey, c_acctbal + 100 AS c_acctbal FROM cur
+        |  WHERE c_custkey % 3 = 0),
+        |ins AS (
+        |  SELECT c_custkey + 1000000 AS c_custkey, c_acctbal FROM cur
+        |  WHERE c_custkey % 7 = 0),
+        |hist AS (
+        |  SELECT c.c_custkey, c.c_acctbal,
+        |    CAST(0 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+        |  FROM cur c LEFT JOIN upd u USING (c_custkey) WHERE u.c_custkey IS NULL
+        |  UNION ALL
+        |  SELECT c.c_custkey, c.c_acctbal, 0, 1000
+        |  FROM cur c JOIN upd u USING (c_custkey)
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal, 1000, NULL FROM upd
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal, 1000, NULL FROM ins)
+        |SELECT c_custkey, c_acctbal, valid_from, valid_to,
+        |  (valid_to IS NULL) AS is_current
+        |FROM hist
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
     "q39_merge_upsert" ->
       // same merge via the textbook formulation (changes win, base fills):
       // row-identical to the engine's anti-union because change keys are
