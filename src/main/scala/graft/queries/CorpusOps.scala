@@ -658,9 +658,71 @@ object CorpusOps {
     orderAll(cov)
   }
 
+  /** q108: Lloyd's k-means refinement — the centroid-IMPROVEMENT loop
+    * that q73/q100/q101's docs defer to ("production refines the seed
+    * codebook with Lloyd rounds through the assignment op"), made real:
+    * each round assigns every vector to its argmin-L2 centroid (q101's
+    * exact-BIGINT micro-unit distance, struct-min ties to the lower
+    * cluster) and recomputes each centroid as the member mean. The
+    * declared query runs k=8, 2 rounds from the q73/q100 seed centroids
+    * (vec_id < k).
+    *
+    * Determinism (the whole point of oracling an ITERATIVE float
+    * pipeline): distances are l2micro's rounded BIGINT micro-units;
+    * means are exact BIGINT sums of per-component micro-units divided
+    * once and rounded to 6 dp — so every round's centroids are
+    * bit-identical across engines and the 2-round unrolled DuckDB
+    * mirror lands on the same table.
+    *
+    * 100 TB: per round, the k·dim centroid table broadcasts (the same
+    * fan-out shape as q73 — map-side scoring, struct-min partial agg),
+    * the mean is a two-phase agg over (cluster, j) keys, and the
+    * vector table is scanned twice (assign + mean) with NO shuffle of
+    * vectors themselves — per-round cost is 2 scans + one k·dim-sized
+    * exchange. Deeper refinement loops checkpoint-truncate round plans
+    * exactly as q68 does. */
+  val q108KmeansRefine: Q = (spark, dir) => q108WithRounds(8, 2)(spark, dir)
+
+  private[graft] def q108WithRounds(k: Int, rounds: Int): Q = (spark, dir) => {
+    require(rounds >= 1, s"kmeans refinement needs >= 1 round, got $rounds")
+    val v = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .scopedPersist
+    // long form once (assign scans arrays, means scan this): micro-units
+    // so per-(cluster, j) sums are exact integers
+    val lf = v.select(col("vec_id"), posexplode(col("e")).as(Seq("j", "vval")))
+      .withColumn("vmic", round(col("vval") * 1e6).cast("long"))
+      .drop("vval").scopedPersist
+    var cent = v.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cluster"), col("e").as("ce"))
+    var lastAssign: DataFrame = null
+    var lastMeans: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val a = v.join(broadcast(cent))
+        .select(col("vec_id"),
+          struct(l2micro(col("e"), col("ce")).as("d"), col("cluster")).as("sc"))
+        .groupBy(col("vec_id")).agg(min(col("sc")).as("mn"))
+        .select(col("vec_id"), col("mn.cluster").as("cluster"))
+      val means = lf.join(a, Seq("vec_id"))
+        .groupBy(col("cluster"), col("j"))
+        .agg(round(sum(col("vmic")).cast("double") / count(lit(1)) / 1e6, 6)
+          .as("cval"))
+      lastAssign = a
+      lastMeans = means
+      cent = means.groupBy(col("cluster"))
+        .agg(sort_array(collect_list(struct(col("j"), col("cval")))).as("sv"))
+        .select(col("cluster"), transform(col("sv"), s => s.getField("cval")).as("ce"))
+    }
+    val sizes = lastAssign.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"))
+    orderAll(lastMeans.join(sizes, Seq("cluster"))
+      .select(col("cluster"), col("n_members"), col("j"), col("cval")))
+  }
+
   val defs: Map[String, Q] = Map(
     "q48_oov_rate" -> q48OovRate,
     "q105_boilerplate_coverage" -> q105BoilerplateCoverage,
+    "q108_kmeans_refine" -> q108KmeansRefine,
     "q69_dedup_substring" -> q69DedupSubstring,
     "q70_rarity_score" -> q70RarityScore,
     "q71_length_band_filter" -> q71LengthBandFilter,
@@ -673,6 +735,48 @@ object CorpusOps {
     "q101_knn_pq" -> q101KnnPq)
 
   val oracles: Map[String, String] = Map(
+    "q108_kmeans_refine" ->
+      // the 2-round Lloyd loop unrolled: same seed centroids, same
+      // rounded-BIGINT micro-unit distances (q101's recipe), same
+      // row_number tie-break as the engine's struct-min, same
+      // exact-integer mean arithmetic
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |lf AS (
+        |  SELECT vec_id, CAST(t.j - 1 AS INT) AS j, e[t.j] AS val,
+        |    CAST(round(e[t.j] * 1e6) AS BIGINT) AS vmic
+        |  FROM v, unnest(range(1, len(e) + 1)) AS t(j)),
+        |c1 AS (SELECT CAST(vec_id AS INT) AS cluster, j, val AS cval
+        |       FROM lf WHERE vec_id < 8),
+        |d1 AS (
+        |  SELECT l.vec_id, c.cluster,
+        |    CAST(round(sum((l.val - c.cval) * (l.val - c.cval)) * 1e6) AS BIGINT) AS d
+        |  FROM lf l JOIN c1 c USING (j) GROUP BY 1, 2),
+        |a1 AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT vec_id, cluster,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster ASC) AS rn
+        |    FROM d1) WHERE rn = 1),
+        |m1 AS (
+        |  SELECT a.cluster, l.j,
+        |    round(CAST(sum(l.vmic) AS DOUBLE) / count(*) / 1e6, 6) AS cval
+        |  FROM a1 a JOIN lf l USING (vec_id) GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT l.vec_id, c.cluster,
+        |    CAST(round(sum((l.val - c.cval) * (l.val - c.cval)) * 1e6) AS BIGINT) AS d
+        |  FROM lf l JOIN m1 c USING (j) GROUP BY 1, 2),
+        |a2 AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT vec_id, cluster,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster ASC) AS rn
+        |    FROM d2) WHERE rn = 1),
+        |m2 AS (
+        |  SELECT a.cluster, l.j,
+        |    round(CAST(sum(l.vmic) AS DOUBLE) / count(*) / 1e6, 6) AS cval
+        |  FROM a2 a JOIN lf l USING (vec_id) GROUP BY 1, 2),
+        |sz AS (SELECT cluster, count(*) AS n_members FROM a2 GROUP BY 1)
+        |SELECT m2.cluster, sz.n_members, m2.j, m2.cval
+        |FROM m2 JOIN sz USING (cluster)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
     "q105_boilerplate_coverage" ->
       // same plant (tail constant interpolated), string-form shingles
       // (df-invariant vs the engine's xxhash64, q88's argument), same

@@ -290,6 +290,43 @@ class CorpusOpsSpec extends SparkSpec {
       "a substantial page was flagged for carrying a footer")
   }
 
+  test("q108: Lloyd refinement — full structure, and WCSS never increases") {
+    import org.apache.spark.sql.functions._
+    val rows = CorpusOps.q108KmeansRefine(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val nVec = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.length == 8 * 64, s"expected k·dim centroid rows, got ${rows.length}")
+    assert(rows.map(_._1).distinct.sorted.toSeq == (0 until 8),
+      "a cluster emptied out on this fixture — seed choice regressed")
+    assert(rows.groupBy(_._1).map(_._2.head._2).sum == nVec,
+      "membership must partition the vector set")
+    // the Lloyd invariant: each assign+recenter round cannot increase
+    // the within-cluster sum of squares (that monotonicity is WHY the
+    // loop converges) — measure WCSS under the seed centroids, after 1
+    // round, and after 2
+    val v = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    def wcss(cent: Map[Int, Seq[Double]]): Double = {
+      val bc = cent.toSeq
+      v.collect().map { r =>
+        val e = r.getSeq[Double](1)
+        bc.map { case (_, c) =>
+          e.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+        }.min
+      }.sum
+    }
+    val seed = v.filter(col("vec_id") < 8).collect()
+      .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toSeq).toMap
+    def centroidsOf(rounds: Int): Map[Int, Seq[Double]] =
+      CorpusOps.q108WithRounds(8, rounds)(spark, sf).collect()
+        .map(r => (r.getInt(0), r.getInt(2), r.getDouble(3)))
+        .groupBy(_._1).map { case (c, a) => c -> a.sortBy(_._2).map(_._3).toSeq }
+    val w0 = wcss(seed); val w1 = wcss(centroidsOf(1)); val w2 = wcss(centroidsOf(2))
+    info(f"WCSS seed=$w0%.2f round1=$w1%.2f round2=$w2%.2f")
+    assert(w1 <= w0 + 1e-6, s"round 1 increased WCSS: $w0 -> $w1")
+    assert(w2 <= w1 + 1e-6, s"round 2 increased WCSS: $w1 -> $w2")
+  }
+
   test("q78: exactly fifty distinct merge candidates, all genuine adjacent pairs") {
     val rows = CorpusOps.q78BpeBigrams(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))

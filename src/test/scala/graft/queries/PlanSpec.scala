@@ -51,8 +51,10 @@ class PlanSpec extends SparkSpec {
     // coarse-quantizer stage (the candidate join itself is equi on cell)
     // q101 shares q100's coarse stage and scores its m·ks-row PQ
     // codebook the same broadcast-fan-out way
+    // q108 runs q73's broadcast-centroid fan-out once per Lloyd round
     val exempt = Set("q82_similarity_topk", "q73_cluster_assign",
-      "q74_cluster_balanced_sample", "q100_knn_ivf", "q101_knn_pq")
+      "q74_cluster_balanced_sample", "q100_knn_ivf", "q101_knn_pq",
+      "q108_kmeans_refine")
     val offenders = (graft.SparkEntry.queries.keySet -- exempt).toSeq.sorted.filter { name =>
       val p = plan(name)
       p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
