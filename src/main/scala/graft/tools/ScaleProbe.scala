@@ -46,7 +46,10 @@ object ScaleProbe {
     // table rebuild), q104's batch×index band join must stay key-local,
     // q105's df head must stay broadcast-sized
     "q103_decon_gate", "q104_dedup_near_incremental",
-    "q105_boilerplate_coverage")
+    "q105_boilerplate_coverage",
+    // q108 at fixed k: the per-round broadcast fan-out + mean agg must
+    // scale linearly in vectors (production also grows k — q100's dial)
+    "q108_kmeans_refine")
   private val Ks = Seq(1, 4, 8)
   private val Shift = 9700000L // lcm(97, 10) × 10,000 — residue-preserving
   private val GrowthFactor = 1.5
