@@ -719,10 +719,93 @@ object CorpusOps {
       .select(col("cluster"), col("n_members"), col("j"), col("cval")))
   }
 
+  /** The two planted nav lines — each EXACTLY [[lineWidth]] tokens, so a
+    * prepend shifts the original 8-token line grid by whole lines and
+    * every planted copy is byte-identical across documents.
+    * Interpolated into the q109 oracle so the plant cannot drift. */
+  private[queries] val NavLine5 = "home about contact privacy sitemap careers press blog"
+  private[queries] val NavLine7 = "subscribe to our newsletter all rights reserved worldwide"
+
+  /** q109 line grid width (tokens per line) and the document-frequency
+    * threshold above which a line is corpus boilerplate. The corpus has
+    * no newline structure (q105's note), so "lines" are the fixed
+    * 8-token grid; the cap (25 docs) sits far above any natural 8-token
+    * repeat in this synthetic vocabulary (~30^-8 per position) and far
+    * below the plant populations (%5 ⇒ 100 docs, %7 ⇒ 72 at sf0.01). */
+  private[queries] val lineWidth = 8
+  private[queries] val lineDfCap = 25
+
+  /** q109: inter-document line dedup — the REMOVAL transform behind
+    * q105's coverage *report*: lines (8-token grid cells) that appear in
+    * ≥ [[lineDfCap]] distinct documents are corpus boilerplate
+    * (headers, footers, nav chrome) and are cut from every document,
+    * CCNet/RefinedWeb's line-level dedup re-expressed on this corpus.
+    * Fixture plants the chrome economy: `% 5` docs get [[NavLine5]]
+    * prepended, `% 7` docs [[NavLine7]] (a `% 35` doc gets both); both
+    * plants are exactly one grid line, so original lines keep their
+    * identity and only the planted chrome crosses the df cap.
+    *
+    * Output per document: line count, removed count, and the REBUILT
+    * text (surviving lines re-joined in original order) — a rewrite op,
+    * hash-gated end to end.
+    *
+    * 100 TB: the ONLY corpus-scale shuffle is the df aggregate over
+    * (line-fingerprint, doc_id) pairs — 16 bytes/line, two-phase,
+    * map-side-combined. The common head is the Zipf HEAD (df > cap ⇒
+    * ≤ corpus-lines / cap distinct values, in practice the handful of
+    * chrome lines), collected under a loud size assert and shipped to
+    * executors inside [[graft.functions.SetKeepPositions]] — sorted once
+    * per executor, O(lines · log head) per doc. The rebuild is then a
+    * pure row-local projection: transform over kept positions of the
+    * row's OWN line array. Document bodies are never shuffled, never
+    * joined, never collected — the q103 reference-table pattern applied
+    * to a corpus-derived (not eval-set) head; at cluster scale the
+    * collect becomes a broadcast variable feeding the same expression.
+    * Line fingerprints are xxhash64 (engine) vs raw line strings
+    * (oracle) — df-invariant, q88's argument. */
+  val q109LineDedup: Q = (spark, dir) => {
+    val w = lineWidth
+    val planted = t(spark, dir, "documents").select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 5 === 0, lit(NavLine5 + " ")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(NavLine7 + " ")).otherwise(lit("")),
+        col("text")).as("text"))
+    // toks/lines/lh each ride their own projection (multi-use aliases —
+    // q105's gotcha: lambda interiors evaluate interpretively, outside
+    // codegen CSE, so an inlined split would re-split per element)
+    val toks = col("toks")
+    val withLines = planted
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("lines", transform(
+        sequence(lit(0), ceil(size(toks) / lit(w.toDouble)).cast("int") - 1),
+        i => array_join(slice(toks, i * w + 1, lit(w)), " ")))
+      .withColumn("lh", transform(col("lines"), l => xxhash64(l)))
+      .select(col("doc_id"), col("lines"), col("lh"))
+    // corpus-scale df: distinct docs per line fingerprint (a line
+    // repeated WITHIN one doc counts once), two-phase over 16-byte pairs
+    val head = withLines
+      .select(col("doc_id"), explode_outer(col("lh")).as("h"))
+      .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= lineDfCap)
+      .select(col("h")).collect().map(_.getLong(0)).toIndexedSeq
+    require(head.size <= 100000,
+      s"q109 boilerplate head has ${head.size} lines; df cap $lineDfCap is " +
+        "not selecting a Zipf head — refusing to ship it as a probe table")
+    orderAll(withLines
+      .withColumn("keep", graft.functions.SetKeepPositions(col("lh"), head))
+      .select(col("doc_id"),
+        size(col("lines")).as("n_lines"),
+        (size(col("lines")) - size(col("keep"))).as("n_removed"),
+        array_join(
+          transform(col("keep"), p => element_at(col("lines"), p + 1)),
+          " ").as("text")))
+  }
+
   val defs: Map[String, Q] = Map(
     "q48_oov_rate" -> q48OovRate,
     "q105_boilerplate_coverage" -> q105BoilerplateCoverage,
     "q108_kmeans_refine" -> q108KmeansRefine,
+    "q109_line_dedup" -> q109LineDedup,
     "q69_dedup_substring" -> q69DedupSubstring,
     "q70_rarity_score" -> q70RarityScore,
     "q71_length_band_filter" -> q71LengthBandFilter,
@@ -735,6 +818,35 @@ object CorpusOps {
     "q101_knn_pq" -> q101KnnPq)
 
   val oracles: Map[String, String] = Map(
+    "q109_line_dedup" ->
+      // same plant (nav lines interpolated), same 8-token grid, raw
+      // line strings instead of xxhash64 (df-invariant, q88's
+      // argument), same count-distinct-docs df >= cap head, rebuilt
+      // text as the ordered string_agg of surviving lines
+      s"""WITH docs AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 5 = 0 THEN '$NavLine5 ' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN '$NavLine7 ' ELSE '' END) ||
+        |    text AS text
+        |  FROM documents),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM docs),
+        |ln AS (
+        |  SELECT doc_id, CAST(t.i AS INT) AS pos,
+        |    array_to_string(
+        |      toks[CAST(t.i * $lineWidth + 1 AS INT):
+        |           CAST((t.i + 1) * $lineWidth AS INT)], ' ') AS line
+        |  FROM tok,
+        |    unnest(range(0, CAST(ceil(len(toks) / $lineWidth.0) AS BIGINT))) AS t(i)),
+        |common AS (
+        |  SELECT line FROM ln GROUP BY line
+        |  HAVING count(DISTINCT doc_id) >= $lineDfCap)
+        |SELECT l.doc_id,
+        |  CAST(count(*) AS INT) AS n_lines,
+        |  CAST(count(c.line) AS INT) AS n_removed,
+        |  coalesce(string_agg(CASE WHEN c.line IS NULL THEN l.line END,
+        |                      ' ' ORDER BY l.pos), '') AS text
+        |FROM ln l LEFT JOIN common c ON l.line = c.line
+        |GROUP BY l.doc_id""".stripMargin,
     "q108_kmeans_refine" ->
       // the 2-round Lloyd loop unrolled: same seed centroids, same
       // rounded-BIGINT micro-unit distances (q101's recipe), same

@@ -327,6 +327,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(w2 <= w1 + 1e-6, s"round 2 increased WCSS: $w1 -> $w2")
   }
 
+  test("q109: planted chrome lines are cut, everything else survives verbatim") {
+    val rows = CorpusOps.q109LineDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    val orig = spark.read.parquet(s"$sf/documents.parquet").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(rows.length == orig.size, "one rewritten doc per input doc")
+    rows.foreach { case (id, nLines, nRemoved, text) =>
+      val expectRemoved = (if (id % 5 == 0) 1 else 0) + (if (id % 7 == 0) 1 else 0)
+      assert(nRemoved == expectRemoved,
+        s"doc $id removed $nRemoved lines, plant says $expectRemoved")
+      assert(nLines >= 1 && nRemoved <= nLines)
+      // the rebuild must return EXACTLY the original token stream: the
+      // plant is whole prepended lines, so cutting them restores the
+      // source text byte-for-byte (the grid itself must not mangle docs
+      // whose length is not a multiple of the line width)
+      assert(text == orig(id),
+        s"doc $id rebuilt text differs from the original")
+    }
+    assert(rows.count(_._3 > 0) ==
+      orig.keys.count(id => id % 5 == 0 || id % 7 == 0))
+  }
+
   test("q78: exactly fifty distinct merge candidates, all genuine adjacent pairs") {
     val rows = CorpusOps.q78BpeBigrams(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
