@@ -801,11 +801,69 @@ object CorpusOps {
           " ").as("text")))
   }
 
+  /** q110: semantic dedup (SemDeDup, Abbas et al. 2023) — embedding-
+    * space near-dup removal that catches PARAPHRASES lexical dedup
+    * (q80/q81/q88) cannot: cluster the corpus with the q73 codebook,
+    * then inside each cluster drop every vector whose 6-dp cosine to a
+    * LOWER-id cluster-mate is ≥ 0.95 (`dup_of` = the smallest such id;
+    * greedy-by-id, so the verdict needs no iterative ordering — the
+    * deterministic approximation of the paper's keep-one-per-ε-ball).
+    * Fixture is q92's plant shape (a near-identical copy of every
+    * vector, id + 1e6, last component nudged) with a SMALLER nudge
+    * (+0.01): copies land in their source's cluster — minus the
+    * rare-tie strays CorpusOpsSpec bounds, the candidate-generator
+    * recall limit the paper documents — and must be cut; sources
+    * survive.
+    *
+    * 100 TB: clustering means the pairwise stage is Σ occupancy², NOT
+    * corpus² — and occupancy is held constant by growing k with the
+    * corpus (q100's codebook dial; the paper runs k ≈ n/100). The
+    * assignment is q73's broadcast fan-out + struct-max (map-side,
+    * one 24-byte struct per vector shuffled); the pair join moves
+    * (vec_id, cluster) ids ONLY, vectors re-join by id for the cosine
+    * verify (q92's fingerprints-first posture); the verdict agg is a
+    * two-phase min. Deeper Lloyd refinement of the codebook before
+    * dedup is exactly q108 composed in front of this operator. */
+  val q110SemanticDedup: Q = (spark, dir) => {
+    graft.functions.CosineSimilarity.register(spark)
+    val dim = LlmOps.geom.embeddingDim
+    val v = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val plantedCopies = v.select((col("vec_id") + 1000000).as("vec_id"),
+      concat(slice(col("e"), 1, dim - 1),
+        array(element_at(col("e"), dim) + lit(0.01))).as("e"))
+    // persisted: the assignment fan-out and both cosine-verify sides
+    // read it
+    val all = v.unionByName(plantedCopies).scopedPersist
+    val cent = v.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+    val asg = all.crossJoin(broadcast(cent))
+      .select(col("vec_id"),
+        struct(round(expr("cosine_sim(e, ce)"), 6).as("cos6"),
+          (-col("c_id")).as("nid")).as("sc"))
+      .groupBy("vec_id").agg(max(col("sc")).as("m"))
+      .select(col("vec_id"), (-col("m.nid")).as("centroid_id"))
+      .scopedPersist
+    val cands = asg.as("x").join(asg.as("y"), Seq("centroid_id"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
+    val hits = cands
+      .join(all.select(col("vec_id").as("v1"), col("e").as("e1")), Seq("v1"))
+      .join(all.select(col("vec_id").as("v2"), col("e").as("e2")), Seq("v2"))
+      .filter(round(expr("cosine_sim(e1, e2)"), 6) >= 0.95)
+      .groupBy(col("v2")).agg(min(col("v1")).as("dup_of"))
+      .withColumnRenamed("v2", "vec_id")
+    orderAll(asg.join(hits, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("centroid_id"),
+        col("dup_of").isNull.as("kept"), col("dup_of")))
+  }
+
   val defs: Map[String, Q] = Map(
     "q48_oov_rate" -> q48OovRate,
     "q105_boilerplate_coverage" -> q105BoilerplateCoverage,
     "q108_kmeans_refine" -> q108KmeansRefine,
     "q109_line_dedup" -> q109LineDedup,
+    "q110_semantic_dedup" -> q110SemanticDedup,
     "q69_dedup_substring" -> q69DedupSubstring,
     "q70_rarity_score" -> q70RarityScore,
     "q71_length_band_filter" -> q71LengthBandFilter,
@@ -818,6 +876,42 @@ object CorpusOps {
     "q101_knn_pq" -> q101KnnPq)
 
   val oracles: Map[String, String] = Map(
+    "q110_semantic_dedup" -> {
+      val dim = graft.core.SketchGeometry.fromEnv().embeddingDim
+      // q92's plant, q73's assignment tie-break (row_number mirrors the
+      // engine's (cos6, -c_id) struct-max), same 6-dp rounded cosine and
+      // the same greedy-by-id >= 0.95 verdict
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |all_v AS (
+        |  SELECT vec_id, e FROM v
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |    list_concat(e[1:${dim - 1}], [e[$dim] + 0.01])
+        |  FROM v),
+        |cent AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT a.vec_id, c.c_id,
+        |    round(list_dot_product(a.e, c.ce) /
+        |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.ce, c.ce))), 6) AS cos6
+        |  FROM all_v a CROSS JOIN cent c),
+        |asg AS (
+        |  SELECT vec_id, c_id AS centroid_id FROM (
+        |    SELECT vec_id, c_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cos6 DESC, c_id ASC) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |side AS (SELECT a.vec_id, g.centroid_id, a.e
+        |         FROM all_v a JOIN asg g ON a.vec_id = g.vec_id),
+        |hits AS (
+        |  SELECT y.vec_id, min(x.vec_id) AS dup_of
+        |  FROM side x JOIN side y
+        |    ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+        |  WHERE round(list_dot_product(x.e, y.e) /
+        |      (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))), 6) >= 0.95
+        |  GROUP BY y.vec_id)
+        |SELECT g.vec_id, g.centroid_id, h.dup_of IS NULL AS kept, h.dup_of
+        |FROM asg g LEFT JOIN hits h ON g.vec_id = h.vec_id
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin
+    },
     "q109_line_dedup" ->
       // same plant (nav lines interpolated), same 8-token grid, raw
       // line strings instead of xxhash64 (df-invariant, q88's
@@ -846,7 +940,8 @@ object CorpusOps {
         |  coalesce(string_agg(CASE WHEN c.line IS NULL THEN l.line END,
         |                      ' ' ORDER BY l.pos), '') AS text
         |FROM ln l LEFT JOIN common c ON l.line = c.line
-        |GROUP BY l.doc_id""".stripMargin,
+        |GROUP BY l.doc_id
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
     "q108_kmeans_refine" ->
       // the 2-round Lloyd loop unrolled: same seed centroids, same
       // rounded-BIGINT micro-unit distances (q101's recipe), same

@@ -52,9 +52,11 @@ class PlanSpec extends SparkSpec {
     // q101 shares q100's coarse stage and scores its m·ks-row PQ
     // codebook the same broadcast-fan-out way
     // q108 runs q73's broadcast-centroid fan-out once per Lloyd round
+    // q110 assigns clusters through the same broadcast-codebook fan-out
+    // (its pairwise stage is equi on cluster id)
     val exempt = Set("q82_similarity_topk", "q73_cluster_assign",
       "q74_cluster_balanced_sample", "q100_knn_ivf", "q101_knn_pq",
-      "q108_kmeans_refine")
+      "q108_kmeans_refine", "q110_semantic_dedup")
     val offenders = (graft.SparkEntry.queries.keySet -- exempt).toSeq.sorted.filter { name =>
       val p = plan(name)
       p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
