@@ -764,41 +764,19 @@ object CorpusOps {
     * Line fingerprints are xxhash64 (engine) vs raw line strings
     * (oracle) — df-invariant, q88's argument. */
   val q109LineDedup: Q = (spark, dir) => {
-    val w = lineWidth
     val planted = t(spark, dir, "documents").select(col("doc_id"),
       concat(
         when(col("doc_id") % 5 === 0, lit(NavLine5 + " ")).otherwise(lit("")),
         when(col("doc_id") % 7 === 0, lit(NavLine7 + " ")).otherwise(lit("")),
         col("text")).as("text"))
-    // toks/lines/lh each ride their own projection (multi-use aliases —
-    // q105's gotcha: lambda interiors evaluate interpretively, outside
-    // codegen CSE, so an inlined split would re-split per element)
-    val toks = col("toks")
-    val withLines = planted
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("lines", transform(
-        sequence(lit(0), ceil(size(toks) / lit(w.toDouble)).cast("int") - 1),
-        i => array_join(slice(toks, i * w + 1, lit(w)), " ")))
-      .withColumn("lh", transform(col("lines"), l => xxhash64(l)))
-      .select(col("doc_id"), col("lines"), col("lh"))
-    // corpus-scale df: distinct docs per line fingerprint (a line
-    // repeated WITHIN one doc counts once), two-phase over 16-byte pairs
-    val head = withLines
-      .select(col("doc_id"), explode_outer(col("lh")).as("h"))
-      .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") >= lineDfCap)
-      .select(col("h")).collect().map(_.getLong(0)).toIndexedSeq
-    require(head.size <= 100000,
-      s"q109 boilerplate head has ${head.size} lines; df cap $lineDfCap is " +
-        "not selecting a Zipf head — refusing to ship it as a probe table")
-    orderAll(withLines
-      .withColumn("keep", graft.functions.SetKeepPositions(col("lh"), head))
-      .select(col("doc_id"),
-        size(col("lines")).as("n_lines"),
-        (size(col("lines")) - size(col("keep"))).as("n_removed"),
-        array_join(
-          transform(col("keep"), p => element_at(col("lines"), p + 1)),
-          " ").as("text")))
+    // segmentation + fingerprints + head build + row-local rewrite are
+    // graft.streaming.LineDeduper — the SAME code object the s85
+    // streaming gate runs, so this oracled query hash-gates the
+    // streaming math (the s74/q66 batch-mirror pattern)
+    val lined = graft.streaming.LineDeduper.withLines(planted, lineWidth)
+      .scopedPersist
+    val head = graft.streaming.LineDeduper.commonHead(lined, lineDfCap)
+    orderAll(graft.streaming.LineDeduper.rewrite(lined, head))
   }
 
   /** q110: semantic dedup (SemDeDup, Abbas et al. 2023) — embedding-

@@ -554,6 +554,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s85: stateless line-dedup gate strips corpus chrome from ingested docs") {
+    // reference corpus: 30 docs sharing a chrome line (well over the
+    // cap) plus unique content — the persisted chrome index a
+    // production pipeline rebuilds periodically
+    val chrome = "home about contact privacy sitemap careers press blog"
+    val corpus = (1L to 30L)
+      .map(i => (i, s"$chrome unique content line number $i stays here intact"))
+      .toDF("doc_id", "text")
+    val lined = graft.streaming.LineDeduper.withLines(corpus, 8)
+    val head = graft.streaming.LineDeduper.commonHead(lined, cap = 25)
+    assert(head.nonEmpty, "the planted chrome line must cross the df cap")
+    val in = MemoryStream[(Long, String)](spark)
+    val cleaned = graft.streaming.LineDeduper.rewrite(
+      graft.streaming.LineDeduper.withLines(in.toDF().toDF("doc_id", "text"), 8),
+      head)
+    val q = cleaned.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("s85_out").start()
+    try {
+      in.addData(
+        (100L, s"$chrome fresh eight token payload arrives here with more text"),
+        (101L, "entirely original document with no chrome at all here"),
+        (102L, chrome)) // pure-chrome page → rewritten to empty
+      q.processAllAvailable()
+      val rows = spark.table("s85_out").collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+      assert(rows.size == 3, "one rewritten doc per ingested doc — none dropped")
+      assert(rows(100L)._2 == 1 &&
+        rows(100L)._3 == "fresh eight token payload arrives here with more text",
+        s"chrome not stripped cleanly: ${rows(100L)}")
+      assert(rows(101L) == ((2, 0,
+        "entirely original document with no chrome at all here")),
+        "chrome-free doc must pass through byte-identical")
+      assert(rows(102L) == ((1, 1, "")), "pure-chrome page must rewrite to empty")
+      // stateless: the rewrite is a pure projection against the static
+      // head — no state store rows, s82's operational contract
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(q.lastProgress.stateOperators.isEmpty || stateRows == 0,
+        s"line-dedup gate is supposed to be stateless, found $stateRows state rows")
+    } finally q.stop()
+  }
+
   test("s77: foreachBatch sink receives batch ids and every row exactly once") {
     val in = MemoryStream[Long](spark)
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Long])]()
