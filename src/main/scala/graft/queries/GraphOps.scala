@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Graph analytics over the relational tables — entity-centrality
+  * ranking on the customer↔supplier transaction graph. q68 (connected
+  * components) established the iterative join+agg loop pattern; this
+  * module adds the weighted-propagation variant (PageRank), following
+  * the package determinism rules: ALL rank arithmetic is exact BIGINT
+  * micro-units (integer floor division on both engines), so the
+  * iterative float algorithm is fully hash-oracled against an unrolled
+  * DuckDB mirror — q108's recipe for oracling iteration.
+  */
+object GraphOps {
+
+  private val PrRounds = 2
+
+  /** q111: PageRank over the customer↔supplier graph — which entities
+    * sit at the center of the transaction network (the reference has no
+    * analytics at all; a curation pipeline ranks sources/suppliers by
+    * graph centrality the same way). Nodes: customers (2·custkey) and
+    * suppliers (2·suppkey+1) appearing in ≥ 1 order line; edges: the
+    * DISTINCT (customer, supplier) trade pairs from orders⋈lineitem,
+    * symmetrized (both directions), so every graph node has outdeg ≥ 1
+    * and the dangling-mass correction never triggers.
+    *
+    * Determinism contract (the whole point of oracling an ITERATIVE
+    * algorithm): seed = 1e6 div N micro-units; each round
+    * pr' = (15·seed + 85·Σ_{u→v} pr(u) div outdeg(u)) div 100 — every
+    * operation a BIGINT floor division or product, bit-identical in
+    * Spark (`div`) and DuckDB (`//`), mirrored 2 rounds unrolled.
+    *
+    * 100 TB: the edge list is built once, persisted, and every round
+    * reuses it — per round ONE edges⋈state join on src (state is
+    * node-sized; edges pre-shuffled once by persist), ONE two-phase
+    * sum by dst (map-side combined), ONE node-sized left join. The
+    * driver holds only the node-count scalar (q68's convergence-scalar
+    * pattern); deeper loops checkpoint-truncate round plans exactly as
+    * q68 does. Rank mass, not vectors or bodies, is all that moves. */
+  val q111PageRank: Q = (spark, dir) => q111WithRounds(PrRounds)(spark, dir)
+
+  private[graft] def q111WithRounds(rounds: Int): Q = (spark, dir) => {
+    require(rounds >= 1, s"pagerank needs >= 1 round, got $rounds")
+    val trade = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val edges = trade.select(col("c").as("src"), col("s").as("dst"))
+      .unionByName(trade.select(col("s").as("src"), col("c").as("dst")))
+      .scopedPersist
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg")).scopedPersist
+    // the one driver-side scalar: N for the seed/teleport constant
+    val n = deg.count()
+    val seedMic = 1000000L / n
+    var state = deg.select(col("node"), col("outdeg"),
+      lit(seedMic).as("pr_mic"))
+    for (_ <- 1 to rounds) {
+      val sums = edges
+        .join(state.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst"), expr("pr_mic div outdeg").as("w"))
+        .groupBy(col("dst")).agg(sum(col("w")).as("in_mic"))
+      state = deg.join(sums, deg("node") === sums("dst"), "left_outer")
+        .select(col("node"), col("outdeg"),
+          expr(s"(15 * ${seedMic}L + 85 * coalesce(in_mic, 0L)) div 100")
+            .as("pr_mic"))
+    }
+    orderAll(state.select(
+      when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+        .as("node_type"),
+      expr("node div 2").as("entity_id"),
+      col("outdeg"), col("pr_mic")))
+  }
+
+  val defs: Map[String, Q] = Map("q111_pagerank" -> q111PageRank)
+
+  val oracles: Map[String, String] = Map(
+    "q111_pagerank" ->
+      // 2-round unrolled mirror: same node encoding, same symmetrized
+      // distinct edge set, same BIGINT floor-division arithmetic
+      // (DuckDB // ≡ Spark div on the positive ranks here); sums cast
+      // back to BIGINT (DuckDB sum() widens to HUGEINT)
+      """WITH e0 AS (
+        |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |edges AS (SELECT c AS src, s AS dst FROM e0
+        |          UNION ALL SELECT s, c FROM e0),
+        |deg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY 1),
+        |seed AS (SELECT 1000000 // count(*) AS mic FROM deg),
+        |p0 AS (SELECT node, outdeg, (SELECT mic FROM seed) AS pr FROM deg),
+        |m1 AS (SELECT e.dst AS node, CAST(sum(p.pr // p.outdeg) AS BIGINT) AS im
+        |       FROM edges e JOIN p0 p ON e.src = p.node GROUP BY 1),
+        |p1 AS (SELECT d.node, d.outdeg,
+        |         (15 * (SELECT mic FROM seed) + 85 * coalesce(m1.im, 0)) // 100 AS pr
+        |       FROM deg d LEFT JOIN m1 ON d.node = m1.node),
+        |m2 AS (SELECT e.dst AS node, CAST(sum(p.pr // p.outdeg) AS BIGINT) AS im
+        |       FROM edges e JOIN p1 p ON e.src = p.node GROUP BY 1),
+        |p2 AS (SELECT d.node, d.outdeg,
+        |         (15 * (SELECT mic FROM seed) + 85 * coalesce(m2.im, 0)) // 100 AS pr
+        |       FROM deg d LEFT JOIN m2 ON d.node = m2.node)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+        |  node // 2 AS entity_id, outdeg, CAST(pr AS BIGINT) AS pr_mic
+        |FROM p2
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin)
+}
