@@ -113,7 +113,50 @@ object Windows {
       round(cume_dist().over(w), 6).as("cume")))
   }
 
+  /** q112 [EXT]: funnel analysis — per user, how far along the ordered
+    * view → click → purchase sequence did they get, with the FIRST
+    * qualifying event time of each stage (strictly-after semantics: a
+    * click only counts after the first view, a purchase only after that
+    * click). The sequential-pattern-match analytic sessionization (q33)
+    * cannot express: stage k's window opens only when stage k-1 fires.
+    *
+    * Shape: one conditional min-agg per stage — each stage scans the
+    * events table with its event-type filter PUSHED to the parquet scan,
+    * shuffles (user, µs) pairs under a map-side-combined min, and joins
+    * the previous stage's user-keyed state under the SAME user
+    * partitioning (join and agg share one exchange). Per-stage state is
+    * one row per user — never event-sized; stages are a fixed small
+    * constant, so total cost is ~3 filtered scans + 3 user-keyed
+    * shuffles regardless of corpus size. Timestamps ride as exact
+    * unix_micros BIGINTs (the events helper's ns→µs floor, mirrored by
+    * DuckDB's epoch_us truncation). */
+  val q112Funnel: Q = (spark, dir) => {
+    val ev = events(spark, dir).select(col("user_id"), col("event_type"),
+      expr("unix_micros(ts)").as("tus"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("tus")).as("t_view"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id"))
+      .filter(col("tus") > col("t_view"))
+      .groupBy("user_id").agg(min(col("tus")).as("t_click"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id"))
+      .filter(col("tus") > col("t_click"))
+      .groupBy("user_id").agg(min(col("tus")).as("t_purchase"))
+    orderAll(ev.select(col("user_id")).distinct()
+      .join(s1, Seq("user_id"), "left_outer")
+      .join(s2, Seq("user_id"), "left_outer")
+      .join(s3, Seq("user_id"), "left_outer")
+      .select(col("user_id"),
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .when(col("t_view").isNotNull, 1)
+          .otherwise(0).as("stage"),
+        col("t_view"), col("t_click"), col("t_purchase")))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q112_funnel" -> q112Funnel,
     "q30_window_rank" -> q30Rank,
     "q31_window_analytic" -> q31Analytic,
     "q32_window_range_frame" -> q32RangeFrame,
@@ -122,6 +165,30 @@ object Windows {
     "q37_window_distribution" -> q37WindowDistribution)
 
   val oracles: Map[String, String] = Map(
+    "q112_funnel" ->
+      // same strictly-after stage chain; epoch_us truncates the parquet
+      // nanos exactly like the engine's `ts div 1000` floor
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+        |           FROM events),
+        |s1 AS (SELECT user_id, min(tus) AS t_view FROM ev
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.tus) AS t_click
+        |       FROM ev e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.tus > s1.t_view GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.tus) AS t_purchase
+        |       FROM ev e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.tus > s2.t_click GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM ev)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN s3.t_purchase IS NOT NULL THEN 3
+        |            WHEN s2.t_click IS NOT NULL THEN 2
+        |            WHEN s1.t_view IS NOT NULL THEN 1 ELSE 0 END AS INT) AS stage,
+        |  s1.t_view, s2.t_click, s3.t_purchase
+        |FROM u LEFT JOIN s1 ON u.user_id = s1.user_id
+        |       LEFT JOIN s2 ON u.user_id = s2.user_id
+        |       LEFT JOIN s3 ON u.user_id = s3.user_id
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+        |  5 NULLS FIRST""".stripMargin,
     "q30_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  row_number() OVER w AS rn,
