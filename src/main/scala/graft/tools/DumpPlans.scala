@@ -47,7 +47,11 @@ object DumpPlans {
       "q104_dedup_near_incremental" -> "incremental near-dup gate: batch band table broadcast into the corpus index, verification re-joins shingle arrays by id, total left-join verdict",
       "q105_boilerplate_coverage" -> "boilerplate coverage: cached shingle stream served to the df agg and the common-head broadcast join, two-phase per-doc aggs",
       "q107_scd2_merge" -> "SCD-2 merge: three history arms, each broadcasting the change feed against the dimension (anti + inner) or feed-sized — the dimension is never shuffled",
-      "q108_kmeans_refine" -> "Lloyd rounds: broadcast centroid fan-out + struct-min argmin per round, two-phase micro-unit mean agg, k·dim-sized exchanges only")
+      "q108_kmeans_refine" -> "Lloyd rounds: broadcast centroid fan-out + struct-min argmin per round, two-phase micro-unit mean agg, k·dim-sized exchanges only",
+      "q109_line_dedup" -> "line dedup: ONE 16-byte (fingerprint, doc) df shuffle, Zipf head shipped in the set_keep_positions probe table, rebuild a pure row-local projection — bodies never shuffle",
+      "q110_semantic_dedup" -> "semantic dedup: broadcast-codebook assign + struct-max, cluster-equi candidate join on ids only, vectors re-joined by id for the cosine verify, two-phase min verdict",
+      "q111_pagerank" -> "pagerank: per round one edges-x-state src join over the persisted edge list, one two-phase dst sum, one node-sized left join — rank mass moves, entities don't",
+      "q112_funnel" -> "funnel: per stage a filter-pushed scan + user-keyed two-phase min, the previous stage's user-sized state joined under the same partitioning")
 
     val sb = new StringBuilder
     sb.append("# PLANS — finalized physical plans for headline queries\n\n")

@@ -49,7 +49,14 @@ object ScaleProbe {
     "q105_boilerplate_coverage",
     // q108 at fixed k: the per-round broadcast fan-out + mean agg must
     // scale linearly in vectors (production also grows k — q100's dial)
-    "q108_kmeans_refine")
+    "q108_kmeans_refine",
+    // round 10: q109's df agg must stay the only corpus-scale work (the
+    // planted chrome lines are literals, so the head stays ~2 entries at
+    // every k while natural lines salt apart); q111's per-round
+    // edges⋈state join must track the k× edge list; q112's stage chain
+    // must track the k× user population (per-user event counts are
+    // construction-constant)
+    "q109_line_dedup", "q111_pagerank", "q112_funnel")
   private val Ks = Seq(1, 4, 8)
   private val Shift = 9700000L // lcm(97, 10) × 10,000 — residue-preserving
   private val GrowthFactor = 1.5
@@ -118,6 +125,26 @@ object ScaleProbe {
       scaledEv.coalesce(cpus.toInt).write.mode("overwrite")
         .parquet(s"$dir/events.parquet")
       System.err.println(s"[scaleprobe] built k=$k events (${baseEvRows * k} rows)")
+    }
+
+    // orders/lineitem for the q111 graph probe: k× more ENTITIES —
+    // custkey/suppkey/orderkey shifted per copy, so the trade graph is
+    // k disjoint copies of the base graph (k× nodes, k× edges, same
+    // degree distribution); per-round join+agg work must track edges
+    val baseOrd = spark.read.parquet(s"$baseDir/orders.parquet")
+    val baseLi = spark.read.parquet(s"$baseDir/lineitem.parquet")
+    dirs.foreach { case (k, dir) =>
+      val so = (0 until k).map { i =>
+        baseOrd.withColumn("o_orderkey", col("o_orderkey") + lit(i * Shift))
+          .withColumn("o_custkey", col("o_custkey") + lit(i * Shift))
+      }.reduce(_ unionByName _)
+      so.coalesce(cpus.toInt).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val sl = (0 until k).map { i =>
+        baseLi.withColumn("l_orderkey", col("l_orderkey") + lit(i * Shift))
+          .withColumn("l_suppkey", col("l_suppkey") + lit(i * Shift))
+      }.reduce(_ unionByName _)
+      sl.coalesce(cpus.toInt).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      System.err.println(s"[scaleprobe] built k=$k orders/lineitem")
     }
 
     // ---- measure ------------------------------------------------------
