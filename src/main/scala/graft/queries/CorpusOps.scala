@@ -836,7 +836,48 @@ object CorpusOps {
         col("dup_of").isNull.as("kept"), col("dup_of")))
   }
 
+  /** q116 [EXT]: edit-distance fuzzy dedup — candidate pairs by
+    * (lang, length-band) blocking with NEIGHBOR-band overlap, verified
+    * by Levenshtein over a 40-char prefix. The character-level
+    * complement of the token-set families (q81 Jaccard-ish, q88
+    * n-gram): catches single-character typo/ocr variants that shift
+    * every shingle. Each doc emits TWO block keys (band, band+1), so a
+    * near-dup pair straddling a band boundary still collides — the
+    * classic off-by-one blocking hole; collision implies band distance
+    * <= 1, and the pair-level distinct folds double collisions.
+    *
+    * The verify leg uses Spark's thresholded levenshtein(l, r, 8) —
+    * the DP early-exits (O(len·k), not O(len²)) the moment a row of
+    * the matrix exceeds the threshold, returning -1; kept pairs carry
+    * the exact distance, so the oracle's plain levenshtein() <= 8
+    * mirror agrees on every surviving row.
+    *
+    * 100 TB: bodies never move — blocks join on (lang, band) carrying
+    * doc_id + a 40-char prefix; block width is capped by the band
+    * granularity (q88's df-cap argument applies to any pathological
+    * block: cap block width, mirror the cap). The quadratic is
+    * per-block, not per-corpus. */
+  val q116DedupFuzzy: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      expr("n_chars div 100").as("band"),
+      substring(col("text"), 1, 40).as("pfx"))
+    val keyed = d.select(col("doc_id"), col("lang"), col("band"), col("pfx"),
+      explode(array(col("band"), col("band") + 1)).as("bkey"))
+    orderAll(keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.lang") === col("b.lang") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.pfx").as("pa"), col("b.pfx").as("pb"))
+      .distinct()
+      .select(col("d1"), col("d2"),
+        levenshtein(col("pa"), col("pb"), 8).cast("long").as("lev"))
+      .filter(col("lev") >= 0 && col("lev") <= 8))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q116_dedup_fuzzy" -> q116DedupFuzzy,
     "q48_oov_rate" -> q48OovRate,
     "q105_boilerplate_coverage" -> q105BoilerplateCoverage,
     "q108_kmeans_refine" -> q108KmeansRefine,
@@ -854,6 +895,21 @@ object CorpusOps {
     "q101_knn_pq" -> q101KnnPq)
 
   val oracles: Map[String, String] = Map(
+    "q116_dedup_fuzzy" ->
+      // same two-key neighbor-band blocking; full levenshtein <= 8
+      // equals the engine's early-exit thresholded distance on every
+      // kept row
+      """WITH d AS (SELECT doc_id, lang, n_chars // 100 AS band,
+        |             substr(text, 1, 40) AS pfx FROM documents),
+        |k AS (SELECT doc_id, lang, band, pfx, unnest([band, band + 1]) AS bkey
+        |      FROM d),
+        |p AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+        |        a.pfx AS pa, b.pfx AS pb
+        |      FROM k a JOIN k b
+        |      ON a.lang = b.lang AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+        |SELECT d1, d2, CAST(levenshtein(pa, pb) AS BIGINT) AS lev
+        |FROM p WHERE levenshtein(pa, pb) <= 8
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "q110_semantic_dedup" -> {
       val dim = graft.core.SketchGeometry.fromEnv().embeddingDim
       // q92's plant, q73's assignment tie-break (row_number mirrors the

@@ -76,9 +76,85 @@ object GraphOps {
       col("outdeg"), col("pr_mic")))
   }
 
-  val defs: Map[String, Q] = Map("q111_pagerank" -> q111PageRank)
+  /** q115 [EXT]: triangle counting over the part co-purchase graph —
+    * per-part triangle participation, the clustering-coefficient
+    * numerator (community structure in what's bought together; on a
+    * document-similarity graph the same operator grades cluster
+    * cohesion for q68's components). Edges: distinct part pairs sharing
+    * an order.
+    *
+    * Shape is compact-forward (Latapy 2008): orient each undirected
+    * edge from its (degree, id)-smaller endpoint, enumerate directed
+    * paths u→v→w, and semi-check u→w. Orientation bounds every node's
+    * out-degree by O(√m) regardless of skew — the hub that co-occurs
+    * with everything gets arcs IN, not out, so the path join's fan-out
+    * never explodes (the naive all-orders enumeration counts each
+    * triangle 6× and squares the hub degree). All-BIGINT output.
+    *
+    * 100 TB: three equi-joins, each shuffling (src, dst) id pairs —
+    * never order bodies; the arcs frame is persisted once and reused by
+    * all three legs of the triangle join under one partitioning. The
+    * per-order pair expansion is quadratic in ORDER SIZE only (bounded
+    * small by the domain — an order has a handful of lines; a pathological
+    * container would hit q88's df-cap recipe: drop hub orders above a
+    * width threshold). */
+  val q115TriangleCount: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val co = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct().scopedPersist
+    val deg = co.select(col("u").as("node"))
+      .unionByName(co.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val arcs = co
+      .join(deg.select(col("node").as("un"), col("deg").as("du")), col("u") === col("un"))
+      .join(deg.select(col("node").as("vn"), col("deg").as("dv")), col("v") === col("vn"))
+      .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
+        when(fwd, col("v")).otherwise(col("u")).as("dst"))
+      .scopedPersist
+    val tri = arcs.as("a1")
+      .join(arcs.as("a2"), col("a1.dst") === col("a2.src"))
+      .join(arcs.as("a3"),
+        col("a3.src") === col("a1.src") && col("a3.dst") === col("a2.dst"), "left_semi")
+      .select(col("a1.src").as("tu"), col("a1.dst").as("tv"), col("a2.dst").as("tw"))
+    orderAll(tri
+      .select(explode(array(col("tu"), col("tv"), col("tw"))).as("part_id"))
+      .groupBy(col("part_id")).agg(count(lit(1)).as("n_tri")))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q111_pagerank" -> q111PageRank,
+    "q115_triangle_count" -> q115TriangleCount)
 
   val oracles: Map[String, String] = Map(
+    "q115_triangle_count" ->
+      // same degree-oriented compact-forward enumeration: each triangle
+      // appears exactly once as the path u->v->w plus the closing arc
+      """WITH co AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |            FROM lineitem a JOIN lineitem b
+        |            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+        |        FROM (SELECT u AS node FROM co UNION ALL SELECT v FROM co)
+        |        GROUP BY 1),
+        |arcs AS (SELECT
+        |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND co.u < co.v)
+        |         THEN co.u ELSE co.v END AS src,
+        |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND co.u < co.v)
+        |         THEN co.v ELSE co.u END AS dst
+        |  FROM co JOIN deg du ON co.u = du.node JOIN deg dv ON co.v = dv.node),
+        |tri AS (SELECT a1.src AS tu, a1.dst AS tv, a2.dst AS tw
+        |        FROM arcs a1 JOIN arcs a2 ON a1.dst = a2.src
+        |        WHERE EXISTS (SELECT 1 FROM arcs a3
+        |                      WHERE a3.src = a1.src AND a3.dst = a2.dst))
+        |SELECT part_id, CAST(count(*) AS BIGINT) AS n_tri
+        |FROM (SELECT tu AS part_id FROM tri
+        |      UNION ALL SELECT tv FROM tri
+        |      UNION ALL SELECT tw FROM tri)
+        |GROUP BY 1
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "q111_pagerank" ->
       // 2-round unrolled mirror: same node encoding, same symmetrized
       // distinct edge set, same BIGINT floor-division arithmetic

@@ -1171,7 +1171,48 @@ object LlmOps {
     orderAll(graft.streaming.NearDupGate.flag(spark, batch, index, geom))
   }
 
+  /** q117 [EXT]: unigram language-model scoring — per-document average
+    * token surprisal against the corpus's own unigram distribution, the
+    * perplexity-proxy quality signal (a doc of corpus-typical tokens
+    * scores low; rare-token gibberish scores high — CCNet's LM filter
+    * shape with the corpus itself as the model).
+    *
+    * Determinism contract (how a LOG-domain score gets hash-oracled):
+    * no float log. Token surprisal is quantized to whole bits as
+    * floor(log2(total div cnt)) computed EXACTLY via the binary-string
+    * length of a BIGINT — length(bin(x)) - 1, bit-identical in Spark
+    * (Long.toBinaryString) and DuckDB (unpadded bin()), both verified
+    * unpadded. Per-doc mean rides as millibits under BIGINT floor
+    * division, zero-token docs pinned to 0 (q48's total contract).
+    *
+    * 100 TB: the vocab is a token-keyed aggregate (map-side combined;
+    * vocab size ≪ corpus size), the scalar `total` is a broadcast of
+    * one number folded into the surprisal expression, and the doc score
+    * re-aggregates the exploded tokens by doc_id — two shuffles of
+    * (token)- and (doc_id)-keyed COUNTS; bodies never move. The
+    * token⋈vocab join broadcasts the vocab below the threshold and
+    * shuffle-joins above it — either way linear. */
+  val q117LmScore: Q = (spark, dir) => {
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("tok"))
+      .scopedPersist
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt"))).collect()(0).getLong(0)
+    val bits = (length(expr(s"bin(${total}L div cnt)")) - 1).cast("long")
+    val scored = toks.join(vocab.withColumn("bits", bits), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("bits")).as("sum_bits"))
+    orderAll(t(spark, dir, "documents").select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        coalesce(col("sum_bits"), lit(0L)).as("sum_bits"),
+        coalesce(expr("sum_bits * 1000L div n_tok"), lit(0L)).as("avg_mbits")))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q117_lm_score" -> q117LmScore,
     "q63_decontaminate" -> q63Decontaminate,
     "q103_decon_gate" -> q103DeconGate,
     "q104_dedup_near_incremental" -> q104DedupNearIncremental,
@@ -1274,6 +1315,27 @@ object LlmOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q117_lm_score" ->
+      // same quantized surprisal: unpadded bin() length == Spark's
+      // Long.toBinaryString; // === div; HUGEINT sums cast back
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        |  FROM documents),
+        |vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+        |          FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+        |b AS (SELECT tok,
+        |        CAST(length(bin((SELECT total FROM tot) // cnt)) - 1 AS BIGINT) AS bits
+        |      FROM vocab),
+        |scored AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |             CAST(sum(b.bits) AS BIGINT) AS sum_bits
+        |           FROM toks t JOIN b ON t.tok = b.tok GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(s.n_tok, 0) AS BIGINT) AS n_tok,
+        |  CAST(coalesce(s.sum_bits, 0) AS BIGINT) AS sum_bits,
+        |  CAST(coalesce(s.sum_bits * 1000 // s.n_tok, 0) AS BIGINT) AS avg_mbits
+        |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
     "q63_decontaminate" -> q63OracleWith(geom.deconShingleN),
     "q103_decon_gate" -> q103OracleWith(geom.deconShingleN),
     "q104_dedup_near_incremental" ->

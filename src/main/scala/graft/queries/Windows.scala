@@ -155,8 +155,84 @@ object Windows {
         col("t_view"), col("t_click"), col("t_purchase")))
   }
 
+  /** q113 [EXT]: rolling z-score anomaly detection — flag events whose
+    * value sits more than 3 sigma from the trailing-20-event mean of
+    * their event type (the ops-monitoring primitive a curation pipeline
+    * runs over its own ingest metrics). The analytic windows (q31/q32)
+    * give the frame; this adds the variance test.
+    *
+    * Determinism contract (what makes a VARIANCE test hash-oracle-able):
+    * no float mean/stddev ever computed. Values ride as exact integer
+    * cents (the data is 2-dp; round(value*100) is >1e8 ulps from any
+    * rounding tie), and |x-mu| > 3*sigma is tested in cross-multiplied
+    * integer form: (n*x - S)^2 > 9*(n*Q - S^2) with S = window sum,
+    * Q = window sum of squares — pure BIGINT on both engines (max
+    * magnitude ~9e12, 20-row frames of <=49102-cent values; q72-style
+    * headroom note: a 1e7-cent value ceiling still fits 2e18). NULL-free
+    * by construction, ties impossible (ts,event_id is a total order).
+    *
+    * 100 TB: one hash exchange on event_type (low-cardinality — a
+    * production run partitions on (metric, hour) exactly like this
+    * frame's secondary sort), one WindowExec pass holding a 20-row ring
+    * buffer per partition, zero joins, zero driver state. The flag is a
+    * scan-shaped per-row verdict — the same plan at any corpus size. */
+  val q113AnomalyZscore: Q = (spark, dir) => {
+    val winLen = 20
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("epoch_s"), col("event_id"))
+      .rowsBetween(-(winLen - 1), org.apache.spark.sql.expressions.Window.currentRow)
+    val e = events(spark, dir).select(
+      col("event_type"), col("event_id"),
+      unix_timestamp(col("ts")).as("epoch_s"),
+      expr("cast(round(value * 100) as bigint)").as("cents"))
+    orderAll(e
+      .withColumn("win_n", count(lit(1)).over(w))
+      .withColumn("win_sum", sum(col("cents")).over(w))
+      .withColumn("win_sumsq", sum(col("cents") * col("cents")).over(w))
+      .select(col("event_type"), col("event_id"), col("epoch_s"), col("cents"),
+        col("win_n"), col("win_sum"),
+        (col("win_n") >= 10 &&
+          (col("win_n") * col("cents") - col("win_sum")) *
+            (col("win_n") * col("cents") - col("win_sum")) >
+          lit(9) * (col("win_n") * col("win_sumsq") -
+            col("win_sum") * col("win_sum"))).as("is_anomaly")))
+  }
+
+  /** q114 [EXT]: first-order Markov transition mining — the global
+    * event-type transition matrix (view->click probability etc.) from
+    * per-user event sequences. The funnel (q112) asks "did the fixed
+    * pattern fire"; this learns the empirical transition structure.
+    *
+    * Transition probabilities are exact micro-units
+    * (n*1000000 div row_total — BIGINT floor division, Spark `div` ===
+    * DuckDB `//` on positives), so the matrix is fully hash-gated.
+    *
+    * 100 TB: one exchange on user_id with (tus, event_id) secondary sort
+    * feeds the lead() — per-partition streaming, O(1) state per user;
+    * the transition pairs then collapse under a map-side-combined
+    * count to |types|^2 rows (25 here), and the per-source normalizing
+    * window runs on that tiny aggregate, not the events. Event volume
+    * crosses the wire exactly once. */
+  val q114MarkovTransitions: Q = (spark, dir) => {
+    val wSeq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    orderAll(events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("tus"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(wSeq))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+      .withColumn("p_mic",
+        expr("n_trans * 1000000L div sum(n_trans) over (partition by from_type)"))
+      .select(col("from_type"), col("to_type"), col("n_trans"), col("p_mic")))
+  }
+
   val defs: Map[String, Q] = Map(
     "q112_funnel" -> q112Funnel,
+    "q113_anomaly_zscore" -> q113AnomalyZscore,
+    "q114_markov_transitions" -> q114MarkovTransitions,
     "q30_window_rank" -> q30Rank,
     "q31_window_analytic" -> q31Analytic,
     "q32_window_range_frame" -> q32RangeFrame,
@@ -189,6 +265,40 @@ object Windows {
         |       LEFT JOIN s3 ON u.user_id = s3.user_id
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
         |  5 NULLS FIRST""".stripMargin,
+    "q113_anomaly_zscore" ->
+      // same integer-cents cross-multiplied 3-sigma test; DuckDB's
+      // HUGEINT-widening sums cast back to BIGINT for the hash gate
+      """WITH e AS (SELECT event_type, event_id,
+        |             CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+        |             CAST(round(value * 100) AS BIGINT) AS cents
+        |           FROM events),
+        |w AS (SELECT event_type, event_id, epoch_s, cents,
+        |        CAST(count(*) OVER fr AS BIGINT) AS win_n,
+        |        CAST(sum(cents) OVER fr AS BIGINT) AS win_sum,
+        |        CAST(sum(cents * cents) OVER fr AS BIGINT) AS win_sumsq
+        |      FROM e
+        |      WINDOW fr AS (PARTITION BY event_type ORDER BY epoch_s, event_id
+        |                    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, event_id, epoch_s, cents, win_n, win_sum,
+        |  (win_n >= 10 AND
+        |   (win_n * cents - win_sum) * (win_n * cents - win_sum) >
+        |   9 * (win_n * win_sumsq - win_sum * win_sum)) AS is_anomaly
+        |FROM w
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+        |  5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST""".stripMargin,
+    "q114_markov_transitions" ->
+      // same (tus, event_id)-ordered lead per user; micro-unit
+      // probability via // === Spark div on positive counts
+      """WITH s AS (SELECT event_type AS from_type,
+        |             lead(event_type, 1) OVER (PARTITION BY user_id
+        |               ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS to_type
+        |           FROM events),
+        |g AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_trans
+        |      FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_trans,
+        |  CAST(n_trans * 1000000 // CAST(sum(n_trans) OVER (PARTITION BY from_type) AS BIGINT) AS BIGINT) AS p_mic
+        |FROM g
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
     "q30_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  row_number() OVER w AS rn,

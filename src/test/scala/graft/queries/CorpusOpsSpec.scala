@@ -8,7 +8,31 @@ import org.apache.spark.sql.functions._
   * SEMANTIC invariants that stay true on any corpus — so a fixture
   * regeneration can't silently green a wrong implementation. */
 class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
   private val sf = "/root/testdata/sf0.001"
+
+  test("q116: neighbor-band blocking catches the boundary pair; lang and distance gate") {
+    val dir = tmpDir("q116docs")
+    val base = "the quick brown fox jumps over the lazy dog again"
+    Seq(
+      // A/B: 1-char prefix edit, n_chars 199 vs 200 — bands 1 and 2,
+      // so only the neighbor-band overlap can pair them
+      (1L, base, "en", 199L),
+      (2L, base.replace("quick", "quack"), "en", 200L),
+      // C: same block as A but unrelated prefix — must fail the lev<=8 gate
+      (3L, "zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp", "en", 150L),
+      // D: identical prefix to A but another lang — blocking excludes it
+      (4L, base, "de", 199L),
+      // E: far above every other band — never a candidate
+      (5L, base, "en", 499L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/documents.parquet")
+    val got = CorpusOps.q116DedupFuzzy(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 1L)),
+      s"expected exactly the cross-band (1,2) pair at distance 1, got $got")
+  }
 
   test("q48: OOV counts re-verify against a driver-side vocab cut") {
     // rebuild the top-V vocab independently (collect the token counts,

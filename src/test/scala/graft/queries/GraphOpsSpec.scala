@@ -1,12 +1,56 @@
 package graft.queries
 
+import org.apache.spark.sql.SaveMode
+
 import graft.SparkSpec
 
 /** PageRank's structural invariants, independent of the oracle mirror:
   * one verdict per graph node, (near-)conserved rank mass, centrality
-  * actually tracking connectivity, and genuine iteration. */
+  * actually tracking connectivity, and genuine iteration. Triangle
+  * counting is pinned against a hand-countable graph plus the naive
+  * ordered-triple enumeration on the sf fixture. */
 class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
   private val sf = "/root/testdata/sf0.001"
+
+  test("q115: per-node triangle participation on a hand-countable graph") {
+    val dir = tmpDir("q115li")
+    // order 1 buys {1,2,3}, order 2 {1,2,4}, order 3 {4,5}: edges
+    // {12,13,23,14,24,45} — triangles (1,2,3) and (1,2,4) only (the
+    // 3–4 edge that would close K4 never co-occurs), node 5 edge-only
+    Seq((1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L), (2L, 4L),
+      (3L, 4L), (3L, 5L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/lineitem.parquet")
+    val got = GraphOps.q115TriangleCount(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L), (2L, 2L), (3L, 1L), (4L, 1L)),
+      s"triangles (1,2,3)+(1,2,4) only, node 5 silent — got $got")
+  }
+
+  test("q115: compact-forward agrees with the naive a<b<c enumeration on the sf fixture") {
+    import org.apache.spark.sql.functions._
+    val got = GraphOps.q115TriangleCount(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every triangle contributes exactly 3 participations
+    assert(got.values.sum % 3 == 0, "participation total must be divisible by 3")
+    // naive ground truth: ordered triples over the undirected edge set
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val e = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v")).distinct()
+    val naive = e.as("e1")
+      .join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .join(e.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"), "left_semi")
+      .select(explode(array(col("e1.u"), col("e1.v"), col("e2.v"))).as("p"))
+      .groupBy("p").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == naive, "degree-oriented count diverged from the naive enumeration")
+  }
 
   test("q111: rank mass conserves, degree drives centrality, iteration moves ranks") {
     def run(rounds: Int): Seq[(String, Long, Long, Long)] =

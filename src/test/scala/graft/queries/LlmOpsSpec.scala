@@ -10,6 +10,39 @@ import graft.core.SketchGeometry
 class LlmOpsSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
+  test("q117: quantized surprisal — rare tokens score high, empty docs pin to zero") {
+    import spark.implicits._
+    val dir = tmpDir("q117docs")
+    // corpus unigram counts: the=5, zyxq=1, total=6;
+    // bits(the) = floor(log2(6 div 5 = 1)) = 0, bits(zyxq) = floor(log2(6)) = 2
+    Seq((1L, "the the the the"), (2L, "the zyxq"), (3L, ""), (4L, "123 456"))
+      .toDF("doc_id", "text")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/documents.parquet")
+    val got = LlmOps.q117LmScore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, 4L, 0L, 0L),     // all corpus-typical: zero surprisal
+      (2L, 2L, 2L, 1000L),  // the rare token carries 2 bits -> 1000 mbits avg
+      (3L, 0L, 0L, 0L),     // empty doc: total contract, no NULLs
+      (4L, 0L, 0L, 0L)),    // digits-only: zero [a-z] tokens, same pin
+      s"got $got")
+  }
+
+  test("q117: on the sf corpus the score is total and bounded by the rarest token") {
+    val rows = LlmOps.q117LmScore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 500)
+    // total corpus tokens bounds any single surprisal at log2(total)
+    val totalTok = rows.map(_._2).sum
+    val maxBits = 63 - java.lang.Long.numberOfLeadingZeros(totalTok)
+    rows.foreach { case (id, n, sum, avg) =>
+      assert(n >= 0 && sum >= 0 && avg >= 0, s"doc $id negative fields")
+      assert(avg <= maxBits * 1000L, s"doc $id avg $avg exceeds log2(total) bits")
+      if (n == 0) assert(sum == 0 && avg == 0, s"doc $id: empty but scored")
+    }
+  }
+
   test("sketch geometry is env-driven: an SRP_BITS override changes live bucket counts") {
     val v = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("embedding").cast("array<double>").as("e"))

@@ -47,6 +47,45 @@ class WindowsSpec extends SparkSpec {
       "same-instant click is not strictly after the view")
   }
 
+  test("q113: the 3-sigma flag fires on the spike, nowhere else, and never under-filled frames") {
+    val s = 1000000000L
+    val dir = tmpDir("q113ev")
+    // type "m": constant 10.00 except a 500.00 spike at event 25;
+    // type "c": constant everywhere (sigma = 0 must never flag)
+    val rows = (1 to 30).map(i =>
+      (i.toLong, i * s, "m", if (i == 25) 500.00 else 10.00)) ++
+      (1 to 30).map(i => (100L + i, i * s, "c", 7.50))
+    rows.toDF("event_id", "ts", "event_type", "value")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
+    val got = Windows.q113AnomalyZscore(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(6)))
+    assert(got.length == 60)
+    assert(got.filter(_._3) sameElements Array(("m", 25L, true)),
+      "exactly the spike event flags")
+    // under-filled frames (first 9 rows of each type) can never flag,
+    // even if made degenerate — win_n >= 10 is part of the contract
+    assert(got.filter(t => t._2 % 100 <= 9).forall(!_._3))
+  }
+
+  test("q114: transition counts and micro-unit probabilities on a crafted sequence") {
+    val s = 1000000000L
+    val dir = tmpDir("q114ev")
+    // user 1: a->b->a; user 2: a->b; user 3: a->c — transitions
+    // (a,b):2 (b,a):1 (a,c):1; last event of a user emits nothing
+    Seq((1L, 1L, 1 * s, "a"), (1L, 2L, 2 * s, "b"), (1L, 3L, 3 * s, "a"),
+      (2L, 4L, 1 * s, "a"), (2L, 5L, 2 * s, "b"),
+      (3L, 6L, 1 * s, "a"), (3L, 7L, 2 * s, "c"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
+    val got = Windows.q114MarkovTransitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("a", "b", 2L, 666666L), ("a", "c", 1L, 333333L), ("b", "a", 1L, 1000000L)),
+      s"got $got")
+    // per-source probabilities floor-sum to <= 1e6 by construction
+    got.groupBy(_._1).foreach { case (_, ts) => assert(ts.map(_._4).sum <= 1000000L) }
+  }
+
   test("q112: ordering chain and stage/null consistency hold on the sf fixture") {
     val rows = Windows.q112Funnel(spark, sf).collect().map { r =>
       def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))

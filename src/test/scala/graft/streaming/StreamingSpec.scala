@@ -595,6 +595,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s86: streaming anomaly gate equals the oracled q113 batch verdict across micro-batches") {
+    // the equivalence trick (q62/s72): stream the REAL sf0.001 events
+    // through the gate in three ts-ordered micro-batches and demand
+    // flag-for-flag equality with q113's hash-oracled batch answer —
+    // the oracle gate then carries the streaming operator's semantics,
+    // state handoff across batch boundaries included
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.queries.Windows.q113AnomalyZscore(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(6)))).toMap
+    assert(batch.values.exists(_._3), "fixture has no anomalies — test is vacuous")
+    val ev = graft.queries.events(spark, sf).select(
+        col("event_type"), col("event_id"),
+        unix_timestamp(col("ts")).as("epoch_s"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._3, r._2))
+    val cuts = Seq(ev.length / 3, 2 * ev.length / 3, ev.length)
+    val in = MemoryStream[(String, Long, Long, Long)](spark)
+    val gated = in.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Vector[Long], (String, Long, Long, Long, Boolean)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        AnomalyGate.updateGroup _
+      ).toDF("event_type", "event_id", "epoch_s", "cents", "is_anomaly")
+    val q = gated.writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("s86_out").start()
+    try {
+      var from = 0
+      cuts.foreach { to =>
+        in.addData(ev.slice(from, to).toIndexedSeq)
+        q.processAllAvailable()
+        from = to
+      }
+      val streamed = spark.table("s86_out").collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+      assert(streamed.size == ev.length, "one verdict per event")
+      assert(streamed == batch,
+        "streaming verdicts diverged from the oracled batch verdicts")
+    } finally q.stop()
+  }
+
   test("s77: foreachBatch sink receives batch ids and every row exactly once") {
     val in = MemoryStream[Long](spark)
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Long])]()
