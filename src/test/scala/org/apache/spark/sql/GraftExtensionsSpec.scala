@@ -2,7 +2,9 @@ package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.{GraftExtensions, SparkSpec}
+// _root_ needed: org.apache.spark.sql.graft (ColumnBridge's package)
+// shadows the root graft package from inside this package.
+import _root_.graft.{GraftExtensions, SparkSpec}
 
 /** The `spark.sql.extensions=graft.GraftExtensions` contract: the
   * extension object must register the as-of planner strategy and all
@@ -18,7 +20,7 @@ class GraftExtensionsSpec extends SparkSpec {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)
 
-    assert(ext.buildPlannerStrategies(spark).contains(graft.plans.AsOfJoinStrategy))
+    assert(ext.buildPlannerStrategies(spark).contains(_root_.graft.plans.AsOfJoinStrategy))
 
     val reg = ext.registerFunctions(spark.sessionState.functionRegistry)
     Seq("cosine_sim", "avro_encode", "avro_decode", "minhash_sig", "simhash64")
