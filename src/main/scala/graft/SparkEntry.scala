@@ -22,7 +22,7 @@ object SparkEntry {
     ScanProject.defs ++ Joins.defs ++ Aggregates.defs ++ Windows.defs ++
       SortSetOps.defs ++ Subqueries.defs ++ Functions.defs ++
       StreamWindows.defs ++ LlmOps.defs ++ MultiModal.defs ++ Curation.defs ++
-      CorpusOps.defs ++ Profiling.defs ++ GraphOps.defs
+      CorpusOps.defs ++ Profiling.defs ++ GraphOps.defs ++ TokenStats.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +31,5 @@ object SparkEntry {
       Windows.oracles ++ SortSetOps.oracles ++ Subqueries.oracles ++
       Functions.oracles ++ StreamWindows.oracles ++ LlmOps.oracles ++
       MultiModal.oracles ++ Curation.oracles ++ CorpusOps.oracles ++
-      Profiling.oracles ++ GraphOps.oracles
+      Profiling.oracles ++ GraphOps.oracles ++ TokenStats.oracles
 }

@@ -21,14 +21,14 @@ object CorpusOps {
     * the shared scaffold of q70's rarity join and q48's OOV report,
     * persisted because every caller aggregates it at least twice (the
     * oracle-side mirror is [[toksCte]]; keep the two in lockstep). */
-  private def tokenStream(docs: DataFrame): DataFrame =
+  private[queries] def tokenStream(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "")
       .scopedPersist
 
   /** DuckDB mirror of [[tokenStream]], interpolated into the q48/q70
     * oracles so the tokenization cannot silently diverge between them. */
-  private val toksCte =
+  private[queries] val toksCte =
     """toks AS (
       |  SELECT doc_id, t.tok FROM documents,
       |    unnest(string_split(text, ' ')) AS t(tok)
@@ -857,10 +857,19 @@ object CorpusOps {
     * granularity (q88's df-cap argument applies to any pathological
     * block: cap block width, mirror the cap). The quadratic is
     * per-block, not per-corpus. */
-  val q116DedupFuzzy: Q = (spark, dir) => {
+  val q116DedupFuzzy: Q = q116WithBandWidth(100)
+
+  /** Band-width dial for the probe: block occupancy is corpus-density ×
+    * width, so at k× data the operating procedure narrows the band to
+    * width/k (floored at 2× the edit threshold — an ≤8-edit pair's
+    * lengths differ by ≤8, so neighbor-band overlap still catches every
+    * true pair down to width 16). ScaleProbe measures q116 under
+    * exactly that dial; the oracled entry pins width=100. */
+  private[graft] def q116WithBandWidth(width: Int): Q = (spark, dir) => {
+    require(width >= 16, s"band width $width < 16 breaks the ≤8-edit recall bound")
     val d = t(spark, dir, "documents").select(
       col("doc_id"), col("lang"),
-      expr("n_chars div 100").as("band"),
+      expr(s"n_chars div $width").as("band"),
       substring(col("text"), 1, 40).as("pfx"))
     val keyed = d.select(col("doc_id"), col("lang"), col("band"), col("pfx"),
       explode(array(col("band"), col("band") + 1)).as("bkey"))

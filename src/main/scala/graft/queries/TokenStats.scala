@@ -1,0 +1,265 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [EXT] Corpus token statistics, round 10 of the LLM-pipeline surface
+  * (SURVEY.md §2.2): collocation mining (q118), vocabulary frequency
+  * spectrum (q119), bigram-LM fluency scoring (q120), and per-source
+  * distinctive-term extraction (q121). The reference has no analytics
+  * at all (app.py is a producer loop); these are the corpus-diagnostic
+  * operators a training-data pipeline runs over the same document
+  * stream the dedup/curation family consumes.
+  *
+  * Determinism rules as everywhere in the package: association scores
+  * ride as BIGINT micro-units under floor division (Spark `div` ===
+  * DuckDB `//` on non-negatives), log2 quantities use the exact
+  * bin-length trick q117 proved (`length(bin(x)) - 1` — identical
+  * unpadded binary rendering in both engines), products that can wrap
+  * BIGINT at web scale are lifted to DECIMAL(38,0)/HUGEINT with a
+  * saturation cap (q70's ippm posture), and every result ends in a
+  * total ORDER BY.
+  */
+object TokenStats {
+
+  /** Per-document adjacent token pairs — q78's pair derivation with the
+    * doc_id retained, shared by q118's lift numerator and q120's
+    * per-doc scoring (the oracle-side mirror is [[bigsCte]]; keep the
+    * two in lockstep). Persisted: every caller both aggregates the
+    * pairs globally and re-consumes them row-wise. */
+  private[queries] def bigramStream(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("t1"),
+          element_at(col("toks"), i + 1).as("t2")))).as("bg"))
+      .select(col("doc_id"), col("bg.t1").as("t1"), col("bg.t2").as("t2"))
+      .filter(col("t1") =!= "" && col("t2") =!= "")
+      .scopedPersist
+
+  /** DuckDB mirror of [[bigramStream]]. */
+  private[queries] val bigsCte =
+    """bigs AS (
+      |  SELECT doc_id, toks[i] AS t1, toks[i + 1] AS t2
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |        WHERE len(string_split(text, ' ')) >= 2),
+      |    unnest(range(1, len(toks))) AS u(i)
+      |  WHERE toks[i] <> '' AND toks[i + 1] <> '')""".stripMargin
+
+  /** Saturating micro-unit lift over BIGINT columns `num1·num2·1e6 /
+    * (den1·den2)`: both products lifted to DECIMAL(38,0) (HUGEINT in
+    * the oracle) so nothing wraps for corpora up to ~1e12 tokens
+    * (num1·num2·1e6 ≤ 1e30 ≪ 1e38), and the quotient capped at 1e12
+    * micro-units — "more than a million times over-represented reads as
+    * a million times", q70's IDF-clipping argument. IntegralDivide
+    * returns BIGINT on both engines below the cap. */
+  private def liftMic(num1: String, num2: String, den1: String, den2: String) =
+    expr(s"""least(1000000000000L,
+      |  (cast($num1 as decimal(38,0)) * $num2 * 1000000)
+      |    div (cast($den1 as decimal(38,0)) * $den2))""".stripMargin)
+
+  private def liftMicSql(num1: String, num2: String, den1: String, den2: String) =
+    s"""least(1000000000000, CAST(
+       |  (CAST($num1 AS HUGEINT) * $num2 * 1000000)
+       |    // (CAST($den1 AS HUGEINT) * $den2) AS BIGINT))""".stripMargin
+
+  /** q118 [EXT]: collocation mining — the top-50 adjacent token pairs
+    * by pointwise lift `P(xy) / (P(x)·P(y))` with minimum support 5,
+    * the classic collocation statistic (PMI's argument without the
+    * log — rank-equivalent at fixed support, and exactly mirrorable in
+    * integer micro-units where PMI's ln() is libm-specific). q78 counts
+    * raw bigram frequency for BPE merges; this normalizes by the
+    * marginals, so "of the" (frequent parts) ranks far below a true
+    * collocation whose parts rarely appear apart.
+    *
+    * Marginals are the LEFT and RIGHT occurrence counts of the pair
+    * population itself (Σ over the aggregated pair table — every
+    * token's count as first/second element), so num and den draw from
+    * the same sample space and lift = 1e6 means independence exactly.
+    *
+    * 100 TB: the pair stream collapses under a two-phase (t1,t2) count
+    * before anything else touches it; marginals and the scalar total
+    * are aggregates OF that aggregate (vocab-sized, map-side combined;
+    * a web-scale vocab swaps the riding window for a two-level count —
+    * q70's note); the top-50 cut is TakeOrderedAndProject over the
+    * scored pair table, never a global sort. Bodies are gone after the
+    * split; nothing corpus-sized shuffles twice. */
+  val q118Collocations: Q = (spark, dir) => {
+    val c = bigramStream(t(spark, dir, "documents"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("cnt"))
+      .withColumn("total", sum(col("cnt")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .scopedPersist
+    val lm = c.groupBy(col("t1").as("lt")).agg(sum(col("cnt")).as("cl"))
+    val rm = c.groupBy(col("t2").as("rt")).agg(sum(col("cnt")).as("cr"))
+    orderAll(c.filter(col("cnt") >= 5)
+      .join(broadcast(lm), col("t1") === col("lt"))
+      .join(broadcast(rm), col("t2") === col("rt"))
+      .select(col("t1"), col("t2"), col("cnt"),
+        liftMic("cnt", "total", "cl", "cr").as("lift_mic"))
+      .orderBy(col("lift_mic").desc, col("cnt").desc, col("t1").asc, col("t2").asc)
+      .limit(50))
+  }
+
+  /** q119 [EXT]: vocabulary frequency spectrum — the number of distinct
+    * token types and total occurrences per ⌊log₂ frequency⌋ bucket
+    * (bucket 0 = hapax legomena). The rank-frequency diagnostic a
+    * corpus health check plots (a healthy natural-language crawl shows
+    * the Zipf-consistent geometric decay; a bucket bulge flags
+    * boilerplate farms or synthetic spam), with the log quantized to
+    * whole bits via the exact bin-length recipe so the whole spectrum
+    * hash-gates.
+    *
+    * 100 TB: one two-phase token count (map-side combined), then a
+    * ~60-row re-aggregate of the vocab table. The corpus crosses the
+    * wire once, keyed on token. */
+  val q119FreqSpectrum: Q = (spark, dir) => {
+    val vocab = CorpusOps.tokenStream(t(spark, dir, "documents"))
+      .groupBy("tok").agg(count(lit(1)).as("ct"))
+    orderAll(vocab
+      .select((length(expr("bin(ct)")) - 1).cast("long").as("log2_bucket"),
+        col("ct"))
+      .groupBy("log2_bucket")
+      .agg(count(lit(1)).as("n_types"), sum(col("ct")).as("n_tokens")))
+  }
+
+  /** q120 [EXT]: bigram-LM fluency scoring — per-document average
+    * conditional surprisal `-log₂ P(tok | prev)` against the corpus's
+    * own bigram model, q117's unigram perplexity proxy raised one
+    * order: q117 scores RARITY (a doc of rare words), this scores
+    * DISFLUENCY (improbable transitions — shuffled text scores high
+    * even when every word is common, the signal that catches scrambled
+    * scrapes and word-salad spam that unigram LM scoring cannot).
+    *
+    * Surprisal of a pair is floor(log₂(cl(t1) div cnt(t1,t2))) in whole
+    * bits via the exact bin-length recipe (cl ≥ cnt ≥ 1 so the ratio is
+    * ≥ 1 and bin() never sees zero); the per-doc mean rides as
+    * millibits under BIGINT floor division; docs with < 2 tokens carry
+    * no bigram and pin to 0 through the total left join (q48's
+    * contract).
+    *
+    * 100 TB: bits are attached to the AGGREGATED bigram table (pair
+    * table ⋈ its own left marginal — aggregate-sized, broadcast), so
+    * the corpus-sized pair stream joins the model exactly once, keyed
+    * on the pair, then re-aggregates per doc — two corpus-sized
+    * shuffles total ((t1,t2) and doc_id), bodies never move. */
+  val q120BigramLm: Q = (spark, dir) => {
+    val pairs = bigramStream(t(spark, dir, "documents"))
+    val c = pairs.groupBy("t1", "t2").agg(count(lit(1)).as("cnt"))
+    val lm = c.groupBy(col("t1").as("lt")).agg(sum(col("cnt")).as("cl"))
+    val model = c.join(broadcast(lm), col("t1") === col("lt"))
+      .select(col("t1"), col("t2"),
+        (length(expr("bin(cl div cnt)")) - 1).cast("long").as("bits"))
+    val scored = pairs.join(model, Seq("t1", "t2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_big"), sum(col("bits")).as("sum_bits"))
+    orderAll(t(spark, dir, "documents").select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_big"), lit(0L)).as("n_big"),
+        coalesce(col("sum_bits"), lit(0L)).as("sum_bits"),
+        coalesce(expr("sum_bits * 1000L div n_big"), lit(0L)).as("avg_mbits")))
+  }
+
+  /** q121 [EXT]: per-source distinctive terms — for every document
+    * source, the top-10 tokens most over-represented vs the corpus
+    * (lift = P(tok | source) / P(tok), micro-units, support ≥ 10): the
+    * c-TF-IDF / "what characterizes this slice" report a curation
+    * pipeline runs per domain before deciding mixture weights (q99
+    * weighs sources by volume; this says what's IN them).
+    *
+    * 100 TB: one (source, tok) two-phase count over the exploded stream
+    * (source rides the explode projection — no join back to documents);
+    * global marginals are aggregates of that aggregate; the top-10 cut
+    * is rank ≤ 10 over the scored (source, tok) table, which Catalyst
+    * plans as a map-side WindowGroupLimit (q96's rewrite) — each map
+    * task forwards at most 10 rows per source. */
+  val q121DistinctiveTerms: Q = (spark, dir) => {
+    val st = t(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("source", "tok").agg(count(lit(1)).as("n_st"))
+      .withColumn("total", sum(col("n_st")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .scopedPersist
+    val src = st.groupBy(col("source").as("s")).agg(sum(col("n_st")).as("n_s"))
+    val tokc = st.groupBy(col("tok").as("tk")).agg(sum(col("n_st")).as("n_t"))
+    val scored = st.filter(col("n_st") >= 10)
+      .join(broadcast(src), col("source") === col("s"))
+      .join(broadcast(tokc), col("tok") === col("tk"))
+      .select(col("source"), col("tok"), col("n_st"),
+        liftMic("n_st", "total", "n_s", "n_t").as("lift_mic"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("lift_mic").desc, col("n_st").desc, col("tok").asc)
+    orderAll(scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q118_collocations" -> q118Collocations,
+    "q119_freq_spectrum" -> q119FreqSpectrum,
+    "q120_bigram_lm" -> q120BigramLm,
+    "q121_distinctive_terms" -> q121DistinctiveTerms)
+
+  val oracles: Map[String, String] = Map(
+    "q118_collocations" ->
+      s"""WITH $bigsCte,
+        |c AS (SELECT t1, t2, count(*) AS cnt FROM bigs GROUP BY 1, 2),
+        |tot AS (SELECT sum(cnt) AS total FROM c),
+        |lm AS (SELECT t1 AS lt, CAST(sum(cnt) AS BIGINT) AS cl FROM c GROUP BY 1),
+        |rm AS (SELECT t2 AS rt, CAST(sum(cnt) AS BIGINT) AS cr FROM c GROUP BY 1),
+        |scored AS (
+        |  SELECT t1, t2, cnt,
+        |    ${liftMicSql("cnt", "total", "cl", "cr")} AS lift_mic
+        |  FROM c JOIN lm ON t1 = lt JOIN rm ON t2 = rt CROSS JOIN tot
+        |  WHERE cnt >= 5),
+        |top AS (SELECT * FROM scored
+        |        ORDER BY lift_mic DESC, cnt DESC, t1, t2 LIMIT 50)
+        |SELECT t1, t2, cnt, lift_mic FROM top
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
+    "q119_freq_spectrum" ->
+      s"""WITH ${CorpusOps.toksCte},
+        |vocab AS (SELECT tok, count(*) AS ct FROM toks GROUP BY tok)
+        |SELECT CAST(length(bin(ct)) - 1 AS BIGINT) AS log2_bucket,
+        |  count(*) AS n_types, CAST(sum(ct) AS BIGINT) AS n_tokens
+        |FROM vocab GROUP BY 1
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    "q120_bigram_lm" ->
+      s"""WITH $bigsCte,
+        |c AS (SELECT t1, t2, count(*) AS cnt FROM bigs GROUP BY 1, 2),
+        |lm AS (SELECT t1 AS lt, CAST(sum(cnt) AS BIGINT) AS cl FROM c GROUP BY 1),
+        |model AS (
+        |  SELECT t1, t2, CAST(length(bin(cl // cnt)) - 1 AS BIGINT) AS bits
+        |  FROM c JOIN lm ON t1 = lt),
+        |scored AS (
+        |  SELECT doc_id, count(*) AS n_big, CAST(sum(bits) AS BIGINT) AS sum_bits
+        |  FROM bigs JOIN model USING (t1, t2) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(n_big, 0) AS n_big,
+        |  coalesce(sum_bits, 0) AS sum_bits,
+        |  coalesce(sum_bits * 1000 // n_big, 0) AS avg_mbits
+        |FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
+    "q121_distinctive_terms" ->
+      s"""WITH st AS (
+        |  SELECT source, t.tok, count(*) AS n_st
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+        |  WHERE t.tok <> '' GROUP BY 1, 2),
+        |tot AS (SELECT sum(n_st) AS total FROM st),
+        |src AS (SELECT source AS s, CAST(sum(n_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+        |tokc AS (SELECT tok AS tk, CAST(sum(n_st) AS BIGINT) AS n_t FROM st GROUP BY 1),
+        |scored AS (
+        |  SELECT source, tok, n_st,
+        |    ${liftMicSql("n_st", "total", "n_s", "n_t")} AS lift_mic
+        |  FROM st JOIN src ON source = s JOIN tokc ON tok = tk CROSS JOIN tot
+        |  WHERE n_st >= 10),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY lift_mic DESC, n_st DESC, tok) AS INT) AS rk
+        |  FROM scored)
+        |SELECT source, tok, n_st, lift_mic, rk FROM ranked WHERE rk <= 10
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+        |  5 NULLS FIRST""".stripMargin)
+}

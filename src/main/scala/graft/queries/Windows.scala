@@ -186,10 +186,15 @@ object Windows {
       col("event_type"), col("event_id"),
       unix_timestamp(col("ts")).as("epoch_s"),
       expr("cast(round(value * 100) as bigint)").as("cents"))
+      // squared term precomputed in the scan projection so all three
+      // window aggregates reference plain attributes and Catalyst plans
+      // ONE WindowExec pass (an inline cents*cents forces a second
+      // Window node for the derived input) — PlanSpec pins this
+      .withColumn("cents_sq", col("cents") * col("cents"))
     orderAll(e
       .withColumn("win_n", count(lit(1)).over(w))
       .withColumn("win_sum", sum(col("cents")).over(w))
-      .withColumn("win_sumsq", sum(col("cents") * col("cents")).over(w))
+      .withColumn("win_sumsq", sum(col("cents_sq")).over(w))
       .select(col("event_type"), col("event_id"), col("epoch_s"), col("cents"),
         col("win_n"), col("win_sum"),
         (col("win_n") >= 10 &&

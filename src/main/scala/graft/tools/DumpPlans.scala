@@ -51,7 +51,12 @@ object DumpPlans {
       "q109_line_dedup" -> "line dedup: ONE 16-byte (fingerprint, doc) df shuffle, Zipf head shipped in the set_keep_positions probe table, rebuild a pure row-local projection — bodies never shuffle",
       "q110_semantic_dedup" -> "semantic dedup: broadcast-codebook assign + struct-max, cluster-equi candidate join on ids only, vectors re-joined by id for the cosine verify, two-phase min verdict",
       "q111_pagerank" -> "pagerank: per round one edges-x-state src join over the persisted edge list, one two-phase dst sum, one node-sized left join — rank mass moves, entities don't",
-      "q112_funnel" -> "funnel: per stage a filter-pushed scan + user-keyed two-phase min, the previous stage's user-sized state joined under the same partitioning")
+      "q112_funnel" -> "funnel: per stage a filter-pushed scan + user-keyed two-phase min, the previous stage's user-sized state joined under the same partitioning",
+      "q113_anomaly_zscore" -> "rolling z-score: one event_type exchange feeding a single WindowExec (20-row ring per partition), the 3-sigma verdict a codegen'd BIGINT projection — no join, no second shuffle",
+      "q114_markov_transitions" -> "markov transitions: one user_id exchange with (tus,event_id) sort feeds lead(), pairs collapse under a two-phase count to |types|^2 rows, the normalizing window runs on that tiny aggregate",
+      "q115_triangle_count" -> "triangle count: persisted degree-oriented arcs served to all three legs (InMemoryTableScan), path equi-join + left-semi close, per-part count two-phase",
+      "q116_dedup_fuzzy" -> "fuzzy dedup: (lang, band) block self-join carrying ids + 40-char prefixes only (bodies pruned at the scan), thresholded levenshtein on surviving pairs",
+      "q117_lm_score" -> "lm score: cached token stream served to the vocab agg and the score join, scalar total folded into the surprisal projection, two-phase per-doc agg")
 
     val sb = new StringBuilder
     sb.append("# PLANS — finalized physical plans for headline queries\n\n")

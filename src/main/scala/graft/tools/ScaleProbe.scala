@@ -56,7 +56,15 @@ object ScaleProbe {
     // edges⋈state join must track the k× edge list; q112's stage chain
     // must track the k× user population (per-user event counts are
     // construction-constant)
-    "q109_line_dedup", "q111_pagerank", "q112_funnel")
+    "q109_line_dedup", "q111_pagerank", "q112_funnel",
+    // round 10 second wave: q113/q114 ride the k× event stream (window
+    // passes — per-key state is a 20-row ring / one lead(), so wall must
+    // track volume; q113's event_type partitioning is low-cardinality,
+    // making this the probe that would expose a per-partition blowup),
+    // q115's compact-forward join must track the k× disjoint co-purchase
+    // graph, q117's token⋈vocab join must track the k× token stream
+    "q113_anomaly_zscore", "q114_markov_transitions",
+    "q115_triangle_count", "q117_lm_score")
   private val Ks = Seq(1, 4, 8)
   private val Shift = 9700000L // lcm(97, 10) × 10,000 — residue-preserving
   private val GrowthFactor = 1.5
@@ -142,6 +150,10 @@ object ScaleProbe {
       val sl = (0 until k).map { i =>
         baseLi.withColumn("l_orderkey", col("l_orderkey") + lit(i * Shift))
           .withColumn("l_suppkey", col("l_suppkey") + lit(i * Shift))
+          // partkey shift keeps q115's co-purchase graph k disjoint
+          // copies too (else every copy re-derives the SAME part pairs
+          // and distinct() collapses the edge list back to 1×)
+          .withColumn("l_partkey", col("l_partkey") + lit(i * Shift))
       }.reduce(_ unionByName _)
       sl.coalesce(cpus.toInt).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
       System.err.println(s"[scaleprobe] built k=$k orders/lineitem")
@@ -315,6 +327,41 @@ object ScaleProbe {
       "superlinear ingredient, which is exactly why production uses k ~ √n " +
       "(k·n = n^1.5 spread over the cluster) or a two-level coarse quantizer; " +
       "at these scales it stays far below the join/shuffle floor.\n")
+
+    // ---- q116 fuzzy dedup under the band-width dial -------------------
+    // the blocking analog of the srpBits/codebook dials: block occupancy
+    // is corpus-density × band width, so fixed width at k× data grows
+    // per-block pairs ~k²; the operating procedure narrows the band to
+    // width/k (floored at 16 = 2× the edit threshold, which preserves
+    // the neighbor-band recall bound — an ≤8-edit pair's lengths differ
+    // by ≤8 < 16), holding occupancy constant.
+    val q116Cells = dirs.map { case (k, dir) =>
+      val width = math.max(16, 100 / k)
+      val fn = graft.queries.CorpusOps.q116WithBandWidth(width)
+      timeFn(fn, dir) // warm, untimed
+      val best = Seq(timeFn(fn, dir), timeFn(fn, dir)).minBy(_._1)
+      System.err.println(f"[scaleprobe] q116 k=$k width=$width: ${best._1}%.2f s (${best._2} rows)")
+      (k, width, best._1, best._2)
+    }
+    val w116_1 = q116Cells(0)._3
+    val q116Pass = q116Cells(1)._3 / w116_1 <= GrowthFactor * 4 &&
+      q116Cells(2)._3 / w116_1 <= GrowthFactor * 8
+    allPass &&= q116Pass
+    sb.append("\n## q116 fuzzy dedup under the band-width dial\n\n")
+    sb.append("Blocked Levenshtein's candidate stage is quadratic in block ")
+    sb.append("occupancy (corpus density × band width); at k× data the operating ")
+    sb.append("procedure is width/k (floored at 16 — twice the edit threshold, so ")
+    sb.append("the neighbor-band overlap still catches every ≤8-edit pair), holding ")
+    sb.append("per-block pair work constant:\n\n")
+    sb.append("| k | band width | wall | ratio | pairs |\n|---|---|---|---|---|\n")
+    q116Cells.foreach { case (k, width, w, n) =>
+      sb.append(f"| $k | $width | $w%.2f s | ${w / w116_1}%.2f× | $n%d |\n")
+    }
+    sb.append(f"\nGate (≤1.5k): ${if (q116Pass) "PASS" else "FAIL"}. Salted copies " +
+      "keep n_chars (and so bands) identical across copies, so this cell is the " +
+      "adversarial case — k× occupancy at fixed width — and the dial is what " +
+      "keeps it linear; pair counts shift with the width because narrower bands " +
+      "split some same-band collisions into the neighbor overlap.\n")
 
     // ---- joins/windows probe (round-8 ask #6) -------------------------
     // the remaining superlinear-risk plans outside the dedup family:

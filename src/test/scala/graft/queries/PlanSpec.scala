@@ -493,6 +493,74 @@ class PlanSpec extends SparkSpec {
     graft.core.CacheScope.drain()
   }
 
+  test("q113: one event_type exchange, one window pass, no join") {
+    // the anomaly verdict is a scan-shaped per-row projection: a single
+    // hash exchange on event_type feeds ONE WindowExec holding a 20-row
+    // ring per partition — a plan that joins events back to per-type
+    // stats, or windows twice, re-shuffles the 100 TB event stream
+    val p = plan("q113_anomaly_zscore")
+    assert("Exchange hashpartitioning\\(event_type".r.findAllIn(p).size == 1,
+      s"expected exactly one event_type hash exchange:\n$p")
+    assert("Window \\[".r.findAllIn(p).size == 1,
+      s"expected exactly one window pass:\n$p")
+    assert(!p.contains("Join"), s"q113 must not join:\n$p")
+  }
+
+  test("q114: event volume crosses the wire once; the normalizer runs post-agg") {
+    // one user_id exchange feeds lead(); transitions then collapse under
+    // a two-phase count to |types|^2 rows, and the per-source normalizing
+    // window must consume that tiny aggregate — a plan that windows the
+    // raw pair stream shuffles the corpus twice
+    val p = plan("q114_markov_transitions")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"expected exactly one user_id hash exchange:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"transition count is not two-phase:\n$p")
+    assert(!p.contains("Join"), s"q114 must not join:\n$p")
+  }
+
+  test("q115: the oriented arc list is built once and served to all join legs") {
+    // compact-forward's scale story: arcs are persisted and every leg of
+    // the triangle join (path a1⋈a2 + the left-semi close) reads the
+    // InMemoryRelation — recomputing the degree-orientation per leg
+    // would re-shuffle the co-purchase edges three times
+    val p = plan("q115_triangle_count")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+      s"arcs not cache-served to the three join legs:\n$p")
+    assert(p.contains("LeftSemi"), s"the closing arc check must be a semi join:\n$p")
+    graft.core.CacheScope.drain()
+  }
+
+  test("q116: block joins carry ids and 40-char prefixes, never bodies") {
+    // blocked fuzzy dedup's contract: the (lang, band) self-join moves
+    // (doc_id, pfx) rows; the full text column must be pruned before any
+    // exchange — carrying bodies through a self-join is the 100 TB
+    // failure mode the prefix verify exists to avoid
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val lp = graft.SparkEntry.queries("q116_dedup_fuzzy")(spark, sf)
+      .queryExecution.optimizedPlan
+    val joins = lp.collect { case j: Join => j }
+    assert(joins.nonEmpty, s"no join in q116's plan:\n$lp")
+    joins.foreach { j =>
+      val carried = (j.left.output ++ j.right.output).map(_.name)
+        .filter(_ == "text")
+      assert(carried.isEmpty,
+        s"a block join carries document bodies:\n$lp")
+    }
+  }
+
+  test("q117: the token stream is cache-served to the vocab agg and the score join") {
+    // the exploded token stream is the corpus-scale intermediate; it
+    // must be materialized once (InMemoryRelation) and read by both
+    // consumers — re-exploding per consumer doubles the dominant cost
+    val p = plan("q117_lm_score")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"token stream recomputed per consumer:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"per-doc score agg is not two-phase:\n$p")
+    graft.core.CacheScope.drain()
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     // AQE reports WholeStageCodegen spans only in the finalized plan
     val df = graft.SparkEntry.queries("q20_agg_hash")(spark, sf)
