@@ -22,7 +22,8 @@ object SparkEntry {
     ScanProject.defs ++ Joins.defs ++ Aggregates.defs ++ Windows.defs ++
       SortSetOps.defs ++ Subqueries.defs ++ Functions.defs ++
       StreamWindows.defs ++ LlmOps.defs ++ MultiModal.defs ++ Curation.defs ++
-      CorpusOps.defs ++ Profiling.defs ++ GraphOps.defs ++ TokenStats.defs
+      CorpusOps.defs ++ Profiling.defs ++ GraphOps.defs ++ TokenStats.defs ++
+      SegmentOps.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
       Windows.oracles ++ SortSetOps.oracles ++ Subqueries.oracles ++
       Functions.oracles ++ StreamWindows.oracles ++ LlmOps.oracles ++
       MultiModal.oracles ++ Curation.oracles ++ CorpusOps.oracles ++
-      Profiling.oracles ++ GraphOps.oracles ++ TokenStats.oracles
+      Profiling.oracles ++ GraphOps.oracles ++ TokenStats.oracles ++
+      SegmentOps.oracles
 }

@@ -301,7 +301,46 @@ object Joins {
       .withColumn("is_current", col("valid_to").isNull))
   }
 
+  /** q128 [EXT]: bloom-prefiltered join — the probe side is cut down by
+    * a Bloom filter built from the build side's join keys BEFORE the
+    * join's shuffle, Spark's own runtime-filter rewrite
+    * (`spark.sql.optimizer.runtime.bloomFilter.*`) expressed as an
+    * explicit operator so the plan is pinned rather than
+    * heuristic-dependent: `bloom_filter_agg` collapses the filtered
+    * build side to ONE sketch in a scalar subquery (`might_contain`
+    * REQUIRES the constant/scalar-subquery form — the sketch is
+    * computed once and shipped to every probe task, never joined), and
+    * the probe scan drops non-joining rows before its shuffle — at
+    * 100 TB this is the difference between shuffling the full fact
+    * table and shuffling the ~selectivity fraction that can actually
+    * join (here: only lineitems of urgent orders cross the wire). The
+    * oracle is the PLAIN join: Bloom filters have no false negatives
+    * and the join itself removes false positives, so the rewrite is
+    * semantically invisible — which is exactly what the hash gate
+    * proves. */
+  val q128JoinBloomPrefilter: Q = (spark, dir) => {
+    graft.functions.BloomJoin.register(spark)
+    val urgent = t(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .scopedPersist
+    urgent.createOrReplaceTempView("q128_urgent")
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .createOrReplaceTempView("q128_lineitem")
+    val pre = spark.sql(
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM q128_lineitem
+        |WHERE might_contain(
+        |  (SELECT bloom_filter_agg(xxhash64(o_orderkey), 50000L, 400000L)
+        |   FROM q128_urgent),
+        |  xxhash64(l_orderkey))""".stripMargin)
+    orderAll(pre.join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("o_totalprice")))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q128_join_bloom_prefilter" -> q128JoinBloomPrefilter,
     "q10_join_inner_hash" -> q10InnerHash,
     "q39_merge_upsert" -> q39MergeUpsert,
     "q107_scd2_merge" -> q107Scd2Merge,
@@ -318,6 +357,14 @@ object Joins {
     "q19_join_salted_skew" -> q19SaltedSkew)
 
   val oracles: Map[String, String] = Map(
+    "q128_join_bloom_prefilter" ->
+      // the plain join IS the oracle: the bloom prefilter is
+      // semantically invisible (no false negatives; the join removes
+      // false positives)
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, o_totalprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
     "q107_scd2_merge" ->
       // the same three history arms from first principles; +100 on a
       // DOUBLE is exact, and both change classes key on the PRE-shift

@@ -197,11 +197,127 @@ object TokenStats {
       .filter(col("rk") <= 10))
   }
 
+  /** q124 [EXT]: exact heavy hitters — every token holding at least
+    * 500 ppm (0.05%) of all corpus occurrences, with its occurrence
+    * count, document frequency, and integer ppm share. The exact
+    * ground truth s87's streaming Misra-Gries sketch is bounded
+    * against (the MG guarantee: any token above N/k occurrences
+    * must survive the k-slot summary — `StreamingSpec` pins the
+    * superset relation against THIS answer).
+    *
+    * 100 TB: one token-keyed two-phase count (occurrences combine
+    * map-side; the document frequency is a distinct-(tok, doc)
+    * count that Catalyst plans as partial dedup before the
+    * exchange), then the corpus total rides a riding window over
+    * the vocab-sized aggregate (q118's note: a web-scale vocab
+    * swaps it for a scalar broadcast) and the share is a saturating
+    * DECIMAL product under floor division — nothing corpus-sized
+    * shuffles twice, and the result is heavy-hitter-sized. */
+  val q124HeavyHitters: Q = (spark, dir) => {
+    val vocab = CorpusOps.tokenStream(t(spark, dir, "documents"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("doc_freq"))
+      .withColumn("total", sum(col("cnt")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    orderAll(vocab
+      .select(col("tok"), col("cnt"), col("doc_freq"),
+        expr("(cast(cnt as decimal(38,0)) * 1000000) div total").as("share_ppm"))
+      .filter(col("share_ppm") >= 500))
+  }
+
+  /** q125 [EXT]: DSIR-style importance weights (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling")
+    * — per document, the log-likelihood ratio between a TARGET
+    * unigram LM (here: the corpus's own English slice) and the RAW
+    * corpus LM, in whole bits: documents whose token mix looks more
+    * target-like than corpus-like get positive `gain_bits` and win
+    * resampling mass. Add-one smoothing over the shared vocab keeps
+    * both models total (a token absent from the target slice costs
+    * `log₂((N_tgt + V) / 1)` bits, finite and exact), and each
+    * per-token log rides the bin-length recipe so the whole score
+    * hash-gates.
+    *
+    * 100 TB: both LMs are aggregates of ONE exploded (doc, lang,
+    * tok) pass (the target model is a filtered re-aggregate, not a
+    * second scan); model scalars (N, V) ride a 1-row broadcast; the
+    * scoring join is token-keyed against the vocab-sized model
+    * table (broadcastable once top-V capped, q48's note) followed
+    * by one doc-keyed re-aggregate — the corpus crosses the wire
+    * twice (tok, then doc_id), bodies never. */
+  val q125DsirWeights: Q = (spark, dir) => {
+    val docs = t(spark, dir, "documents")
+    val toks = docs
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .scopedPersist
+    val raw = toks.groupBy("tok").agg(count(lit(1)).as("c_raw"))
+    val tgt = toks.filter(col("lang") === "en")
+      .groupBy(col("tok").as("ttok")).agg(count(lit(1)).as("c_tgt"))
+    val model = raw.join(tgt, col("tok") === col("ttok"), "left_outer")
+      .select(col("tok"), col("c_raw"), coalesce(col("c_tgt"), lit(0L)).as("c_tgt"))
+      .scopedPersist
+    val scalars = model.agg(sum(col("c_raw")).as("n_raw"),
+      sum(col("c_tgt")).as("n_tgt"), count(lit(1)).as("v"))
+    val bits = model.join(broadcast(scalars))
+      .select(col("tok"),
+        (length(expr("bin((n_raw + v) div (c_raw + 1))")) - 1).cast("long").as("b_raw"),
+        (length(expr("bin((n_tgt + v) div (c_tgt + 1))")) - 1).cast("long").as("b_tgt"))
+    val perDoc = toks.join(bits, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(col("b_raw")).as("bits_raw"), sum(col("b_tgt")).as("bits_tgt"))
+    orderAll(docs.select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        coalesce(col("bits_raw"), lit(0L)).as("bits_raw"),
+        coalesce(col("bits_tgt"), lit(0L)).as("bits_tgt"),
+        (coalesce(col("bits_raw"), lit(0L))
+          - coalesce(col("bits_tgt"), lit(0L))).as("gain_bits")))
+  }
+
+  /** q126 [EXT]: quantized token entropy — per document, the Shannon
+    * entropy of its own token distribution with each type's
+    * surprisal quantized to whole bits (floor(log₂(n/ct)) via the
+    * bin-length recipe), emitted as millibits-per-token under BIGINT
+    * floor division. The lexical-diversity quality signal q85's
+    * surface ratios miss: "aaa bbb aaa bbb" and four distinct words
+    * have the same length/punct profile but entropy 1.0 vs 2.0 bits —
+    * low entropy flags keyword-stuffing and template spam, the
+    * within-doc complement of q64's repetition fractions.
+    *
+    * 100 TB: per-doc type counts are a (doc_id, tok) two-phase
+    * aggregate; the doc-total window and the per-doc re-aggregate
+    * both key on doc_id, so Catalyst reuses one exchange for all
+    * three — the corpus crosses the wire once on (doc_id, tok) and
+    * once on doc_id, and the entropy arithmetic is row-local
+    * integer math on the doc-sized result. Docs with no tokens pin
+    * to 0 through the total left join (q48's contract). */
+  val q126TokenEntropy: Q = (spark, dir) => {
+    val docs = t(spark, dir, "documents")
+    val tf = CorpusOps.tokenStream(docs)
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("ct"))
+      .withColumn("n", sum(col("ct")).over(Window.partitionBy(col("doc_id"))))
+    val perDoc = tf.groupBy("doc_id")
+      .agg(max(col("n")).as("n_tok"), count(lit(1)).as("n_types"),
+        expr("sum(ct * (length(bin(n div ct)) - 1))").as("sbits"))
+      .select(col("doc_id"), col("n_tok"), col("n_types"),
+        expr("sbits * 1000L div n_tok").as("entropy_mbits"))
+    orderAll(docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(col("entropy_mbits"), lit(0L)).as("entropy_mbits")))
+  }
+
   val defs: Map[String, Q] = Map(
     "q118_collocations" -> q118Collocations,
     "q119_freq_spectrum" -> q119FreqSpectrum,
     "q120_bigram_lm" -> q120BigramLm,
-    "q121_distinctive_terms" -> q121DistinctiveTerms)
+    "q121_distinctive_terms" -> q121DistinctiveTerms,
+    "q124_heavy_hitters" -> q124HeavyHitters,
+    "q125_dsir_weights" -> q125DsirWeights,
+    "q126_token_entropy" -> q126TokenEntropy)
 
   val oracles: Map[String, String] = Map(
     "q118_collocations" ->
@@ -261,5 +377,63 @@ object TokenStats {
         |  FROM scored)
         |SELECT source, tok, n_st, lift_mic, rk FROM ranked WHERE rk <= 10
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
-        |  5 NULLS FIRST""".stripMargin)
+        |  5 NULLS FIRST""".stripMargin,
+    "q124_heavy_hitters" ->
+      s"""WITH ${CorpusOps.toksCte},
+        |vocab AS (
+        |  SELECT tok, count(*) AS cnt, count(DISTINCT doc_id) AS doc_freq
+        |  FROM toks GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS total FROM vocab),
+        |scored AS (
+        |  SELECT tok, cnt, doc_freq,
+        |    CAST((CAST(cnt AS HUGEINT) * 1000000) // total AS BIGINT) AS share_ppm
+        |  FROM vocab CROSS JOIN tot)
+        |SELECT tok, cnt, doc_freq, share_ppm FROM scored WHERE share_ppm >= 500
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
+    "q125_dsir_weights" ->
+      """WITH lt AS (
+        |  SELECT doc_id, lang, t.tok FROM documents,
+        |    unnest(string_split(text, ' ')) AS t(tok)
+        |  WHERE t.tok <> ''),
+        |raw AS (SELECT tok, count(*) AS c_raw FROM lt GROUP BY 1),
+        |tgt AS (SELECT tok, count(*) AS c_tgt FROM lt WHERE lang = 'en' GROUP BY 1),
+        |model AS (
+        |  SELECT raw.tok, c_raw, coalesce(c_tgt, 0) AS c_tgt
+        |  FROM raw LEFT JOIN tgt ON raw.tok = tgt.tok),
+        |s AS (SELECT CAST(sum(c_raw) AS BIGINT) AS n_raw,
+        |        CAST(sum(c_tgt) AS BIGINT) AS n_tgt, count(*) AS v FROM model),
+        |bits AS (
+        |  SELECT tok,
+        |    CAST(length(bin((n_raw + v) // (c_raw + 1))) - 1 AS BIGINT) AS b_raw,
+        |    CAST(length(bin((n_tgt + v) // (c_tgt + 1))) - 1 AS BIGINT) AS b_tgt
+        |  FROM model CROSS JOIN s),
+        |perdoc AS (
+        |  SELECT doc_id, count(*) AS n_tok,
+        |    CAST(sum(b_raw) AS BIGINT) AS bits_raw,
+        |    CAST(sum(b_tgt) AS BIGINT) AS bits_tgt
+        |  FROM lt JOIN bits USING (tok) GROUP BY 1)
+        |SELECT d.doc_id, d.lang,
+        |  coalesce(n_tok, 0) AS n_tok,
+        |  coalesce(bits_raw, 0) AS bits_raw,
+        |  coalesce(bits_tgt, 0) AS bits_tgt,
+        |  coalesce(bits_raw, 0) - coalesce(bits_tgt, 0) AS gain_bits
+        |FROM documents d LEFT JOIN perdoc ON d.doc_id = perdoc.doc_id
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+        |  5 NULLS FIRST, 6 NULLS FIRST""".stripMargin,
+    "q126_token_entropy" ->
+      s"""WITH ${CorpusOps.toksCte},
+        |tf AS (SELECT doc_id, tok, count(*) AS ct FROM toks GROUP BY 1, 2),
+        |wn AS (SELECT doc_id, ct,
+        |         CAST(sum(ct) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+        |       FROM tf),
+        |perdoc AS (
+        |  SELECT doc_id, max(n) AS n_tok, count(*) AS n_types,
+        |    CAST(sum(ct * (length(bin(n // ct)) - 1)) AS BIGINT) AS sbits
+        |  FROM wn GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(n_tok, 0) AS n_tok,
+        |  coalesce(n_types, 0) AS n_types,
+        |  coalesce(sbits * 1000 // n_tok, 0) AS entropy_mbits
+        |FROM documents d LEFT JOIN perdoc ON d.doc_id = perdoc.doc_id
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin)
 }

@@ -130,4 +130,53 @@ class TokenStatsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
     assert(got == expected, "q118 disagrees with the sequential re-derivation")
   }
+
+  test("q124: the 500 ppm gate keeps hitters and drops the tail, shares exact") {
+    val dir = tmpDir("q124docs")
+    // 'a' ×2500 + 'b' ×1: share(a) = 2500e6/2501 = 999600 ppm,
+    // share(b) = 1e6/2501 = 399 ppm < 500 → dropped
+    writeDocs(dir, Seq((1L, ("a " * 2500).trim + " b")))
+    val got = TokenStats.q124HeavyHitters(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("a", 2500L, 1L, 999600L)), s"got ${got.toSeq}")
+  }
+
+  test("q124: doc_freq counts documents, not occurrences") {
+    val dir = tmpDir("q124df")
+    writeDocs(dir, Seq((1L, "a a a"), (2L, "a b b")))
+    val got = TokenStats.q124HeavyHitters(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("a") == ((4L, 2L)) && got("b") == ((2L, 1L)), s"got $got")
+  }
+
+  test("q125: target-like documents gain bits over off-target ones") {
+    val dir = tmpDir("q125docs")
+    // en slice = {x}; doc 3 (fr) is pure-x → more target-like than
+    // doc 2 (fr, pure-y, y unseen in the target model)
+    Seq((1L, "x x x x", "en"), (2L, "y y y y", "fr"), (3L, "x x x x", "fr"))
+      .map { case (id, text, lang) => (id, text, lang, "web", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/documents.parquet")
+    val got = TokenStats.q125DsirWeights(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(got.size == 3, "one weight row per document, total")
+    assert(got(3L) > got(2L),
+      s"pure-target doc must outscore off-target doc: $got")
+    assert(got(2L) < 0, s"a doc of target-unseen tokens must lose bits: $got")
+  }
+
+  test("q126: quantized entropy is exact on uniform and degenerate docs") {
+    val dir = tmpDir("q126docs")
+    writeDocs(dir, Seq(
+      (1L, "a b c d"), // 4 types × ct 1: bits = log2(4) = 2 → 2000 mbits
+      (2L, "a a a a"), // 1 type: log2(1) = 0 → 0 mbits
+      (3L, "a a b b"))) // 2 types × ct 2: log2(2) = 1 → 1000 mbits
+    val got = TokenStats.q126TokenEntropy(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> ((4L, 4L, 2000L)),
+      2L -> ((4L, 1L, 0L)),
+      3L -> ((4L, 2L, 1000L))), s"got $got")
+  }
 }

@@ -637,6 +637,65 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s87: streaming Misra-Gries equals the sequential fold and keeps every guaranteed hitter") {
+    // skewed stream: 'hot' is half of all tokens, a 13-token cold tail
+    // cycles under it — the shape where Misra-Gries' guarantee bites
+    // (a uniform stream is MG's vacuous worst case: nothing must survive)
+    val toks = (0 until 3000).map(i =>
+      if (i % 2 == 0) "hot" else s"cold${i % 13}")
+    val rows = toks.zipWithIndex.map { case (tk, i) =>
+      (HeavyHitterGate.bucketOf(tk), i.toLong, tk) }
+    // sequential re-derivation, per bucket in stream order
+    val expected = rows.groupBy(_._1).map { case (b, rs) =>
+      var s = Map.empty[String, Long]
+      rs.sortBy(_._2).foreach(r => s = HeavyHitterGate.fold(s, r._3))
+      b -> ((rs.length.toLong, s))
+    }
+    val in = MemoryStream[(Int, Long, String)](spark)
+    val gated = in.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Map[String, Long]), (Int, String, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        HeavyHitterGate.updateGroup _
+      ).toDF("bucket", "tok", "weight_lb", "n_bucket")
+    val q = gated.writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("s87_out").start()
+    try {
+      var from = 0
+      Seq(rows.length / 3, 2 * rows.length / 3, rows.length).foreach { to =>
+        in.addData(rows.slice(from, to))
+        q.processAllAvailable()
+        from = to
+      }
+      // latest snapshot per bucket = rows carrying the bucket's max n
+      val all = spark.table("s87_out").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      val got = all.groupBy(_._1).map { case (b, rs) =>
+        val nMax = rs.map(_._4).max
+        b -> ((nMax, rs.filter(_._4 == nMax).map(r => r._2 -> r._3).toMap))
+      }
+      assert(got == expected,
+        "streamed summaries diverged from the sequential Misra-Gries fold")
+      // the MG guarantee against exact truth: any token above
+      // n_b/(Slots+1) in its bucket holds a slot, understated by at
+      // most n_b/(Slots+1)
+      val exact = rows.groupBy(_._1).map { case (b, rs) =>
+        b -> rs.groupBy(_._3).view.mapValues(_.length.toLong).toMap }
+      exact.foreach { case (b, counts) =>
+        val (nB, summary) = got(b)
+        val slack = nB / (HeavyHitterGate.Slots + 1)
+        counts.filter(_._2 > slack).foreach { case (tk, cnt) =>
+          assert(summary.contains(tk),
+            s"bucket $b: token $tk with count $cnt > $slack must survive")
+          assert(summary(tk) >= cnt - slack,
+            s"bucket $b: $tk weight ${summary(tk)} understates $cnt by > $slack")
+        }
+      }
+      assert(got(HeavyHitterGate.bucketOf("hot"))._2.contains("hot"),
+        "the dominant token must be in the summary")
+    } finally q.stop()
+  }
+
   test("s77: foreachBatch sink receives batch ids and every row exactly once") {
     val in = MemoryStream[Long](spark)
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Long])]()
