@@ -56,7 +56,17 @@ object DumpPlans {
       "q114_markov_transitions" -> "markov transitions: one user_id exchange with (tus,event_id) sort feeds lead(), pairs collapse under a two-phase count to |types|^2 rows, the normalizing window runs on that tiny aggregate",
       "q115_triangle_count" -> "triangle count: persisted degree-oriented arcs served to all three legs (InMemoryTableScan), path equi-join + left-semi close, per-part count two-phase",
       "q116_dedup_fuzzy" -> "fuzzy dedup: (lang, band) block self-join carrying ids + 40-char prefixes only (bodies pruned at the scan), thresholded levenshtein on surviving pairs",
-      "q117_lm_score" -> "lm score: cached token stream served to the vocab agg and the score join, scalar total folded into the surprisal projection, two-phase per-doc agg")
+      "q117_lm_score" -> "lm score: cached token stream served to the vocab agg and the score join, scalar total folded into the surprisal projection, two-phase per-doc agg",
+      "q118_collocations" -> "collocations: pair stream collapses two-phase before the marginal joins, lift is row-local DECIMAL arithmetic, top-50 is TakeOrderedAndProject",
+      "q120_bigram_lm" -> "bigram lm: pair-keyed model agg joined once by the corpus pair stream, whole-bit surprisal row-local, two-phase per-doc mean",
+      "q121_distinctive_terms" -> "distinctive terms: (source, tok) two-phase count, marginals re-aggregated from it, rank<=10 as map-side WindowGroupLimit",
+      "q122_retention_cohort" -> "cohort retention: ONE custkey exchange reused for the min-month cohort agg AND the re-join (same key), cells collapse two-phase to a months^2-sized table",
+      "q123_rfm_segments" -> "rfm: custkey agg then a 1-row quantile-boundary aggregate broadcast back — no global ntile sort; scoring is a codegen'd projection",
+      "q124_heavy_hitters" -> "heavy hitters: token-keyed two-phase count (partial dedup for doc_freq), corpus total rides a window over the vocab-sized aggregate, ppm gate row-local",
+      "q125_dsir_weights" -> "dsir: ONE exploded pass persisted and served to both LMs (InMemoryTableScan), model scalars a 1-row broadcast, token-keyed score join + doc-keyed re-agg",
+      "q126_token_entropy" -> "token entropy: doc_id-keyed exchange reused by the tf agg, the doc-total window, and the per-doc re-agg; entropy arithmetic row-local BIGINT",
+      "q127_iqr_outliers" -> "iqr fences: per-type exact-quantile agg (the only full shuffle), types-sized fence table broadcast back, outlier counts combine map-side",
+      "q128_join_bloom_prefilter" -> "bloom prefilter: build side collapses to ONE sketch in a scalar subquery, might_contain prunes the probe scan BEFORE its shuffle, then the broadcast equi join")
 
     val sb = new StringBuilder
     sb.append("# PLANS — finalized physical plans for headline queries\n\n")

@@ -567,6 +567,32 @@ class PlanSpec extends SparkSpec {
     graft.core.CacheScope.drain()
   }
 
+  test("q128: the bloom prefilter reaches the probe scan before its exchange") {
+    // the operator's whole point: the sketch is ONE scalar subquery
+    // (computed once, shipped to every task — never a join input) and
+    // might_contain prunes lineitem rows at the scan's Filter, BEFORE
+    // any shuffle. If the sketch showed up as a join, or the filter sat
+    // above an Exchange, the 100 TB shuffle-reduction claim is void.
+    val df = graft.SparkEntry.queries("q128_join_bloom_prefilter")(spark, sf)
+    df.collect() // finalize AQE so subquery reuse is visible
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), s"bloom predicate missing:\n$p")
+    assert(p.contains("Subquery subquery"), s"sketch not a scalar subquery:\n$p")
+    assert(p.contains("ReusedSubquery"),
+      s"sketch recomputed per consumer instead of reused:\n$p")
+    graft.core.CacheScope.drain()
+  }
+
+  test("q122: one custkey exchange serves both the cohort agg and the re-join") {
+    // min-month aggregate and the orders re-join key on the same cust
+    // column; Catalyst must reuse that exchange, not shuffle twice
+    val df = graft.SparkEntry.queries("q122_retention_cohort")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan"), s"order-month frame recomputed:\n$p")
+    graft.core.CacheScope.drain()
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     // AQE reports WholeStageCodegen spans only in the finalized plan
     val df = graft.SparkEntry.queries("q20_agg_hash")(spark, sf)
