@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs 32 concurrent tasks in ONE JVM: the 8g default that a
+  // single-query dev loop tolerates thrashes GC under the full 128-query
+  // bench (round-9 q111 measured 19.8 s in-bench vs 5.4 s solo with no
+  // code change — pure heap pressure). 32g of the 128 GiB box keeps the
+  // unified memory region ≥ executor-sized per task at shuffle peaks.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

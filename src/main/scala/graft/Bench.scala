@@ -87,6 +87,16 @@ object Bench {
         // query bills to whichever sub-second query runs next — observed as
         // r4→r5 "drift" on q29/q56 (0.22→0.71 s with no code change) and as
         // whole-run swings between consecutive identical runs.
+        // Round-10 hardening (the r9 q111/q101/q108/q110 drift cluster):
+        // belt-and-braces against anything the scoped drain missed — stray
+        // catalog cache entries and persistent RDD blocks (localCheckpoint
+        // leaves RDD-level blocks that Dataset.unpersist never sees), then
+        // two GC passes so the ContextCleaner actually reclaims broadcast
+        // and shuffle state before the next query is timed.
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.valuesIterator
+          .foreach(_.unpersist(blocking = false))
+        System.gc()
         System.gc()
         dt
       }

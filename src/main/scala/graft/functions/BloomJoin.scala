@@ -21,16 +21,37 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 object BloomJoin {
 
   /** `bloom_filter_agg(xxhash64(key), estItems, numBits)` → binary,
-    * `might_contain(bf, xxhash64(key))` → boolean. */
+    * `might_contain(bf, xxhash64(key))` → boolean. Arity is validated
+    * in the builder: a wrong-arity call from SQL must surface as an
+    * analysis-time error naming the expected signature, not as an
+    * IndexOutOfBoundsException from `exprs(n)`. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_filter_agg",
-      exprs => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
-        .toAggregateExpression(),
+      exprs => {
+        if (exprs.length != 3) throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> "`bloom_filter_agg`",
+            "expectedNum" -> "3 (hashedKey, estItems, numBits)",
+            "actualNum" -> exprs.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+        new BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+          .toAggregateExpression()
+      },
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "might_contain",
-      exprs => BloomFilterMightContain(exprs(0), exprs(1)),
+      exprs => {
+        if (exprs.length != 2) throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> "`might_contain`",
+            "expectedNum" -> "2 (bloomFilter, hashedKey)",
+            "actualNum" -> exprs.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+        BloomFilterMightContain(exprs(0), exprs(1))
+      },
       "scala_udf")
   }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** [EXT] Graph analytics over the relational tables — entity-centrality
@@ -76,12 +77,33 @@ object GraphOps {
       col("outdeg"), col("pr_mic")))
   }
 
+  /** Per-order line-count cap for q115's co-purchase expansion (q88's
+    * df-cap recipe, mirrored in the oracle): an order with w lines emits
+    * w·(w-1)/2 pairs, so one pathological wide "order" (a catalog dump,
+    * a crawler artifact) squares. Orders wider than the cap are dropped
+    * whole. TPC-H orders carry ≤ 7 lines, so 64 never fires on testdata
+    * — the cap exists for the 100 TB tail. Env-dialed so ScaleProbe can
+    * exercise it; the oracle string interpolates the SAME value. */
+  private[graft] val MaxOrderWidth =
+    sys.env.getOrElse("GRAFT_TRI_MAX_ORDER_WIDTH", "64").toInt
+
+  /** Arc-count ceiling under which the closing-arc check broadcasts.
+    * Below it, the length-2 path stream is filtered by a broadcast hash
+    * semi-join INSIDE the wedge join's output stage — the O(Σ out²)
+    * wedge rows never touch an exchange. Above it (a 100 TB edge set
+    * that no longer fits an executor), the same semi-join runs as a
+    * shuffle join: correct, one more exchange. 20 M arcs ≈ 320 MB of
+    * key pairs — comfortable in a 4 GiB-executor budget, dial down per
+    * cluster via GRAFT_TRI_BROADCAST_MAX. */
+  private[graft] val BroadcastArcMax =
+    sys.env.getOrElse("GRAFT_TRI_BROADCAST_MAX", "20000000").toLong
+
   /** q115 [EXT]: triangle counting over the part co-purchase graph —
     * per-part triangle participation, the clustering-coefficient
     * numerator (community structure in what's bought together; on a
     * document-similarity graph the same operator grades cluster
     * cohesion for q68's components). Edges: distinct part pairs sharing
-    * an order.
+    * an order (orders wider than [[MaxOrderWidth]] dropped — see above).
     *
     * Shape is compact-forward (Latapy 2008): orient each undirected
     * edge from its (degree, id)-smaller endpoint, enumerate directed
@@ -91,15 +113,26 @@ object GraphOps {
     * never explodes (the naive all-orders enumeration counts each
     * triangle 6× and squares the hub degree). All-BIGINT output.
     *
-    * 100 TB: three equi-joins, each shuffling (src, dst) id pairs —
-    * never order bodies; the arcs frame is persisted once and reused by
-    * all three legs of the triangle join under one partitioning. The
-    * per-order pair expansion is quadratic in ORDER SIZE only (bounded
-    * small by the domain — an order has a handful of lines; a pathological
-    * container would hit q88's df-cap recipe: drop hub orders above a
-    * width threshold). */
-  val q115TriangleCount: Q = (spark, dir) => {
-    val li = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    * 100 TB: the width filter rides the SAME l_orderkey exchange the
+    * pair self-join needs (a count window over the join key, then
+    * ReusedExchange serves both join inputs); arcs are persisted once
+    * and feed all three legs. The wedge stream — the only super-linear
+    * intermediate — is closed against a broadcast of the arc set and
+    * aggregated into per-node counts in its OWN stage: path rows are
+    * born, semi-checked, exploded, and partially aggregated without
+    * ever crossing the wire (round-9 shape shuffled ~40 M wedge rows
+    * into a shuffle semi-join; 23 s warm → ~4 s). Past
+    * [[BroadcastArcMax]] the close falls back to the shuffle semi-join
+    * — the Suri–Vassilvitskii MapReduce shape — trading the extra
+    * exchange for unbounded arc-set size. */
+  val q115TriangleCount: Q = (spark, dir) => q115WithWidthCap(MaxOrderWidth)(spark, dir)
+
+  private[graft] def q115WithWidthCap(maxWidth: Int): Q = (spark, dir) => {
+    require(maxWidth >= 2, s"order-width cap $maxWidth admits no pairs")
+    val li0 = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val li = li0
+      .withColumn("w", count(lit(1)).over(Window.partitionBy(col("l_orderkey"))))
+      .filter(col("w") <= maxWidth).drop("w")
     val co = li.as("a").join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
@@ -115,13 +148,16 @@ object GraphOps {
       .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
         when(fwd, col("v")).otherwise(col("u")).as("dst"))
       .scopedPersist
-    val tri = arcs.as("a1")
+    // one driver scalar (q68's convergence-scalar pattern): materializes
+    // the arc persist and picks the closing-join strategy
+    val nArcs = arcs.count()
+    val a3 = arcs.as("a3")
+    val closing = if (nArcs <= BroadcastArcMax) broadcast(a3) else a3
+    orderAll(arcs.as("a1")
       .join(arcs.as("a2"), col("a1.dst") === col("a2.src"))
-      .join(arcs.as("a3"),
+      .join(closing,
         col("a3.src") === col("a1.src") && col("a3.dst") === col("a2.dst"), "left_semi")
-      .select(col("a1.src").as("tu"), col("a1.dst").as("tv"), col("a2.dst").as("tw"))
-    orderAll(tri
-      .select(explode(array(col("tu"), col("tv"), col("tw"))).as("part_id"))
+      .select(explode(array(col("a1.src"), col("a1.dst"), col("a2.dst"))).as("part_id"))
       .groupBy(col("part_id")).agg(count(lit(1)).as("n_tri")))
   }
 
@@ -132,9 +168,15 @@ object GraphOps {
   val oracles: Map[String, String] = Map(
     "q115_triangle_count" ->
       // same degree-oriented compact-forward enumeration: each triangle
-      // appears exactly once as the path u->v->w plus the closing arc
-      """WITH co AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-        |            FROM lineitem a JOIN lineitem b
+      // appears exactly once as the path u->v->w plus the closing arc;
+      // the order-width cap interpolates the engine's dial so both
+      // sides drop the same pathological wide orders
+      s"""WITH li AS (SELECT l_orderkey, l_partkey FROM (
+        |        SELECT l_orderkey, l_partkey,
+        |               count(*) OVER (PARTITION BY l_orderkey) AS w
+        |        FROM lineitem) WHERE w <= $MaxOrderWidth),
+        |co AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |            FROM li a JOIN li b
         |            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
         |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
         |        FROM (SELECT u AS node FROM co UNION ALL SELECT v FROM co)

@@ -208,18 +208,20 @@ object TokenStats {
     * 100 TB: one token-keyed two-phase count (occurrences combine
     * map-side; the document frequency is a distinct-(tok, doc)
     * count that Catalyst plans as partial dedup before the
-    * exchange), then the corpus total rides a riding window over
-    * the vocab-sized aggregate (q118's note: a web-scale vocab
-    * swaps it for a scalar broadcast) and the share is a saturating
-    * DECIMAL product under floor division — nothing corpus-sized
-    * shuffles twice, and the result is heavy-hitter-sized. */
+    * exchange); the corpus total is a 1-row aggregate of the
+    * persisted vocab frame attached by broadcast crossJoin (the
+    * q123/q125 scalar pattern — round 9 rode it through an
+    * unpartitioned window, forcing the whole vocab through ONE
+    * partition) and the share is a saturating DECIMAL product
+    * under floor division — nothing corpus-sized shuffles twice,
+    * and the result is heavy-hitter-sized. */
   val q124HeavyHitters: Q = (spark, dir) => {
     val vocab = CorpusOps.tokenStream(t(spark, dir, "documents"))
       .groupBy("tok")
       .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("doc_freq"))
-      .withColumn("total", sum(col("cnt")).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-    orderAll(vocab
+      .scopedPersist
+    val tot = vocab.agg(sum(col("cnt")).as("total"))
+    orderAll(vocab.crossJoin(broadcast(tot))
       .select(col("tok"), col("cnt"), col("doc_freq"),
         expr("(cast(cnt as decimal(38,0)) * 1000000) div total").as("share_ppm"))
       .filter(col("share_ppm") >= 500))

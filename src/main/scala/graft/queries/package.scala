@@ -18,14 +18,24 @@ package object queries {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects. Read nanos as long and rebuild a µs timestamp (exact: the
-    * generated data is whole-µs; integer `div` floors like DuckDB's
-    * ns→µs truncation). */
+  /** events.parquet's `ts` physical type has varied across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark's parquet reader
+    * rejects — read nanos as long, rebuild a µs timestamp; exact: the
+    * generated data is whole-µs and integer `div` floors like DuckDB's
+    * ns→µs truncation) and TIMESTAMP(MICROS) with no timezone (arrives
+    * as TIMESTAMP_NTZ — reinterpret as a session-tz instant; the
+    * session is pinned UTC, so this reads the same wall-clock value
+    * DuckDB sees). Dispatch on the landed type so both generations
+    * produce the identical TIMESTAMP column. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** (1 - rate) / (1 + rate) pinned to DECIMAL(9,4) so decimal product

@@ -44,7 +44,17 @@ object HeavyHitterGate {
     * rows: sort the micro-batch by stream sequence (arrival order, not
     * shuffle order, drives the fold — s86's secondary-sort contract),
     * fold through the bucket's summary, emit one
-    * (bucket, tok, weight_lb, n_bucket) row per surviving slot. */
+    * (bucket, tok, weight_lb, n_bucket) row per surviving slot.
+    *
+    * Ordering contract: the per-batch sort restores sequence order
+    * WITHIN a micro-batch only. Exact equality with the sequential
+    * fold (what StreamingSpec pins) additionally requires micro-batches
+    * to deliver disjoint ascending seq ranges — s86's input convention,
+    * which the file/rate sources used here satisfy. The Misra-Gries
+    * guarantees themselves (superset of true heavy hitters; per-token
+    * undercount ≤ n/Slots) are fold-order-independent, so an
+    * out-of-order upstream degrades only the pinned exact-trace
+    * equality, never the error bound. */
   def updateGroup(bucket: Int, rows: Iterator[(Int, Long, String)],
       state: GroupState[(Long, Map[String, Long])]): Iterator[(Int, String, Long, Long)] = {
     var (n, s) = state.getOption.getOrElse((0L, Map.empty[String, Long]))

@@ -64,7 +64,13 @@ object ScaleProbe {
     // q115's compact-forward join must track the k× disjoint co-purchase
     // graph, q117's token⋈vocab join must track the k× token stream
     "q113_anomaly_zscore", "q114_markov_transitions",
-    "q115_triangle_count", "q117_lm_score")
+    "q115_triangle_count", "q117_lm_score",
+    // round 10 (VERDICT r9 ask #5): q120's model is pair-keyed — the
+    // bigram⋈model join must track the k× token stream while the model
+    // side (vocab², salted-disjoint per copy) stays join-local; q125's
+    // per-doc surprisal sum rides the token stream with 1-row broadcast
+    // scalars, so wall must track volume with zero per-copy interaction
+    "q120_bigram_lm", "q125_dsir_weights")
   private val Ks = Seq(1, 4, 8)
   private val Shift = 9700000L // lcm(97, 10) × 10,000 — residue-preserving
   private val GrowthFactor = 1.5
@@ -120,8 +126,11 @@ object ScaleProbe {
     // unchanged by construction, so the quadratic-in-band q15 and the
     // per-user windows of q16/q34 must come out linear; a superlinear
     // curve would mean per-KEY work grew with corpus size — the failure
-    // mode this probe exists to catch. (ts is TIMESTAMP(NANOS) on disk;
-    // read as long — the convention queries.events() rebuilds from.)
+    // mode this probe exists to catch. (ts physical type varies by
+    // testdata generation — TIMESTAMP(NANOS) read as long under the
+    // legacy conf, or TIMESTAMP(MICROS)/NTZ passed through; the scaled
+    // copies preserve whichever landed and queries.events() dispatches
+    // on the landed type.)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val baseEv = spark.read.parquet(s"$baseDir/events.parquet")
     val baseEvRows = baseEv.count()

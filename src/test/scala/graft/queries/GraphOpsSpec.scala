@@ -29,6 +29,29 @@ class GraphOpsSpec extends SparkSpec {
       s"triangles (1,2,3)+(1,2,4) only, node 5 silent — got $got")
   }
 
+  test("q115: the order-width cap drops pathological wide orders whole") {
+    val dir = tmpDir("q115cap")
+    // order 1 is a planted catalog-dump pathology: 12 lines → 66 pairs
+    // if expanded; order 2 is an honest triangle. Under a cap of 8 the
+    // wide order must contribute ZERO pairs (dropped whole, not
+    // truncated) while order 2's triangle survives untouched.
+    val wide = (1L to 12L).map(p => (1L, 100L + p))
+    val tri = Seq((2L, 1L), (2L, 2L), (2L, 3L))
+    (wide ++ tri).toDF("l_orderkey", "l_partkey")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/lineitem.parquet")
+    val got = GraphOps.q115WithWidthCap(8)(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L)),
+      s"only order 2's triangle may survive a width-8 cap — got $got")
+    // and the uncapped default keeps both orders' structure: the wide
+    // order is a 12-clique, so its every node sits on C(11,2) = 55
+    // triangles and nodes 1..3 additionally keep their small triangle
+    val uncapped = GraphOps.q115TriangleCount(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(uncapped(101L) == 55L && uncapped(1L) == 1L,
+      s"default cap (64) must admit the 12-wide order — got $uncapped")
+  }
+
   test("q115: compact-forward agrees with the naive a<b<c enumeration on the sf fixture") {
     import org.apache.spark.sql.functions._
     val got = GraphOps.q115TriangleCount(spark, sf).collect()

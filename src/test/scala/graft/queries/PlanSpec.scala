@@ -54,15 +54,16 @@ class PlanSpec extends SparkSpec {
     // q108 runs q73's broadcast-centroid fan-out once per Lloyd round
     // q110 assigns clusters through the same broadcast-codebook fan-out
     // (its pairwise stage is equi on cluster id)
-    // q123/q125 attach a ONE-row scalar aggregate (quantile boundaries /
-    // model totals) by broadcast: a conditionless join against a 1-row
-    // side is size-preserving and constant-work-per-probe-row — the
-    // DataFrame spelling of a scalar subquery, not a blowup (the
-    // corpus-sized side never re-partitions for it)
+    // q123/q124/q125 attach a ONE-row scalar aggregate (quantile
+    // boundaries / corpus total / model totals) by broadcast: a
+    // conditionless join against a 1-row side is size-preserving and
+    // constant-work-per-probe-row — the DataFrame spelling of a scalar
+    // subquery, not a blowup (the corpus-sized side never
+    // re-partitions for it)
     val exempt = Set("q82_similarity_topk", "q73_cluster_assign",
       "q74_cluster_balanced_sample", "q100_knn_ivf", "q101_knn_pq",
       "q108_kmeans_refine", "q110_semantic_dedup",
-      "q123_rfm_segments", "q125_dsir_weights")
+      "q123_rfm_segments", "q124_heavy_hitters", "q125_dsir_weights")
     val offenders = (graft.SparkEntry.queries.keySet -- exempt).toSeq.sorted.filter { name =>
       val p = plan(name)
       p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
@@ -585,11 +586,22 @@ class PlanSpec extends SparkSpec {
 
   test("q122: one custkey exchange serves both the cohort agg and the re-join") {
     // min-month aggregate and the orders re-join key on the same cust
-    // column; Catalyst must reuse that exchange, not shuffle twice
+    // column; the cohort-sized min side broadcasts back, so the final
+    // plan must carry AT MOST ONE cust-keyed hash Exchange (two would
+    // mean the om frame re-shuffled for the join it should broadcast
+    // into, or a regressed exchange-reuse). Count real Exchange nodes
+    // only — a ReusedExchange over the same keys is the other
+    // acceptable single-shuffle spelling at sfs where the min side
+    // outgrows the broadcast threshold.
     val df = graft.SparkEntry.queries("q122_retention_cohort")(spark, sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("InMemoryTableScan"), s"order-month frame recomputed:\n$p")
+    val finalPlan = p.split("== Initial Plan ==").head
+    val custExchanges =
+      "(?<!Reused)Exchange hashpartitioning\\(cust".r.findAllIn(finalPlan).size
+    assert(custExchanges <= 1,
+      s"$custExchanges cust-keyed exchanges in the final plan (want <= 1):\n$finalPlan")
     graft.core.CacheScope.drain()
   }
 
