@@ -117,14 +117,14 @@ object GraphOps {
     * pair self-join needs (a count window over the join key, then
     * ReusedExchange serves both join inputs); arcs are persisted once
     * and feed all three legs. The wedge stream — the only super-linear
-    * intermediate — is closed against a broadcast of the arc set and
-    * aggregated into per-node counts in its OWN stage: path rows are
-    * born, semi-checked, exploded, and partially aggregated without
-    * ever crossing the wire (round-9 shape shuffled ~40 M wedge rows
-    * into a shuffle semi-join; 23 s warm → ~4 s). Past
-    * [[BroadcastArcMax]] the close falls back to the shuffle semi-join
-    * — the Suri–Vassilvitskii MapReduce shape — trading the extra
-    * exchange for unbounded arc-set size. */
+    * intermediate — never touches an exchange below [[BroadcastArcMax]]:
+    * both the extension leg and the closing-arc set broadcast, so path
+    * rows are born, semi-checked, exploded, and partially aggregated
+    * inside the arc cache-scan's own stage, and only per-node partial
+    * counts cross the wire (round-9 shape shuffled ~40 M wedge rows
+    * into a shuffle semi-join). Past [[BroadcastArcMax]] both legs fall
+    * back to shuffle joins — the Suri–Vassilvitskii MapReduce shape —
+    * trading the exchanges for unbounded arc-set size. */
   val q115TriangleCount: Q = (spark, dir) => q115WithWidthCap(MaxOrderWidth)(spark, dir)
 
   private[graft] def q115WithWidthCap(maxWidth: Int): Q = (spark, dir) => {
@@ -149,13 +149,20 @@ object GraphOps {
         when(fwd, col("v")).otherwise(col("u")).as("dst"))
       .scopedPersist
     // one driver scalar (q68's convergence-scalar pattern): materializes
-    // the arc persist and picks the closing-join strategy
+    // the arc persist and picks the join strategy for BOTH arc re-reads.
+    // Below the cap the extension leg broadcasts too, so the whole
+    // wedge pipeline — extend, semi-close, explode, partial agg — runs
+    // inside the cache-scan's own stage with ZERO exchanges (an SMJ
+    // spelling would shuffle-and-sort the arc list twice just to
+    // produce wedges it immediately aggregates away); the only wire
+    // cost after arc construction is the per-node partial counts.
     val nArcs = arcs.count()
+    val small = nArcs <= BroadcastArcMax
+    val a2 = arcs.as("a2")
     val a3 = arcs.as("a3")
-    val closing = if (nArcs <= BroadcastArcMax) broadcast(a3) else a3
     orderAll(arcs.as("a1")
-      .join(arcs.as("a2"), col("a1.dst") === col("a2.src"))
-      .join(closing,
+      .join(if (small) broadcast(a2) else a2, col("a1.dst") === col("a2.src"))
+      .join(if (small) broadcast(a3) else a3,
         col("a3.src") === col("a1.src") && col("a3.dst") === col("a2.dst"), "left_semi")
       .select(explode(array(col("a1.src"), col("a1.dst"), col("a2.dst"))).as("part_id"))
       .groupBy(col("part_id")).agg(count(lit(1)).as("n_tri")))
