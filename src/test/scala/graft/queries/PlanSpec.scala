@@ -554,6 +554,23 @@ class PlanSpec extends SparkSpec {
       assert(carried.isEmpty,
         s"a block join carries document bodies:\n$lp")
     }
+    // the levenshtein gate must sit INSIDE the join condition, LAST in
+    // the conjunction — authored as a post-join filter it gets pushed
+    // ahead of the cheap id/band predicates and runs the DP twice per
+    // raw bucket match (measured 12.3 s vs 1.4 s at sf0.1); Catalyst
+    // preserves conjunct order, so pin both placement and position
+    import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+    val conds = joins.flatMap(_.condition)
+    assert(conds.exists(_.exists(_.prettyName == "levenshtein")),
+      s"thresholded levenshtein not in any join condition:\n$lp")
+    def lastConjunct(e: Expression): Expression = e match {
+      case And(_, r) => lastConjunct(r)
+      case other => other
+    }
+    conds.filter(_.exists(_.prettyName == "levenshtein")).foreach { c =>
+      assert(lastConjunct(c).exists(_.prettyName == "levenshtein"),
+        s"levenshtein gate is not the LAST conjunct of the join condition:\n$c")
+    }
   }
 
   test("q117: the token stream is cache-served to the vocab agg and the score join") {
