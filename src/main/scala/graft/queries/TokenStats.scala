@@ -81,22 +81,28 @@ object TokenStats {
     *
     * 100 TB: the pair stream collapses under a two-phase (t1,t2) count
     * before anything else touches it; marginals and the scalar total
-    * are aggregates OF that aggregate (vocab-sized, map-side combined;
-    * a web-scale vocab swaps the riding window for a two-level count —
-    * q70's note); the top-50 cut is TakeOrderedAndProject over the
+    * are aggregates OF that aggregate (vocab-sized, map-side combined,
+    * the total attached as a 1-row broadcast — the bigram table is the
+    * engine's largest vocab-shaped frame, so no unpartitioned window
+    * may touch it); the top-50 cut is TakeOrderedAndProject over the
     * scored pair table, never a global sort. Bodies are gone after the
     * split; nothing corpus-sized shuffles twice. */
   val q118Collocations: Q = (spark, dir) => {
+    // corpus total as a 1-row aggregate of the persisted bigram table
+    // attached by broadcast crossJoin (q123/q124/q125's scalar
+    // pattern) — the bigram vocabulary is the LARGEST vocab-shaped
+    // frame in the engine, and the previous unpartitioned-window
+    // spelling forced all of it through a single partition
     val c = bigramStream(t(spark, dir, "documents"))
       .groupBy("t1", "t2").agg(count(lit(1)).as("cnt"))
-      .withColumn("total", sum(col("cnt")).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .scopedPersist
+    val tot = c.agg(sum(col("cnt")).as("total"))
     val lm = c.groupBy(col("t1").as("lt")).agg(sum(col("cnt")).as("cl"))
     val rm = c.groupBy(col("t2").as("rt")).agg(sum(col("cnt")).as("cr"))
     orderAll(c.filter(col("cnt") >= 5)
       .join(broadcast(lm), col("t1") === col("lt"))
       .join(broadcast(rm), col("t2") === col("rt"))
+      .crossJoin(broadcast(tot))
       .select(col("t1"), col("t2"), col("cnt"),
         liftMic("cnt", "total", "cl", "cr").as("lift_mic"))
       .orderBy(col("lift_mic").desc, col("cnt").desc, col("t1").asc, col("t2").asc)

@@ -54,15 +54,15 @@ class PlanSpec extends SparkSpec {
     // q108 runs q73's broadcast-centroid fan-out once per Lloyd round
     // q110 assigns clusters through the same broadcast-codebook fan-out
     // (its pairwise stage is equi on cluster id)
-    // q123/q124/q125 attach a ONE-row scalar aggregate (quantile
-    // boundaries / corpus total / model totals) by broadcast: a
+    // q118/q123/q124/q125 attach a ONE-row scalar aggregate (corpus
+    // total / quantile boundaries / model totals) by broadcast: a
     // conditionless join against a 1-row side is size-preserving and
     // constant-work-per-probe-row — the DataFrame spelling of a scalar
     // subquery, not a blowup (the corpus-sized side never
     // re-partitions for it)
     val exempt = Set("q82_similarity_topk", "q73_cluster_assign",
       "q74_cluster_balanced_sample", "q100_knn_ivf", "q101_knn_pq",
-      "q108_kmeans_refine", "q110_semantic_dedup",
+      "q108_kmeans_refine", "q110_semantic_dedup", "q118_collocations",
       "q123_rfm_segments", "q124_heavy_hitters", "q125_dsir_weights")
     val offenders = (graft.SparkEntry.queries.keySet -- exempt).toSeq.sorted.filter { name =>
       val p = plan(name)
