@@ -87,14 +87,13 @@ object GraphOps {
   private[graft] val MaxOrderWidth =
     sys.env.getOrElse("GRAFT_TRI_MAX_ORDER_WIDTH", "64").toInt
 
-  /** Arc-count ceiling under which the closing-arc check broadcasts.
-    * Below it, the length-2 path stream is filtered by a broadcast hash
-    * semi-join INSIDE the wedge join's output stage — the O(Σ out²)
-    * wedge rows never touch an exchange. Above it (a 100 TB edge set
-    * that no longer fits an executor), the same semi-join runs as a
-    * shuffle join: correct, one more exchange. 20 M arcs ≈ 320 MB of
-    * key pairs — comfortable in a 4 GiB-executor budget, dial down per
-    * cluster via GRAFT_TRI_BROADCAST_MAX. */
+  /** Arc-count ceiling under which the out-neighbor adjacency table
+    * broadcasts to the edge stream. The adjacency arrays hold exactly
+    * one long per arc, so 20 M arcs ≈ 160 MB of array payload —
+    * comfortable in a 4 GiB-executor budget; dial down per cluster via
+    * GRAFT_TRI_BROADCAST_MAX. Above the cap the two edge⋈adjacency
+    * joins run as shuffle joins on src/dst: correct, two more
+    * exchanges, unbounded arc-set size. */
   private[graft] val BroadcastArcMax =
     sys.env.getOrElse("GRAFT_TRI_BROADCAST_MAX", "20000000").toLong
 
@@ -106,25 +105,31 @@ object GraphOps {
     * an order (orders wider than [[MaxOrderWidth]] dropped — see above).
     *
     * Shape is compact-forward (Latapy 2008): orient each undirected
-    * edge from its (degree, id)-smaller endpoint, enumerate directed
-    * paths u→v→w, and semi-check u→w. Orientation bounds every node's
+    * edge from its (degree, id)-smaller endpoint, then close every
+    * directed edge (u,v) by intersecting sorted out-neighbor lists —
+    * each triangle u→v, u→w, v→w is found exactly once, at its base
+    * edge, as w ∈ N⁺(u) ∩ N⁺(v). Orientation bounds every node's
     * out-degree by O(√m) regardless of skew — the hub that co-occurs
-    * with everything gets arcs IN, not out, so the path join's fan-out
-    * never explodes (the naive all-orders enumeration counts each
-    * triangle 6× and squares the hub degree). All-BIGINT output.
+    * with everything gets arcs IN, not out, so both the adjacency
+    * arrays and the per-edge intersection cost stay O(√m) (the naive
+    * all-orders enumeration counts each triangle 6× and squares the
+    * hub degree). All-BIGINT output.
     *
     * 100 TB: the width filter rides the SAME l_orderkey exchange the
     * pair self-join needs (a count window over the join key, then
     * ReusedExchange serves both join inputs); arcs are persisted once
-    * and feed all three legs. The wedge stream — the only super-linear
-    * intermediate — never touches an exchange below [[BroadcastArcMax]]:
-    * both the extension leg and the closing-arc set broadcast, so path
-    * rows are born, semi-checked, exploded, and partially aggregated
-    * inside the arc cache-scan's own stage, and only per-node partial
-    * counts cross the wire (round-9 shape shuffled ~40 M wedge rows
-    * into a shuffle semi-join). Past [[BroadcastArcMax]] both legs fall
-    * back to shuffle joins — the Suri–Vassilvitskii MapReduce shape —
-    * trading the exchanges for unbounded arc-set size. */
+    * and feed the adjacency build and the edge stream. The O(Σ out²)
+    * wedge space is never MATERIALIZED at all — a previous spelling
+    * enumerated length-2 paths through a join and semi-closed them,
+    * streaming ~49 M wedge rows through join machinery at sf0.1 where
+    * the intersection touches the same element pairs inside a
+    * per-edge array kernel (measured ~2×) and emits only actual
+    * triangles (~1.9 M). Below [[BroadcastArcMax]] the adjacency
+    * table (exactly one long per arc) broadcasts, so closing runs
+    * inside the arc cache-scan's stage and only per-node partial
+    * counts cross the wire; above it both edge⋈adjacency joins fall
+    * back to shuffle joins on src/dst — unbounded size, two more
+    * exchanges. */
   val q115TriangleCount: Q = (spark, dir) => q115WithWidthCap(MaxOrderWidth)(spark, dir)
 
   private[graft] def q115WithWidthCap(maxWidth: Int): Q = (spark, dir) => {
@@ -149,22 +154,22 @@ object GraphOps {
         when(fwd, col("v")).otherwise(col("u")).as("dst"))
       .scopedPersist
     // one driver scalar (q68's convergence-scalar pattern): materializes
-    // the arc persist and picks the join strategy for BOTH arc re-reads.
-    // Below the cap the extension leg broadcasts too, so the whole
-    // wedge pipeline — extend, semi-close, explode, partial agg — runs
-    // inside the cache-scan's own stage with ZERO exchanges (an SMJ
-    // spelling would shuffle-and-sort the arc list twice just to
-    // produce wedges it immediately aggregates away); the only wire
-    // cost after arc construction is the per-node partial counts.
+    // the arc persist and picks the strategy for both adjacency joins
     val nArcs = arcs.count()
     val small = nArcs <= BroadcastArcMax
-    val a2 = arcs.as("a2")
-    val a3 = arcs.as("a3")
-    orderAll(arcs.as("a1")
-      .join(if (small) broadcast(a2) else a2, col("a1.dst") === col("a2.src"))
-      .join(if (small) broadcast(a3) else a3,
-        col("a3.src") === col("a1.src") && col("a3.dst") === col("a2.dst"), "left_semi")
-      .select(explode(array(col("a1.src"), col("a1.dst"), col("a2.dst"))).as("part_id"))
+    val adj = arcs.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      .scopedPersist
+    val adjU = adj.select(col("src").as("au"), col("nbrs").as("nu"))
+    val adjV = adj.select(col("src").as("av"), col("nbrs").as("nv"))
+    orderAll(arcs.as("e")
+      .join(if (small) broadcast(adjU) else adjU, col("e.src") === col("au"))
+      .join(if (small) broadcast(adjV) else adjV, col("e.dst") === col("av"))
+      .select(col("e.src").as("u"), col("e.dst").as("v"),
+        array_intersect(col("nu"), col("nv")).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("u"), col("v"), explode(col("ws")).as("w"))
+      .select(explode(array(col("u"), col("v"), col("w"))).as("part_id"))
       .groupBy(col("part_id")).agg(count(lit(1)).as("n_tri")))
   }
 

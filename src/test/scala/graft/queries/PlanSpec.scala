@@ -526,15 +526,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"q114 must not join:\n$p")
   }
 
-  test("q115: the oriented arc list is built once and served to all join legs") {
-    // compact-forward's scale story: arcs are persisted and every leg of
-    // the triangle join (path a1⋈a2 + the left-semi close) reads the
-    // InMemoryRelation — recomputing the degree-orientation per leg
-    // would re-shuffle the co-purchase edges three times
+  test("q115: cached arcs feed the adjacency build + edge stream; closing is an array kernel") {
+    // compact-forward's scale story: the oriented arc list is persisted
+    // and read by the adjacency aggregation AND the edge stream, the
+    // adjacency table is persisted and broadcast to both endpoint
+    // attaches (below the arc cap), and triangles close inside an
+    // array_intersect kernel — the O(Σ out²) wedge space must never
+    // appear as a join's output (the pre-round-10 LeftSemi spelling
+    // streamed ~49 M wedge rows through join machinery at sf0.1)
     val p = plan("q115_triangle_count")
-    assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
-      s"arcs not cache-served to the three join legs:\n$p")
-    assert(p.contains("LeftSemi"), s"the closing arc check must be a semi join:\n$p")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 4,
+      s"arcs/adjacency not cache-served to their consumers:\n$p")
+    assert(p.contains("array_intersect"),
+      s"closing must be the out-neighbor intersection kernel:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"adjacency attaches must broadcast below the arc cap:\n$p")
     graft.core.CacheScope.drain()
   }
 
