@@ -70,7 +70,11 @@ object ScaleProbe {
     // side (vocab², salted-disjoint per copy) stays join-local; q125's
     // per-doc surprisal sum rides the token stream with 1-row broadcast
     // scalars, so wall must track volume with zero per-copy interaction
-    "q120_bigram_lm", "q125_dsir_weights")
+    "q120_bigram_lm", "q125_dsir_weights",
+    // q118 after its scalar-broadcast refit: the bigram table (largest
+    // vocab-shaped frame) must aggregate two-phase and never cross a
+    // single-partition window
+    "q118_collocations")
   private val Ks = Seq(1, 4, 8)
   private val Shift = 9700000L // lcm(97, 10) × 10,000 — residue-preserving
   private val GrowthFactor = 1.5
