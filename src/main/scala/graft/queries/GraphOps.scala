@@ -52,7 +52,14 @@ object GraphOps {
     * bodies, is all that moves. */
   val q111PageRank: Q = (spark, dir) => q111WithRounds(PrRounds)(spark, dir)
 
-  private[graft] def q111WithRounds(rounds: Int): Q = (spark, dir) => {
+  private[graft] def q111WithRounds(rounds: Int): Q = (spark, dir) =>
+    q111WithStrategy(rounds, maxBroadcastNodes = PrBroadcastMaxNodes)(spark, dir)
+
+  /** `maxBroadcastNodes` exposed for the spec: GraphOpsSpec pins the
+    * broadcast and shuffle spellings row-identical (the fallback is a
+    * tested execution path, not a comment). */
+  private[graft] def q111WithStrategy(rounds: Int, maxBroadcastNodes: Long): Q =
+    (spark, dir) => {
     require(rounds >= 1, s"pagerank needs >= 1 round, got $rounds")
     val trade = t(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
@@ -74,7 +81,7 @@ object GraphOps {
     // cap (a graph whose node table outgrows an executor) the join
     // falls back to the shuffle spelling on src
     val n = deg.count()
-    val stateBroadcastable = n <= PrBroadcastMaxNodes
+    val stateBroadcastable = n <= maxBroadcastNodes
     val seedMic = 1000000L / n
     var state = deg.select(col("node"), col("outdeg"),
       lit(seedMic).as("pr_mic"))
@@ -151,7 +158,14 @@ object GraphOps {
     * exchanges. */
   val q115TriangleCount: Q = (spark, dir) => q115WithWidthCap(MaxOrderWidth)(spark, dir)
 
-  private[graft] def q115WithWidthCap(maxWidth: Int): Q = (spark, dir) => {
+  private[graft] def q115WithWidthCap(maxWidth: Int): Q = (spark, dir) =>
+    q115WithStrategy(maxWidth, maxBroadcastArcs = BroadcastArcMax)(spark, dir)
+
+  /** `maxBroadcastArcs` exposed for the spec: GraphOpsSpec pins the
+    * broadcast and shuffle adjacency spellings row-identical (the
+    * above-cap fallback is a tested execution path, not a comment). */
+  private[graft] def q115WithStrategy(maxWidth: Int, maxBroadcastArcs: Long): Q =
+    (spark, dir) => {
     require(maxWidth >= 2, s"order-width cap $maxWidth admits no pairs")
     val li0 = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
     val li = li0
@@ -175,7 +189,7 @@ object GraphOps {
     // one driver scalar (q68's convergence-scalar pattern): materializes
     // the arc persist and picks the strategy for both adjacency joins
     val nArcs = arcs.count()
-    val small = nArcs <= BroadcastArcMax
+    val small = nArcs <= maxBroadcastArcs
     val adj = arcs.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
       .scopedPersist

@@ -101,4 +101,26 @@ class GraphOpsSpec extends SparkSpec {
     assert(r2.exists(t => r1((t._1, t._2)) != t._4),
       "round 2 changed nothing — the iteration is not iterating")
   }
+
+  test("q111: the above-cap shuffle fallback is row-identical to the broadcast spelling") {
+    // maxBroadcastNodes = 0 forces every round's edges⋈state join onto
+    // the shuffle path — the 100 TB fallback must be a tested execution
+    // path producing bit-identical BIGINT ranks, not a comment
+    val bcast = GraphOps.q111WithStrategy(2, maxBroadcastNodes = Long.MaxValue)(spark, sf)
+      .collect().toSeq
+    val shuffled = GraphOps.q111WithStrategy(2, maxBroadcastNodes = 0L)(spark, sf)
+      .collect().toSeq
+    assert(bcast == shuffled, "broadcast and shuffle pagerank spellings diverged")
+  }
+
+  test("q115: the above-cap shuffle fallback is row-identical to the broadcast spelling") {
+    // maxBroadcastArcs = 0 forces both edge⋈adjacency attaches onto
+    // shuffle joins — same intersection kernel, two more exchanges,
+    // identical triangles
+    val bcast = GraphOps.q115WithStrategy(64, maxBroadcastArcs = Long.MaxValue)(spark, sf)
+      .collect().toSeq
+    val shuffled = GraphOps.q115WithStrategy(64, maxBroadcastArcs = 0L)(spark, sf)
+      .collect().toSeq
+    assert(bcast == shuffled, "broadcast and shuffle triangle spellings diverged")
+  }
 }

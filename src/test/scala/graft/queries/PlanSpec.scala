@@ -526,6 +526,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"q114 must not join:\n$p")
   }
 
+  test("q111: per-round state broadcasts to the cached edge list (no edge re-sort)") {
+    // below the node cap each round's edges⋈state join must be a
+    // BroadcastHashJoin whose streamed side reads the edge
+    // InMemoryRelation — an SMJ here means the 1M-row edge list
+    // shuffle-sorts once per round for a join against a node-sized
+    // table
+    val p = plan("q111_pagerank")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"per-round state join is not a broadcast join:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"edge list not cache-served to the rounds:\n$p")
+    // the per-round edges⋈state joins are INNER; the only tolerated
+    // sort-merge is the node-sized deg⋈sums LeftOuter (AQE converts it
+    // at runtime, but the pre-execution plan may still spell it SMJ)
+    assert(!"SortMergeJoin \\[[^\\]]*\\], \\[[^\\]]*\\], Inner".r.findAllIn(p).hasNext,
+      s"an inner SMJ re-sorts the edge list every round:\n$p")
+    graft.core.CacheScope.drain()
+  }
+
   test("q115: cached arcs feed the adjacency build + edge stream; closing is an array kernel") {
     // compact-forward's scale story: the oriented arc list is persisted
     // and read by the adjacency aggregation AND the edge stream, the
