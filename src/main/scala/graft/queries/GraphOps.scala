@@ -195,15 +195,24 @@ object GraphOps {
       .scopedPersist
     val adjU = adj.select(col("src").as("au"), col("nbrs").as("nu"))
     val adjV = adj.select(col("src").as("av"), col("nbrs").as("nv"))
+    // counting stage: a triangle (u,v,w) credits all three parts, but
+    // only w needs a per-triangle row — u and v's credits are the SAME
+    // count (|ws|) for every triangle at this base edge, so they ride
+    // as two arithmetic rows per edge. One explode of (2 + |ws|)
+    // structs replaces the explode-then-explode spelling's 3·|ws| rows
+    // (at sf0.1: ~2.9 M rows into the partial agg instead of ~5.7 M)
     orderAll(arcs.as("e")
       .join(if (small) broadcast(adjU) else adjU, col("e.src") === col("au"))
       .join(if (small) broadcast(adjV) else adjV, col("e.dst") === col("av"))
       .select(col("e.src").as("u"), col("e.dst").as("v"),
         array_intersect(col("nu"), col("nv")).as("ws"))
       .filter(size(col("ws")) > 0)
-      .select(col("u"), col("v"), explode(col("ws")).as("w"))
-      .select(explode(array(col("u"), col("v"), col("w"))).as("part_id"))
-      .groupBy(col("part_id")).agg(count(lit(1)).as("n_tri")))
+      .select(explode(concat(
+          array(
+            struct(col("u").as("p"), size(col("ws")).cast("long").as("c")),
+            struct(col("v").as("p"), size(col("ws")).cast("long").as("c"))),
+          transform(col("ws"), w => struct(w.as("p"), lit(1L).as("c"))))).as("pc"))
+      .groupBy(col("pc.p").as("part_id")).agg(sum(col("pc.c")).as("n_tri")))
   }
 
   val defs: Map[String, Q] = Map(
