@@ -117,9 +117,9 @@ object GraphOps {
     * broadcasts to the edge stream. The adjacency arrays hold exactly
     * one long per arc, so 20 M arcs ≈ 160 MB of array payload —
     * comfortable in a 4 GiB-executor budget; dial down per cluster via
-    * GRAFT_TRI_BROADCAST_MAX. Above the cap the two edge⋈adjacency
-    * joins run as shuffle joins on src/dst: correct, two more
-    * exchanges, unbounded arc-set size. */
+    * GRAFT_TRI_BROADCAST_MAX. Above the cap the closing join falls
+    * back to a shuffle join on dst: correct, one more exchange,
+    * unbounded arc-set size. */
   private[graft] val BroadcastArcMax =
     sys.env.getOrElse("GRAFT_TRI_BROADCAST_MAX", "20000000").toLong
 
@@ -143,7 +143,9 @@ object GraphOps {
     *
     * 100 TB: the width filter rides the SAME l_orderkey exchange the
     * pair self-join needs (a count window over the join key, then
-    * ReusedExchange serves both join inputs); the ONE cached frame is
+    * ReusedExchange serves both join inputs, and the window SPILLS on
+    * a pathological wide order where a collect_list buffer would not
+    * — see the inline note); the ONE cached frame is
     * the adjacency table, and the edge stream is re-derived from it by
     * explode — each arc row arrives already carrying its source's
     * neighbor list, so closing is a SINGLE dst-side join (the
@@ -172,6 +174,12 @@ object GraphOps {
     (spark, dir) => {
     require(maxWidth >= 2, s"order-width cap $maxWidth admits no pairs")
     val li0 = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    // NOTE: a collect_list-per-order spelling (one agg, row-local pair
+    // expansion) was tried and rejected — its aggregation buffer holds
+    // the FULL per-order array BEFORE the width filter can drop the
+    // order, un-bounding exactly the pathological-wide-order state the
+    // cap exists to bound. The window count spills; its exchange is
+    // then reused by the self-join.
     val li = li0
       .withColumn("w", count(lit(1)).over(Window.partitionBy(col("l_orderkey"))))
       .filter(col("w") <= maxWidth).drop("w")
