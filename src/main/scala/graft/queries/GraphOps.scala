@@ -117,9 +117,9 @@ object GraphOps {
     * broadcasts to the edge stream. The adjacency arrays hold exactly
     * one long per arc, so 20 M arcs ≈ 160 MB of array payload —
     * comfortable in a 4 GiB-executor budget; dial down per cluster via
-    * GRAFT_TRI_BROADCAST_MAX. Above the cap the closing join falls
-    * back to a shuffle join on dst: correct, one more exchange,
-    * unbounded arc-set size. */
+    * GRAFT_TRI_BROADCAST_MAX. Above the cap the two edge⋈adjacency
+    * attaches run as shuffle joins on src/dst: correct, two more
+    * exchanges, unbounded arc-set size. */
   private[graft] val BroadcastArcMax =
     sys.env.getOrElse("GRAFT_TRI_BROADCAST_MAX", "20000000").toLong
 
@@ -145,12 +145,12 @@ object GraphOps {
     * pair self-join needs (a count window over the join key, then
     * ReusedExchange serves both join inputs, and the window SPILLS on
     * a pathological wide order where a collect_list buffer would not
-    * — see the inline note); the ONE cached frame is
-    * the adjacency table, and the edge stream is re-derived from it by
-    * explode — each arc row arrives already carrying its source's
-    * neighbor list, so closing is a SINGLE dst-side join (the
-    * arcs⋈adjU⋈adjV spelling paid a second broadcast build and a
-    * second per-arc hash probe for lists the explode yields for free).
+    * — see the inline note); arcs are persisted once and feed the
+    * adjacency build and the edge stream, and closing attaches both
+    * endpoints' neighbor lists by broadcast probe — the narrow
+    * (src, dst) arc stream through two probes moves strictly less
+    * memory than any spelling that carries neighbor ARRAYS per arc
+    * row (see the inline note on the rejected explode derivation).
     * The O(Σ out²) wedge space is never MATERIALIZED at all — a
     * previous spelling enumerated length-2 paths through a join and
     * semi-closed them, streaming ~49 M wedge rows through join
@@ -158,10 +158,10 @@ object GraphOps {
     * element pairs inside a per-edge array kernel (measured ~2×) and
     * emits only actual triangles (~1.9 M). Below [[BroadcastArcMax]]
     * the adjacency table (exactly one long per arc) broadcasts, so
-    * closing runs inside the adjacency cache-scan's stage and only
-    * per-node partial counts cross the wire; above it the closing
-    * join falls back to a shuffle join on dst — unbounded size, one
-    * more exchange. */
+    * closing runs inside the arc cache-scan's stage and only
+    * per-node partial counts cross the wire; above it both closing
+    * attaches fall back to shuffle joins on src/dst — unbounded
+    * size, two more exchanges. */
   val q115TriangleCount: Q = (spark, dir) => q115WithWidthCap(MaxOrderWidth)(spark, dir)
 
   private[graft] def q115WithWidthCap(maxWidth: Int): Q = (spark, dir) =>
@@ -197,38 +197,36 @@ object GraphOps {
       .join(deg.select(col("node").as("vn"), col("deg").as("dv")), col("v") === col("vn"))
       .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
         when(fwd, col("v")).otherwise(col("u")).as("dst"))
-    // arcs has exactly one consumer (the adjacency build) — the cached
-    // frame is `adj`, from which the edge stream is re-derived below
+      .scopedPersist
+    // one driver scalar (q68's convergence-scalar pattern): materializes
+    // the arc persist and picks the strategy for both adjacency attaches
+    val nArcs = arcs.count()
+    val small = nArcs <= maxBroadcastArcs
     val adj = arcs.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
       .scopedPersist
-    // one driver scalar (q68's convergence-scalar pattern): materializes
-    // the adjacency persist (and the arc/co pipeline above it) and picks
-    // the strategy for the closing join
-    val nArcs = adj.agg(coalesce(sum(size(col("nbrs"))), lit(0L)))
-      .collect()(0).getLong(0)
-    val small = nArcs <= maxBroadcastArcs
+    val adjU = adj.select(col("src").as("au"), col("nbrs").as("nu"))
     val adjV = adj.select(col("src").as("av"), col("nbrs").as("nv"))
-    // the edge stream is re-derived by EXPLODING the cached adjacency —
-    // each arc row then already carries its source's full neighbor list
-    // (nu), so closing needs ONE join (dst side) instead of two: one
-    // broadcast build and one hash probe per arc less than the
-    // arcs⋈adjU⋈adjV spelling, on both the broadcast and the shuffle
-    // fallback path. Per-row nu duplication is free here: the explode
-    // and the join sit in the same codegen stage, so nu is a reference
-    // into the cached array until the intersection consumes it —
-    // nothing array-sized is shuffled or materialized per edge.
+    // NOTE: an explode-derived edge stream (explode the cached
+    // adjacency so each arc arrives carrying nu, closing on a single
+    // dst-side join) was tried and REVERTED on measurement: Profile min
+    // 4.54 s vs 3.68 s here, and 13.3 s vs 7.8 s inside a bench run on
+    // a memory-bandwidth-contended host. Carrying the nu array through
+    // the Generate materializes O(|N⁺(src)|) bytes PER ARC — the wedge
+    // space in byte form — where this spelling's second broadcast
+    // probe fetches the same array by reference from the build-side
+    // hash map. The narrow (src, dst) arc stream through two probes
+    // moves strictly less memory than one probe fed by array-wide rows.
     // counting stage: a triangle (u,v,w) credits all three parts, but
     // only w needs a per-triangle row — u and v's credits are the SAME
     // count (|ws|) for every triangle at this base edge, so they ride
     // as two arithmetic rows per edge. One explode of (2 + |ws|)
     // structs replaces the explode-then-explode spelling's 3·|ws| rows
     // (at sf0.1: ~2.9 M rows into the partial agg instead of ~5.7 M)
-    orderAll(adj
-      .select(col("src").as("u"), col("nbrs").as("nu"))
-      .select(col("u"), col("nu"), explode(col("nu")).as("v"))
-      .join(if (small) broadcast(adjV) else adjV, col("v") === col("av"))
-      .select(col("u"), col("v"),
+    orderAll(arcs.as("e")
+      .join(if (small) broadcast(adjU) else adjU, col("e.src") === col("au"))
+      .join(if (small) broadcast(adjV) else adjV, col("e.dst") === col("av"))
+      .select(col("e.src").as("u"), col("e.dst").as("v"),
         array_intersect(col("nu"), col("nv")).as("ws"))
       .filter(size(col("ws")) > 0)
       .select(explode(concat(

@@ -114,8 +114,8 @@ class GraphOpsSpec extends SparkSpec {
   }
 
   test("q115: the above-cap shuffle fallback is row-identical to the broadcast spelling") {
-    // maxBroadcastArcs = 0 forces the dst-side adjacency attach onto a
-    // shuffle join — same intersection kernel, one more exchange,
+    // maxBroadcastArcs = 0 forces both edge⋈adjacency attaches onto
+    // shuffle joins — same intersection kernel, two more exchanges,
     // identical triangles
     val bcast = GraphOps.q115WithStrategy(64, maxBroadcastArcs = Long.MaxValue)(spark, sf)
       .collect().toSeq

@@ -545,33 +545,25 @@ class PlanSpec extends SparkSpec {
     graft.core.CacheScope.drain()
   }
 
-  test("q115: the cached adjacency serves the edge stream by explode; closing is one array-kernel join") {
-    // compact-forward's scale story: the adjacency table is the ONE
-    // cached frame — the edge stream is re-derived from it by explode
-    // (each arc arrives carrying its source's neighbor list), the dst
-    // side attaches through a SINGLE broadcast join (below the arc
-    // cap), and triangles close inside an array_intersect kernel — the
-    // O(Σ out²) wedge space must never appear as a join's output (the
-    // pre-round-10 LeftSemi spelling streamed ~49 M wedge rows through
-    // join machinery at sf0.1)
+  test("q115: cached arcs feed the adjacency build + edge stream; closing is an array kernel") {
+    // compact-forward's scale story: the oriented arc list is persisted
+    // and read by the adjacency aggregation AND the edge stream, the
+    // adjacency table is persisted and broadcast to both endpoint
+    // attaches (below the arc cap), and triangles close inside an
+    // array_intersect kernel — the O(Σ out²) wedge space must never
+    // appear as a join's output (the pre-round-10 LeftSemi spelling
+    // streamed ~49 M wedge rows through join machinery at sf0.1).
+    // The NARROW arc stream through two probes is deliberate: an
+    // explode-derived edge stream (single dst attach) measured slower
+    // — it materializes neighbor arrays per arc row (GraphOps.scala
+    // inline note) — so the pin keeps BOTH attaches present.
     val p = plan("q115_triangle_count")
-    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
-      s"adjacency not cache-served to both the edge stream and the dst attach:\n$p")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 4,
+      s"arcs/adjacency not cache-served to their consumers:\n$p")
     assert(p.contains("array_intersect"),
       s"closing must be the out-neighbor intersection kernel:\n$p")
-    // exactly one join touches the adjacency arrays: the dst attach on
-    // (v = av). The old arcs⋈adjU⋈adjV spelling showed a second
-    // array-carrying join (u-side attach) — that's the regression this
-    // pin guards. (Join strategy itself is not pinned here: at the spec
-    // SF, AQE broadcasts even the li self-join.)
-    assert("BroadcastHashJoin \\[v#".r.findAllIn(p).size +
-      "SortMergeJoin \\[v#".r.findAllIn(p).size +
-      "ShuffledHashJoin \\[v#".r.findAllIn(p).size >= 1,
-      s"the dst-side adjacency attach join is missing:\n$p")
-    assert(!p.contains("[au#"),
-      s"a u-side adjacency attach exists — the edge stream must come from explode, not a second join:\n$p")
-    assert("Generate explode".r.findAllIn(p).size >= 2,
-      s"edge stream must be explode-derived from the adjacency (plus the count-stage explode):\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"adjacency attaches must broadcast below the arc cap:\n$p")
     graft.core.CacheScope.drain()
   }
 
