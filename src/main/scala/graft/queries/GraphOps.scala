@@ -227,7 +227,11 @@ object GraphOps {
       .join(if (small) broadcast(adjU) else adjU, col("e.src") === col("au"))
       .join(if (small) broadcast(adjV) else adjV, col("e.dst") === col("av"))
       .select(col("e.src").as("u"), col("e.dst").as("v"),
-        array_intersect(col("nu"), col("nv")).as("ws"))
+        // the adjacency build sort_array'ed both lists, so the closing
+        // intersection is the native two-pointer merge kernel — not
+        // array_intersect, which cannot assume order and builds a hash
+        // set per row (graft.functions.SortedIntersect scaladoc)
+        graft.functions.SortedIntersect(col("nu"), col("nv")).as("ws"))
       .filter(size(col("ws")) > 0)
       .select(explode(concat(
           array(

@@ -560,8 +560,8 @@ class PlanSpec extends SparkSpec {
     val p = plan("q115_triangle_count")
     assert("InMemoryTableScan".r.findAllIn(p).size >= 4,
       s"arcs/adjacency not cache-served to their consumers:\n$p")
-    assert(p.contains("array_intersect"),
-      s"closing must be the out-neighbor intersection kernel:\n$p")
+    assert(p.contains("sorted_intersect"),
+      s"closing must be the native sorted-merge intersection kernel:\n$p")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
       s"adjacency attaches must broadcast below the arc cap:\n$p")
     graft.core.CacheScope.drain()
