@@ -398,8 +398,12 @@ object CorpusOps {
     * sum would depend on Spark's partition-order reduction. */
   private def l2micro(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0d), (s, x) => s + x) * 1e6).cast("long")
+    // native fused distance (graft.functions.SquaredL2) — same
+    // left-to-right fold as the zip_with+aggregate spelling it
+    // replaced, so the micro-unit rounding is bit-identical; the HOF
+    // pair materialized a difference array per scored row in q101's
+    // (vector × sub-space × sub-centroid) encode fan-out
+    round(graft.functions.SquaredL2(a, b) * 1e6).cast("long")
 
   /** q101: IVF-PQ ANN — product quantization over q100's inverted file,
     * the memory posture that actually holds 100 TB of embeddings: a

@@ -634,13 +634,14 @@ object LlmOps {
     * different summation order could only flip a sign at |proj| ≲ 1e-14
     * (probability ~1e-14 per projection on unit vectors — ignorable). */
   private[graft] def srpBucket(e: org.apache.spark.sql.Column,
-      g: SketchGeometry = geom): org.apache.spark.sql.Column = {
-    val ws = srpWeights(g)
-    def proj(w: Seq[Double]) =
-      aggregate(zip_with(e, typedLit(w), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    (0 until g.srpBits).map(b => when(proj(ws(b)) > 0, lit(1 << b)).otherwise(lit(0)))
-      .reduce(_ + _)
-  }
+      g: SketchGeometry = geom): org.apache.spark.sql.Column =
+    // native fused kernel (graft.functions.SignedProjectionBucket):
+    // all srpBits dot products in one codegen'd loop nest, same
+    // per-projection left-to-right fold as the aggregate(zip_with(...))
+    // spelling it replaced (srpBits × 2 HOF evaluations and
+    // intermediate arrays per row), so bucket codes — and the
+    // serialized-matrix DuckDB oracles — are preserved bit-for-bit
+    graft.functions.SignedProjectionBucket(e, srpWeights(g))
 
   /** The same bucket code as DuckDB SQL over a DOUBLE[] column: the ±1
     * matrix is serialized into list literals so candidate generation in
