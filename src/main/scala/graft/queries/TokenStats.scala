@@ -318,7 +318,39 @@ object TokenStats {
         coalesce(col("entropy_mbits"), lit(0L)).as("entropy_mbits")))
   }
 
+  /** q129 [EXT]: per-language token-budget admission — the batch twin of
+    * the streaming meter (s88, `streaming/TokenBudget.scala`, Spark 4's
+    * `transformWithState`): each language holds a token quota
+    * ([[graft.streaming.TokenBudget.Quota]], env-dialed, interpolated
+    * into the oracle), docs are metered in doc_id (ingest) order, and a
+    * doc is admitted while the language's running token meter — ALL
+    * tokens seen, admitted or not — stays within quota. The meter-whole-
+    * stream semantic keeps the transition a prefix sum, so the batch
+    * spelling is a per-lang ordered window and the op is fully oracled;
+    * StreamingSpec s88 pins the stateful streaming fold row-identical
+    * to THIS answer, q66's proof pattern.
+    *
+    * 100 TB: one exchange on lang; the prefix sum is a single ordered
+    * window pass whose per-partition state is one long, and the
+    * admission verdict is row-local arithmetic on the window's output.
+    * Language count bounds parallelism here — the production spelling
+    * shards to (lang, source) exactly like q97's packing — but nothing
+    * corpus-sized crosses the wire twice and no unpartitioned window
+    * appears (q118's rule). */
+  val q129TokenBudget: Q = (spark, dir) => {
+    val quota = graft.streaming.TokenBudget.Quota
+    val tok = size(split(col("text"), " ")).cast("long")
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val meterAfter = sum(tok).over(w)
+    orderAll(t(spark, dir, "documents").select(
+      col("doc_id"), col("lang"), tok.as("n_tokens"),
+      meterAfter.as("meter_after"),
+      (meterAfter <= lit(quota)).as("admitted")))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q129_token_budget" -> q129TokenBudget,
     "q118_collocations" -> q118Collocations,
     "q119_freq_spectrum" -> q119FreqSpectrum,
     "q120_bigram_lm" -> q120BigramLm,
@@ -328,6 +360,18 @@ object TokenStats {
     "q126_token_entropy" -> q126TokenEntropy)
 
   val oracles: Map[String, String] = Map(
+    "q129_token_budget" ->
+      s"""SELECT doc_id, lang, n_tokens, meter_after,
+        |  meter_after <= ${graft.streaming.TokenBudget.Quota} AS admitted
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(sum(len(string_split(text, ' '))) OVER (
+        |      PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS meter_after
+        |  FROM documents)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+        |  5 NULLS FIRST""".stripMargin,
     "q118_collocations" ->
       s"""WITH $bigsCte,
         |c AS (SELECT t1, t2, count(*) AS cnt FROM bigs GROUP BY 1, 2),

@@ -713,4 +713,114 @@ class StreamingSpec extends SparkSpec {
       assert(batches.map(_._1).distinct.size == batches.size, "batch ids must be unique")
     } finally q.stop()
   }
+
+  test("s88: transformWithState token-budget meter equals the oracled q129 batch answer") {
+    import scala.jdk.CollectionConverters._
+    // Spark 4's arbitrary-stateful-processing v2 (transformWithState):
+    // typed per-key ValueState through a StatefulProcessor handle, TTL
+    // and timers in the API, RocksDB-backed store REQUIRED — the
+    // successor of s74/s80's flatMapGroupsWithState. The semantics
+    // proof is q66's pattern: the same per-key transition
+    // (TokenBudget.step) answered by the DuckDB-oracled batch window
+    // (q129) and by this stateful stream, pinned row-identical.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key, graft.core.GraftSession.RocksDBProviderClass)
+    try {
+      val sf = "/root/testdata/sf0.001"
+      val batch = graft.SparkEntry.queries("q129_token_budget")(spark, sf)
+        .collect()
+        .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("n_tokens"), r.getAs[Boolean]("admitted"),
+          r.getAs[Long]("meter_after"))).toSet
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("lang"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n"))
+        .as[(String, Long, Long)].collect().sortBy(_._2)
+      assert(docs.nonEmpty && batch.nonEmpty)
+      // two micro-batches, split on the doc_id order — disjoint
+      // ascending ranges per key, the s86/s87 input contract
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      val in = MemoryStream[(String, Long, Long)](spark)
+      val q = TokenBudget.meter(in.toDS())
+        .toDF("lang", "doc_id", "n_tokens", "admitted", "meter_after")
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("s88_out").start()
+      try {
+        in.addData(b1.toIndexedSeq: _*)
+        q.processAllAvailable()
+        in.addData(b2.toIndexedSeq: _*)
+        q.processAllAvailable()
+        val got = spark.table("s88_out").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getBoolean(3), r.getLong(4))).toSet
+        assert(got == batch,
+          s"stream fold diverged from the oracled batch window:\n" +
+            s"stream-only=${(got -- batch).take(5)}\nbatch-only=${(batch -- got).take(5)}")
+        // admission must actually bisect the fixture (a quota that
+        // admits or rejects everything proves nothing)
+        assert(got.exists(_._4) && got.exists(!_._4),
+          "fixture quota must both admit and reject")
+        // state is O(languages), not O(docs): one meter row per lang
+        val langs = docs.map(_._1).distinct.length
+        val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        assert(stateRows == langs,
+          s"expected $langs meter rows in the state store, got $stateRows")
+        // and the provider that ran is RocksDB (the TWS requirement +
+        // the engine's large-state posture, s78's proof)
+        val metrics = q.lastProgress.stateOperators(0).customMetrics.keySet.asScala
+        assert(metrics.exists(_.toLowerCase.contains("rocksdb")),
+          s"no rocksdb metrics in state operator progress: $metrics")
+      } finally q.stop()
+    } finally spark.conf.unset(key)
+  }
+
+  test("s89: left-outer stream-stream join emits the NULL row only after the watermark closes the band") {
+    // the attribution question s75 cannot answer: which views got NO
+    // click within the band? Inner join state eviction (s75/s79) just
+    // drops them; the LEFT OUTER spelling must hold the unmatched view
+    // until the watermark proves no in-band click can still arrive,
+    // then emit exactly one (view, NULL) row — emitting it any earlier
+    // would be wrong (a late in-band click could still match), so the
+    // NULL row's timing is itself the semantic under test.
+    val views = MemoryStream[(Timestamp, Long)](spark)
+    val clicks = MemoryStream[(Timestamp, Long)](spark)
+    val v = views.toDF().toDF("vts", "vuser").withWatermark("vts", "5 minutes")
+    val c = clicks.toDF().toDF("cts", "cuser").withWatermark("cts", "5 minutes")
+    val joined = v.join(c,
+      expr("vuser = cuser AND cts BETWEEN vts AND vts + interval 5 minutes"),
+      "leftOuter")
+      .select(col("vuser").as("user"), col("vts"), col("cts"))
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("s89_out").start()
+    try {
+      views.addData((ts(0), 1L), (ts(0), 2L))
+      clicks.addData((ts(3), 1L))
+      q.processAllAvailable()
+      def rows() = spark.table("s89_out").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), Option(r.getTimestamp(2)))).toSet
+      // user 1 matched in-band — emits now; user 2's band is still open
+      // (a click at ts(4) could arrive), so NO row for user 2 yet
+      assert(rows() == Set((1L, ts(0), Some(ts(3)))), rows())
+      // advance event time far past the band: the watermark moves to
+      // ts(55), proving user 2's [ts0, ts5] band is closed
+      views.addData((ts(60), 9L))
+      clicks.addData((ts(60), 9L))
+      q.processAllAvailable()
+      // outer-result emission rides the watermark-driven state cleanup
+      // (a no-data batch scheduled after the update) — poll bounded
+      val deadline = System.currentTimeMillis + 10000
+      while (!rows().exists(r => r._1 == 2L && r._3.isEmpty) &&
+          System.currentTimeMillis < deadline) Thread.sleep(100)
+      val got = rows()
+      assert(got.contains((2L, ts(0), None)),
+        s"unmatched view must surface with a NULL click after the band closes: $got")
+      // and exactly once — the NULL row is not re-emitted by later batches
+      views.addData((ts(70), 9L))
+      clicks.addData((ts(70), 9L))
+      q.processAllAvailable()
+      val nullRows = spark.table("s89_out").collect()
+        .count(r => r.getLong(0) == 2L && r.getTimestamp(2) == null)
+      assert(nullRows == 1, s"NULL attribution row emitted $nullRows times")
+    } finally q.stop()
+  }
 }
