@@ -365,6 +365,21 @@ class PlanSpec extends SparkSpec {
       s"global single-partition exchange in the sharding plan:\n$p")
   }
 
+  test("q129: the budget meter is one lang exchange and no global sort") {
+    // the admission meter is a per-lang ordered window (prefix sum):
+    // the corpus must cross the wire ONCE keyed on lang, and nothing —
+    // not the window, not the verdict arithmetic — may funnel it
+    // through a single partition (the result sort is the orderAll
+    // contract, rangepartitioned, not SinglePartition)
+    val p = plan("q129_token_budget")
+    assert("Exchange hashpartitioning\\(lang".r.findAllIn(p).size == 1,
+      s"expected exactly one lang hash exchange:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global single-partition exchange in the meter plan:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"no window operator in the meter plan:\n$p")
+  }
+
   test("q74/q75: per-group top-k plans as a map-side WindowGroupLimit") {
     // same rewrite as q96/q67: each map task forwards at most k rows per
     // cluster (q74) / query vector (q75) before the exchange
