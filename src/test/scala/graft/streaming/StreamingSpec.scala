@@ -823,4 +823,60 @@ class StreamingSpec extends SparkSpec {
       assert(nullRows == 1, s"NULL attribution row emitted $nullRows times")
     } finally q.stop()
   }
+
+  test("s90: transformWithState event-time timers close ingest sessions from the timer path") {
+    // s80's session-expiry semantics on the v2 API: composite MapState
+    // (per-lang counts) + ValueState (newest event) per source, expiry
+    // through an explicit event-time timer re-armed at newest+gap. The
+    // summary emits from handleExpiredTimer ONLY — a session row exists
+    // because the watermark proved the source quiet (gap = 10 min,
+    // watermark delay = 5 min).
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key, graft.core.GraftSession.RocksDBProviderClass)
+    try {
+      val in = MemoryStream[(String, Long, Timestamp, String)](spark)
+      val wm = in.toDS().toDF("source", "doc_id", "ts", "lang")
+        .withWatermark("ts", "5 minutes")
+        .as[(String, Long, Timestamp, String)]
+      val q = SourceSessions.summarize(wm, gapMs = 10 * 60 * 1000)
+        .toDF("source", "n_docs", "n_langs", "session_end")
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("s90_out").start()
+      try {
+        def rows() = spark.table("s90_out").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getTimestamp(3))).toSet
+        // crawlA: 3 docs over two langs; crawlB: 1 doc. Watermark after
+        // this batch = ts(2) - 5 min < both expiries — nothing may emit
+        in.addData(("crawlA", 1L, ts(0), "en"), ("crawlA", 2L, ts(1), "en"),
+          ("crawlB", 10L, ts(0), "fr"), ("crawlA", 3L, ts(2), "de"))
+        q.processAllAvailable()
+        assert(rows().isEmpty,
+          s"summary emitted before the watermark closed any session: ${rows()}")
+        // a third source's activity at ts(40) moves the watermark to
+        // ts(35) — past crawlA's ts(2)+10 and crawlB's ts(0)+10, so BOTH
+        // sessions must close, each exactly once, from the timer path
+        in.addData(("crawlC", 90L, ts(40), "zh"))
+        q.processAllAvailable()
+        val deadline = System.currentTimeMillis + 10000
+        while (rows().size < 2 && System.currentTimeMillis < deadline)
+          Thread.sleep(100)
+        assert(rows() == Set(
+          ("crawlA", 3L, 2L, ts(2)),
+          ("crawlB", 1L, 1L, ts(0))), rows())
+        // a returning source restarts from zero: crawlA again, then a
+        // watermark jump past its new expiry — the new summary counts
+        // ONLY the new session's docs
+        in.addData(("crawlA", 4L, ts(41), "es"))
+        q.processAllAvailable()
+        in.addData(("crawlC", 91L, ts(100), "zh"))
+        q.processAllAvailable()
+        val deadline2 = System.currentTimeMillis + 10000
+        while (!rows().exists(r => r._1 == "crawlA" && r._4 == ts(41)) &&
+            System.currentTimeMillis < deadline2) Thread.sleep(100)
+        assert(rows().contains(("crawlA", 1L, 1L, ts(41))),
+          s"returning source must restart its session from zero: ${rows()}")
+      } finally q.stop()
+    } finally spark.conf.unset(key)
+  }
 }
