@@ -74,7 +74,12 @@ object ScaleProbe {
     // q118 after its scalar-broadcast refit: the bigram table (largest
     // vocab-shaped frame) must aggregate two-phase and never cross a
     // single-partition window
-    "q118_collocations")
+    "q118_collocations",
+    // round 10 third wave: q129's per-lang ordered prefix sum must track
+    // the k× doc stream — lang cardinality is construction-constant, so
+    // this is the probe that would expose the window degenerating into a
+    // single-partition funnel (the plan pin's scale complement)
+    "q129_token_budget")
   private val Ks = Seq(1, 4, 8)
   private val Shift = 9700000L // lcm(97, 10) × 10,000 — residue-preserving
   private val GrowthFactor = 1.5
