@@ -967,4 +967,78 @@ class StreamingSpec extends SparkSpec {
       } finally q2.stop()
     } finally spark.conf.unset(key)
   }
+
+  test("s92: ListState recent-dup ring equals the sequential fold and evicts at the window edge") {
+    // the burst-duplicate catcher: per source a bounded ring of the
+    // last K content fingerprints in transformWithState's ListState.
+    // Pinned two ways: row-identical to a driver-side reference fold
+    // over the real sf documents fixture (which carries natural exact
+    // dups — q80's groups), and hand-built eviction cases at the
+    // window boundary.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key, graft.core.GraftSession.RocksDBProviderClass)
+    try {
+      val sf = "/root/testdata/sf0.001"
+      val base = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("source"), col("doc_id"), xxhash64(col("text")).as("fp"))
+        .as[(String, Long, Long)].collect().sortBy(_._2)
+      // the sf0.001 fixture has no same-source exact dups (checked), so
+      // plant the burst the gate exists for: every 25th doc re-delivered
+      // 3 id-slots later — a re-queued fetch. The reference fold runs on
+      // the SAME planted stream, so the pin stays honest.
+      val docs = base.zipWithIndex.flatMap { case ((src, _, fp), i) =>
+        Seq((src, i * 10L, fp)) ++
+          (if (i % 25 == 7) Seq((src, i * 10L + 3L, fp)) else Seq())
+      }.sortBy(_._2)
+      // reference: the same step fold, sequentially per source
+      val expected = {
+        var rings = Map.empty[String, Vector[Long]].withDefaultValue(Vector.empty)
+        docs.map { case (src, id, fp) =>
+          val (r1, hit) = RecentDupGate.step(rings(src), fp, RecentDupGate.Window)
+          rings += src -> r1
+          (src, id, fp, hit)
+        }.toSet
+      }
+      assert(expected.count(_._4) == docs.length - base.length &&
+        expected.exists(!_._4),
+        s"planted stream must flag exactly the ${docs.length - base.length} " +
+          s"re-deliveries: ${expected.count(_._4)}")
+      val chunks = docs.grouped((docs.length + 2) / 3).toSeq
+      val in = MemoryStream[(String, Long, Long)](spark)
+      val q = RecentDupGate.gate(in.toDS())
+        .toDF("source", "doc_id", "fp", "is_recent_dup")
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("s92_out").start()
+      try {
+        chunks.foreach { c => in.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+        val got = spark.table("s92_out").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+          .toSet
+        assert(got == expected,
+          s"ring gate diverged from the sequential fold:\n" +
+            s"stream-only=${(got -- expected).take(5)}\nexpected-only=${(expected -- got).take(5)}")
+      } finally q.stop()
+      // window-edge eviction, window = 3: the dup 3 arrivals later sits
+      // AT the ring edge (flagged); one arrival past that is evicted
+      val in2 = MemoryStream[(String, Long, Long)](spark)
+      val q2 = RecentDupGate.gate(in2.toDS(), window = 3)
+        .toDF("source", "doc_id", "fp", "is_recent_dup")
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("s92b_out").start()
+      try {
+        in2.addData(("s", 1L, 77L), ("s", 2L, 10L), ("s", 3L, 11L))
+        q2.processAllAvailable()
+        // 77 is 3 back — still in the 3-ring — and the batch boundary
+        // must not reset the ring
+        in2.addData(("s", 4L, 77L), ("s", 5L, 12L), ("s", 6L, 13L),
+          ("s", 7L, 14L), ("s", 8L, 77L))
+        q2.processAllAvailable()
+        val flags = spark.table("s92b_out").collect()
+          .map(r => r.getLong(1) -> r.getBoolean(3)).toMap
+        assert(flags == Map(1L -> false, 2L -> false, 3L -> false,
+          4L -> true, 5L -> false, 6L -> false, 7L -> false, 8L -> false),
+          s"window-edge eviction wrong: $flags")
+      } finally q2.stop()
+    } finally spark.conf.unset(key)
+  }
 }
