@@ -774,6 +774,48 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset(key)
   }
 
+  test("s88b: the token meter survives a query restart from its checkpoint") {
+    // the recovery property a deployment actually depends on: a
+    // streaming job restarts (executor loss, upgrade, rebalance) and
+    // the v2 state store must resume from the checkpoint — meters
+    // CONTINUE, they do not reset. Same topology rebuilt over the same
+    // source, same checkpoint dir, a fresh query instance.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key, graft.core.GraftSession.RocksDBProviderClass)
+    try {
+      val ckpt = tmpDir("s88b_ckpt")
+      val out = tmpDir("s88b_out")
+      val in = MemoryStream[(String, Long, Long)](spark)
+      // a fault-tolerant sink is part of the property: the memory sink
+      // DECLINES recovery (Spark refuses the checkpoint), which is
+      // itself the exactly-once story — recovery needs a replayable
+      // sink, so the pin drives the parquet file sink
+      def start() = TokenBudget.meter(in.toDS(), quota = 100L)
+        .toDF("lang", "doc_id", "n_tokens", "admitted", "meter_after")
+        .writeStream.outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out).start()
+      def rows() = spark.read.parquet(out).collect()
+        .map(r => r.getLong(1) -> ((r.getBoolean(3), r.getLong(4)))).toMap
+      val q1 = start()
+      try {
+        in.addData(("en", 1L, 60L), ("en", 2L, 30L))
+        q1.processAllAvailable()
+        assert(rows() == Map(1L -> ((true, 60L)), 2L -> ((true, 90L))))
+      } finally q1.stop()
+      // restart: the recovered meter (90) must carry — doc 3 tips the
+      // quota and is rejected; a reset meter would admit it
+      val q2 = start()
+      try {
+        in.addData(("en", 3L, 20L), ("en", 4L, 5L))
+        q2.processAllAvailable()
+        assert(rows() == Map(1L -> ((true, 60L)), 2L -> ((true, 90L)),
+          3L -> ((false, 110L)), 4L -> ((false, 115L))),
+          s"state did not recover across restart: ${rows()}")
+      } finally q2.stop()
+    } finally spark.conf.unset(key)
+  }
+
   test("s89: left-outer stream-stream join emits the NULL row only after the watermark closes the band") {
     // the attribution question s75 cannot answer: which views got NO
     // click within the band? Inner join state eviction (s75/s79) just
