@@ -8,7 +8,10 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   * progression maintained per user as events arrive, instead of
   * recomputed over history: the live-campaign spelling of the same
   * analytic (how deep is each user RIGHT NOW), emitting the user's
-  * updated funnel row each micro-batch that touches them.
+  * funnel row when a micro-batch CHANGES it — plus once on first
+  * touch, the stage-0 row mirroring q112's every-user output — so a
+  * batch of gate-rejected events is a true no-op (no duplicate Append
+  * row, no state-store write).
   *
   * Semantics proof (q66's pattern): q112's batch answer is three
   * strictly-after min-aggregations — t_view = min view time, t_click =
@@ -76,11 +79,20 @@ object FunnelTracker {
 
     override def handleInputRows(user: Long, rows: Iterator[In],
         timerValues: TimerValues): Iterator[Out] = {
-      var s = if (funnel.exists()) funnel.get() else (Unset, Unset, Unset)
+      val known = funnel.exists()
+      val s0 = if (known) funnel.get() else (Unset, Unset, Unset)
+      var s = s0
       rows.toArray.sortBy(r => (r._3, r._4))
         .foreach { case (_, et, tus, _) => s = step(s, et, tus) }
-      funnel.update(s)
-      Iterator(toOut(user, s))
+      // emit on CHANGE, plus once on first touch (the stage-0 row that
+      // mirrors q112's every-user output) — a batch of gate-rejected
+      // events for a known user is a no-op: no phantom duplicate in the
+      // Append sink, no redundant state-store write
+      if (known && s == s0) Iterator.empty
+      else {
+        funnel.update(s)
+        Iterator(toOut(user, s))
+      }
     }
   }
 

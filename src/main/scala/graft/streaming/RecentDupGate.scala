@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
-  TTLConfig, TimeMode, TimerValues, ValueState}
+  TTLConfig, TimeMode, TimerValues}
 
 /** In-stream recent-duplicate gate — the burst-duplicate catcher: a
   * crawler hiccup, a re-queued fetch, or a mirror re-announce delivers
@@ -35,7 +35,12 @@ object RecentDupGate {
     * deployment must absorb (re-queue depth, mirror fanout), NOT
     * corpus size — state stays Window·|sources| longs regardless of
     * volume. */
-  val Window: Int = sys.env.getOrElse("GRAFT_RECENT_DUP_WINDOW", "64").toInt
+  val Window: Int = {
+    val w = sys.env.getOrElse("GRAFT_RECENT_DUP_WINDOW", "64").toInt
+    require(w >= 1, s"GRAFT_RECENT_DUP_WINDOW=$w admits no ring — a " +
+      "non-positive window would silently pass every burst duplicate")
+    w
+  }
 
   /** Output row: (source, doc_id, fingerprint, is_recent_dup). */
   type Out = (String, Long, Long, Boolean)

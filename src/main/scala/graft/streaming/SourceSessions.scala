@@ -49,16 +49,24 @@ object SourceSessions {
     override def handleInputRows(source: String,
         rows: Iterator[(String, Long, Timestamp, String)],
         timerValues: TimerValues): Iterator[Out] = {
-      var m = if (maxTs.exists()) maxTs.get() else Long.MinValue
+      val known = maxTs.exists()
+      val m0 = if (known) maxTs.get() else Long.MinValue
+      var m = m0
       rows.foreach { case (_, _, ts, lang) =>
         val prev = if (langCounts.containsKey(lang)) langCounts.getValue(lang) else 0L
         langCounts.updateValue(lang, prev + 1L)
         if (ts.getTime > m) m = ts.getTime
       }
       maxTs.update(m)
-      // re-arm: exactly one live timer per key, at newest-event + gap
-      getHandle.listTimers().foreach(getHandle.deleteTimer)
-      getHandle.registerTimer(m + gapMs)
+      // re-arm: exactly one live timer per key, at newest-event + gap.
+      // The live timer's expiry is derivable from the stored register
+      // (m0 + gap), so an out-of-order batch that doesn't advance the
+      // session edge skips the delete+register round-trip entirely
+      if (!known) getHandle.registerTimer(m + gapMs)
+      else if (m > m0) {
+        getHandle.deleteTimer(m0 + gapMs)
+        getHandle.registerTimer(m + gapMs)
+      }
       Iterator.empty
     }
 
