@@ -18,7 +18,10 @@ import graft.plans.AsOfJoinStrategy
   * wires the custom planner strategy (the distributed as-of join,
   * `graft.plans.AsOfJoinExec`) and the engine's SQL functions
   * (`cosine_sim`, `avro_encode`, `avro_decode`, `minhash_sig`,
-  * `simhash64`) into every session of
+  * `simhash64`, `sorted_intersect`, `squared_l2`; the reference-table
+  * kernels `set_hit_count`/`set_keep_positions`/`srp_bucket` stay
+  * Column-API-only — their probe tables and projection matrices are
+  * driver-built values, not SQL literals) into every session of
   * the cluster — the declarative alternative to the imperative
   * `GraftSession.getOrCreate()` / `AsOfJoin.install(spark)` calls, and
   * the standard way a Spark library ships Catalyst extensions. */
@@ -51,6 +54,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
       checkArity("simhash64", 1)(exprs => graft.functions.SimHash64(exprs.head))))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect"),
+      new ExpressionInfo(classOf[graft.functions.SortedIntersect].getName, "sorted_intersect"),
+      checkArity("sorted_intersect", 2)(exprs =>
+        graft.functions.SortedIntersect(exprs(0), exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("squared_l2"),
+      new ExpressionInfo(classOf[graft.functions.SquaredL2].getName, "squared_l2"),
+      checkArity("squared_l2", 2)(exprs =>
+        graft.functions.SquaredL2(exprs(0), exprs(1)))))
   }
 }
 

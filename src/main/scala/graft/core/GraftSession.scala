@@ -75,6 +75,11 @@ object GraftSession {
     val spark = builder(master, shufflePartitions, extra).getOrCreate()
     graft.ingest.AvroCodec.register(spark)
     graft.functions.CosineSimilarity.register(spark)
+    graft.functions.MinHashSignature.register(spark)
+    graft.functions.SimHash64.register(spark)
+    graft.functions.SortedIntersect.register(spark)
+    graft.functions.SquaredL2.register(spark)
+    graft.functions.BloomJoin.register(spark)
     spark
   }
 }

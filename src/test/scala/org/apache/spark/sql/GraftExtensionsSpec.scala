@@ -23,7 +23,8 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(ext.buildPlannerStrategies(spark).contains(_root_.graft.plans.AsOfJoinStrategy))
 
     val reg = ext.registerFunctions(spark.sessionState.functionRegistry)
-    Seq("cosine_sim", "avro_encode", "avro_decode", "minhash_sig", "simhash64")
+    Seq("cosine_sim", "avro_encode", "avro_decode", "minhash_sig", "simhash64",
+      "sorted_intersect", "squared_l2")
       .foreach { f =>
         assert(reg.functionExists(FunctionIdentifier(f)), s"$f not registered")
       }
@@ -39,6 +40,14 @@ class GraftExtensionsSpec extends SparkSpec {
     val sh = spark.sql("SELECT simhash64(array(-1L)) AS h")
       .collect().head.getLong(0)
     assert(sh == -1L) // one all-ones fingerprint votes every bit up
+    val si = spark.sql(
+      "SELECT sorted_intersect(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS s")
+      .collect().head.getSeq[Long](0)
+    assert(si == Seq(3L, 5L))
+    val l2 = spark.sql(
+      "SELECT squared_l2(array(1.0F, 2.0F), array(4.0F, 6.0F)) AS d")
+      .collect().head.getDouble(0)
+    assert(math.abs(l2 - 25.0) < 1e-9)
   }
 
   test("wrong-arity calls fail as named arity errors, not IndexOutOfBounds") {
@@ -58,6 +67,8 @@ class GraftExtensionsSpec extends SparkSpec {
     arityError("SELECT minhash_sig(array(1L))", "minhash_sig")
     arityError("SELECT simhash64(array(1L), 2)", "simhash64")
     arityError("SELECT avro_decode(x'00', 1)", "avro_decode")
+    arityError("SELECT sorted_intersect(array(1L))", "sorted_intersect")
+    arityError("SELECT squared_l2(array(1.0F))", "squared_l2")
   }
 
   test("minhash_sig rejects non-literal, null, and non-positive k") {
