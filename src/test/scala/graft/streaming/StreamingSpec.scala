@@ -922,6 +922,51 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset(key)
   }
 
+  test("s90b: pending event-time timers survive a restart and fire after recovery") {
+    // s88b pins VALUE-state recovery; timers live in their own store
+    // partition, and a session that went quiet just before a crash must
+    // still close after the restart — the summary's driver is the
+    // recovered TIMER, re-fired by post-restart watermark advance.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key, graft.core.GraftSession.RocksDBProviderClass)
+    try {
+      val ckpt = tmpDir("s90b_ckpt")
+      val out = tmpDir("s90b_out")
+      val in = MemoryStream[(String, Long, Timestamp, String)](spark)
+      def start() = SourceSessions.summarize(
+          in.toDF().toDF("source", "doc_id", "ts", "lang")
+            .withWatermark("ts", "5 minutes")
+            .as[(String, Long, Timestamp, String)],
+          gapMs = 10 * 60 * 1000)
+        .toDF("source", "n_docs", "n_langs", "session_end")
+        .writeStream.outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out).start()
+      def rows() = spark.read.parquet(out).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getTimestamp(3))).toSet
+      val q1 = start()
+      try {
+        in.addData(("crawlA", 1L, ts(0), "en"), ("crawlA", 2L, ts(2), "de"))
+        q1.processAllAvailable()
+        assert(rows().isEmpty, s"session closed before any watermark: ${rows()}")
+      } finally q1.stop() // crash point: timer armed at ts(12), unfired
+      val q2 = start()
+      try {
+        // watermark advance AFTER the restart: the recovered timer (and
+        // the recovered MapState behind the counts) must produce the
+        // summary of the PRE-restart session
+        in.addData(("crawlC", 90L, ts(40), "zh"))
+        q2.processAllAvailable()
+        val deadline = System.currentTimeMillis + 10000
+        while (rows().isEmpty && System.currentTimeMillis < deadline)
+          Thread.sleep(100)
+        assert(rows() == Set(("crawlA", 2L, 2L, ts(2))),
+          s"recovered timer did not close the pre-restart session: ${rows()}")
+      } finally q2.stop()
+    } finally spark.conf.unset(key)
+  }
+
   test("s91: in-stream funnel tracking equals the oracled q112 batch answer") {
     // q112's strictly-after view->click->purchase progression as a live
     // per-user fold on transformWithState (ValueState of three longs).
