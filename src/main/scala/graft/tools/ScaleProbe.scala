@@ -434,9 +434,113 @@ object ScaleProbe {
       "number includes that cold-position cost plus whatever GC debt the " +
       "previous query left; the warm floor is the steady-state cost.\n")
 
+    // ---- streaming gates under k× volume (round-10 TWS wave) ----------
+    // The batch probes certify the BATCH plans; the transformWithState
+    // operators (s88 meter, s91 funnel, s92 dup ring) have no batch
+    // plan to probe, so measure the streaming path itself: the full k×
+    // corpus through MemoryStream → groupByKey → StatefulProcessor on
+    // the RocksDB store, one warm micro-batch (query/store startup,
+    // untimed) then the timed bulk batch. Linear wall growth certifies
+    // per-row fold cost stays flat as volume grows — state is
+    // O(keys)/O(K·keys) by construction, never O(rows).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      graft.core.GraftSession.RocksDBProviderClass)
+    def timeStream[I, O](warm: Seq[I], bulk: Seq[I],
+        wire: org.apache.spark.sql.Dataset[I] => org.apache.spark.sql.Dataset[O])(
+        implicit enc: org.apache.spark.sql.Encoder[I]): Double = {
+      // same protocol as the batch cells: min of 2 full reps (each a
+      // fresh query + state store — contention outliers shed), bulk
+      // fed as 4 micro-batches (the shape a real trigger produces;
+      // one giant batch additionally serializes the whole corpus into
+      // a single driver-side stream block, which measures the DRIVER,
+      // not the operator)
+      def rep(): Double = {
+        val in = MemoryStream[I](spark)
+        val q = wire(in.toDS()).writeStream.outputMode(OutputMode.Append)
+          .format("noop").start()
+        try {
+          in.addData(warm); q.processAllAvailable() // startup + codegen, untimed
+          val batches = bulk.grouped(math.max(1, bulk.length / 4 + 1)).toSeq
+          val t0 = System.nanoTime()
+          batches.foreach { b => in.addData(b); q.processAllAvailable() }
+          (System.nanoTime() - t0) / 1e9
+        } finally {
+          q.stop()
+          // unload the stopped query's RocksDB provider instances NOW —
+          // the maintenance thread lags, and measured walls degraded
+          // 11 s → 33 s across same-JVM reps while stale providers
+          // (plus their native memtables) accumulated
+          org.apache.spark.sql.GraftBridge.unloadStateStores()
+          System.gc()
+        }
+      }
+      math.min(rep(), rep())
+    }
+    val streamWalls: Map[String, Map[Int, (Double, Long)]] =
+      Seq("s88_token_meter", "s91_funnel", "s92_dup_ring").map { s =>
+        s -> dirs.map { case (k, dir) =>
+          val wall = s match {
+            case "s88_token_meter" =>
+              val rows = spark.read.parquet(s"$dir/documents.parquet")
+                .select(col("lang"), col("doc_id"),
+                  size(split(col("text"), " ")).cast("long"))
+                .as[(String, Long, Long)].collect().sortBy(_._2)
+              val (w, b) = rows.splitAt(math.min(64, rows.length / 10))
+              (timeStream[(String, Long, Long), (String, Long, Long, Boolean, Long)](
+                w.toSeq, b.toSeq, ds => graft.streaming.TokenBudget.meter(ds)),
+                rows.length.toLong)
+            case "s91_funnel" =>
+              val rows = graft.queries.events(spark, dir)
+                .select(col("user_id"), col("event_type"),
+                  expr("unix_micros(ts)"), col("event_id"))
+                .as[(Long, String, Long, Long)].collect().sortBy(r => (r._3, r._4))
+              val (w, b) = rows.splitAt(math.min(64, rows.length / 10))
+              (timeStream[(Long, String, Long, Long), graft.streaming.FunnelTracker.Out](
+                w.toSeq, b.toSeq, ds => graft.streaming.FunnelTracker.track(ds)),
+                rows.length.toLong)
+            case _ =>
+              val rows = spark.read.parquet(s"$dir/documents.parquet")
+                .select(col("source"), col("doc_id"), xxhash64(col("text")))
+                .as[(String, Long, Long)].collect().sortBy(_._2)
+              val (w, b) = rows.splitAt(math.min(64, rows.length / 10))
+              (timeStream[(String, Long, Long), (String, Long, Long, Boolean)](
+                w.toSeq, b.toSeq, ds => graft.streaming.RecentDupGate.gate(ds)),
+                rows.length.toLong)
+          }
+          System.err.println(f"[scaleprobe] ${s} k=$k: ${wall._1}%.2f s (${wall._2} rows)")
+          k -> wall
+        }.toMap
+      }.toMap
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    sb.append("\n## streaming gates under k× volume — the transformWithState wave\n\n")
+    sb.append("The full k× corpus/event stream through MemoryStream → ")
+    sb.append("StatefulProcessor on RocksDB (one warm micro-batch untimed, then ")
+    sb.append("the timed bulk batch). State is O(langs) / O(users) / O(K·sources) ")
+    sb.append("by construction; linear wall certifies the per-row fold cost stays ")
+    sb.append("flat as volume grows:\n\n")
+    sb.append("| op | k=1 wall | k=4 wall (ratio) | k=8 wall (ratio) | rows k=1→4→8 | rows/s at k=8 | gate (≤1.5k) |\n")
+    sb.append("|---|---|---|---|---|---|---|\n")
+    var streamPass = true
+    Seq("s88_token_meter", "s91_funnel", "s92_dup_ring").foreach { s =>
+      val m = streamWalls(s)
+      val (w1, n1) = m(1); val (w4, n4) = m(4); val (w8, n8) = m(8)
+      val (g4, g8) = (w4 / w1, w8 / w1)
+      val pass = g4 <= 6.0 && g8 <= 12.0
+      streamPass &= pass
+      sb.append(f"| $s | $w1%.2f s | $w4%.2f s ($g4%.2f×) | $w8%.2f s ($g8%.2f×) " +
+        f"| $n1%d → $n4%d → $n8%d | ${n8 / w8}%.0f | ${if (pass) "PASS" else "FAIL"} |\n")
+    }
+    sb.append("\nMicro-batch fixed costs (offset log, store commit) dominate at " +
+      "these volumes, so sub-k ratios are expected; the gate only rejects " +
+      "super-linear growth — per-row state work creeping with corpus size.\n")
+
     Files.writeString(Paths.get("/root/repo/SCALEPROBE.md"), sb.toString)
-    println(s"[scaleprobe] wrote SCALEPROBE.md — ${if (allPass) "PASS" else "FAIL"}")
+    val ok = allPass && streamPass
+    println(s"[scaleprobe] wrote SCALEPROBE.md — ${if (ok) "PASS" else "FAIL"}")
     spark.stop()
-    if (!allPass) sys.exit(1)
+    if (!ok) sys.exit(1)
   }
 }

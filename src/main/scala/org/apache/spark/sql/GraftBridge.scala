@@ -10,4 +10,12 @@ import org.apache.spark.sql.classic.ClassicConversions._
 object GraftBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** `StateStore.unloadAll` is sql-private; ScaleProbe's streaming cells
+    * call it between same-JVM reps because the maintenance thread
+    * unloads a stopped query's RocksDB providers lazily, and stale
+    * provider instances (native memtables included) inflated later
+    * reps 3× in measurement. */
+  def unloadStateStores(): Unit =
+    execution.streaming.state.StateStore.unloadAll()
 }
