@@ -69,11 +69,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
-  /** Arity guard for injected function builders: a wrong-arity SQL call
-    * (`minhash_sig(arr)`, `cosine_sim(a)`) surfaces as the standard
-    * WRONG_NUM_ARGS AnalysisException naming the function — not an
-    * IndexOutOfBoundsException escaping the analyzer. */
-  private def checkArity(name: String, expected: Int)(
+  /** Arity guard for function builders — injected here AND reused by the
+    * per-function `register` methods, so a session-scoped registration
+    * can never clobber an injected builder with a weaker one: a
+    * wrong-arity SQL call (`minhash_sig(arr)`, `cosine_sim(a)`) surfaces
+    * as the standard WRONG_NUM_ARGS AnalysisException naming the
+    * function — not an IndexOutOfBoundsException escaping the
+    * analyzer. */
+  private[graft] def checkArity(name: String, expected: Int)(
       build: Seq[Expression] => Expression): Seq[Expression] => Expression =
     exprs => {
       if (exprs.length != expected) {

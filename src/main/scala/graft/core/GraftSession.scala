@@ -68,7 +68,15 @@ object GraftSession {
       extra: Map[String, String] = Map.empty): SparkSession.Builder =
     builder(master, shufflePartitions, settings.s3aConfigs ++ extra)
 
-  /** Build the session and register the engine's SQL functions. */
+  /** Build the session and register the engine's SQL functions. A fresh
+    * session gets them twice — injected by `builder()`'s
+    * `withExtensions(GraftExtensions)` AND re-registered here — because
+    * `getOrCreate` can also ATTACH to a pre-existing session built
+    * without the extension, where only these calls provide the
+    * functions. The double registration is safe precisely because every
+    * `register` builder wraps the same `GraftExtensions.checkArity`
+    * guard as the injected one (a round-10 review caught the unguarded
+    * spelling clobbering the checked builders). */
   def getOrCreate(master: String = "local[*]",
       shufflePartitions: Int = Runtime.getRuntime.availableProcessors(),
       extra: Map[String, String] = Map.empty): SparkSession = {

@@ -75,5 +75,6 @@ object CosineSimilarity {
   /** Session-scoped SQL registration: `cosine_sim(a, b)`. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+      "cosine_sim", graft.GraftExtensions.checkArity("cosine_sim", 2)(
+        exprs => CosineSimilarity(exprs(0), exprs(1))), "scala_udf")
 }

@@ -96,6 +96,7 @@ object MinHashSignature {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig",
-      exprs => MinHashSignature(exprs(0), kOf(exprs(1))),
+      graft.GraftExtensions.checkArity("minhash_sig", 2)(
+        exprs => MinHashSignature(exprs(0), kOf(exprs(1)))),
       "scala_udf")
 }

@@ -77,5 +77,6 @@ object SimHash64 {
   /** Session-scoped SQL registration: `simhash64(arr)`. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+      "simhash64", graft.GraftExtensions.checkArity("simhash64", 1)(
+        exprs => SimHash64(exprs.head)), "scala_udf")
 }

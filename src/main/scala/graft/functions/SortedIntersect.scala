@@ -93,5 +93,6 @@ object SortedIntersect {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect",
-      exprs => SortedIntersect(exprs(0), exprs(1)), "scala_udf")
+      graft.GraftExtensions.checkArity("sorted_intersect", 2)(
+        exprs => SortedIntersect(exprs(0), exprs(1))), "scala_udf")
 }

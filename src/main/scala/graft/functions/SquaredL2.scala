@@ -78,5 +78,6 @@ object SquaredL2 {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "squared_l2",
-      exprs => SquaredL2(exprs(0), exprs(1)), "scala_udf")
+      graft.GraftExtensions.checkArity("squared_l2", 2)(
+        exprs => SquaredL2(exprs(0), exprs(1))), "scala_udf")
 }

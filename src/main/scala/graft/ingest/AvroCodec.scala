@@ -119,9 +119,11 @@ object AvroCodec {
     * from an Expression to a Column). */
   def register(spark: SparkSession, avscJson: String = Schemas.reclamacoesAvsc): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "avro_encode", exprs => AvroEncodeExpression(exprs.head, avscJson), "scala_udf")
+      "avro_encode", graft.GraftExtensions.checkArity("avro_encode", 1)(
+        exprs => AvroEncodeExpression(exprs.head, avscJson)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "avro_decode", exprs => AvroDecodeExpression(exprs.head, avscJson), "scala_udf")
+      "avro_decode", graft.GraftExtensions.checkArity("avro_decode", 1)(
+        exprs => AvroDecodeExpression(exprs.head, avscJson)), "scala_udf")
   }
 
   /** Canonical 14-column frame → single binary `value` column (the Kafka

@@ -491,7 +491,7 @@ object ScaleProbe {
               val (w, b) = rows.splitAt(math.min(64, rows.length / 10))
               (timeStream[(String, Long, Long), (String, Long, Long, Boolean, Long)](
                 w.toSeq, b.toSeq, ds => graft.streaming.TokenBudget.meter(ds)),
-                rows.length.toLong)
+                b.length.toLong) // bulk only: warm rows are untimed
             case "s91_funnel" =>
               val rows = graft.queries.events(spark, dir)
                 .select(col("user_id"), col("event_type"),
@@ -500,7 +500,7 @@ object ScaleProbe {
               val (w, b) = rows.splitAt(math.min(64, rows.length / 10))
               (timeStream[(Long, String, Long, Long), graft.streaming.FunnelTracker.Out](
                 w.toSeq, b.toSeq, ds => graft.streaming.FunnelTracker.track(ds)),
-                rows.length.toLong)
+                b.length.toLong) // bulk only: warm rows are untimed
             case _ =>
               val rows = spark.read.parquet(s"$dir/documents.parquet")
                 .select(col("source"), col("doc_id"), xxhash64(col("text")))
@@ -508,7 +508,7 @@ object ScaleProbe {
               val (w, b) = rows.splitAt(math.min(64, rows.length / 10))
               (timeStream[(String, Long, Long), (String, Long, Long, Boolean)](
                 w.toSeq, b.toSeq, ds => graft.streaming.RecentDupGate.gate(ds)),
-                rows.length.toLong)
+                b.length.toLong) // bulk only: warm rows are untimed
           }
           System.err.println(f"[scaleprobe] ${s} k=$k: ${wall._1}%.2f s (${wall._2} rows)")
           k -> wall
@@ -528,7 +528,7 @@ object ScaleProbe {
       val m = streamWalls(s)
       val (w1, n1) = m(1); val (w4, n4) = m(4); val (w8, n8) = m(8)
       val (g4, g8) = (w4 / w1, w8 / w1)
-      val pass = g4 <= 6.0 && g8 <= 12.0
+      val pass = g4 <= GrowthFactor * 4 && g8 <= GrowthFactor * 8
       streamPass &= pass
       sb.append(f"| $s | $w1%.2f s | $w4%.2f s ($g4%.2f×) | $w8%.2f s ($g8%.2f×) " +
         f"| $n1%d → $n4%d → $n8%d | ${n8 / w8}%.0f | ${if (pass) "PASS" else "FAIL"} |\n")
