@@ -36,7 +36,15 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   *
   * Ordering contract (s86/s87/s88's convention): rows fold in
   * (tus, event_id) order within a batch; micro-batches deliver
-  * ascending event-time ranges. */
+  * ascending event-time ranges. Enforced, not assumed: a per-user
+  * high-water register (`lastEvt`, the newest folded (tus, event_id))
+  * fails the query with [[IllegalStateException]] when a batch
+  * delivers an event at or below it — cross-batch disorder would
+  * silently mis-stage the funnel otherwise. The register is one extra
+  * long pair written per touched (user, batch); the "no-op batch"
+  * claim above therefore covers the Append sink and the funnel value,
+  * while the high-water write always lands (it is what makes the next
+  * batch's contract check sound). */
 object FunnelTracker {
 
   /** Sentinel for an unreached stage (no event time is negative). */
@@ -72,22 +80,43 @@ object FunnelTracker {
 
   class Processor extends StatefulProcessor[Long, In, Out] {
     @transient private var funnel: ValueState[(Long, Long, Long)] = _
+    @transient private var lastEvt: ValueState[(Long, Long)] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       funnel = getHandle.getValueState[(Long, Long, Long)](
         "funnel", Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+      lastEvt = getHandle.getValueState[(Long, Long)](
+        "lastEvt", Encoders.product[(Long, Long)], TTLConfig.NONE)
+    }
 
     override def handleInputRows(user: Long, rows: Iterator[In],
         timerValues: TimerValues): Iterator[Out] = {
       val known = funnel.exists()
       val s0 = if (known) funnel.get() else (Unset, Unset, Unset)
       var s = s0
-      rows.toArray.sortBy(r => (r._3, r._4))
-        .foreach { case (_, et, tus, _) => s = step(s, et, tus) }
+      val sorted = rows.toArray.sortBy(r => (r._3, r._4))
+      if (sorted.isEmpty) return Iterator.empty
+      // cross-batch half of the ordering contract: the batch's earliest
+      // (tus, event_id) must sit strictly above the newest event already
+      // folded — a strictly-after gate (`tus > t_view`) evaluated out of
+      // order gives a silently wrong stage, so violations fail the query
+      if (lastEvt.exists()) {
+        val hw = lastEvt.get()
+        val first = (sorted.head._3, sorted.head._4)
+        if (Ordering[(Long, Long)].lteq(first, hw)) {
+          throw new IllegalStateException(
+            s"FunnelTracker ordering contract violated for user=$user: batch " +
+              s"delivered event (tus=${first._1}, id=${first._2}) at or below " +
+              s"the already-folded high-water mark (tus=${hw._1}, id=${hw._2}) " +
+              "— micro-batches must carry ascending event-time ranges per key")
+        }
+      }
+      sorted.foreach { case (_, et, tus, _) => s = step(s, et, tus) }
+      lastEvt.update((sorted.last._3, sorted.last._4))
       // emit on CHANGE, plus once on first touch (the stage-0 row that
       // mirrors q112's every-user output) — a batch of gate-rejected
-      // events for a known user is a no-op: no phantom duplicate in the
-      // Append sink, no redundant state-store write
+      // events for a known user writes no Append row and no funnel value
+      // (only the high-water register above lands)
       if (known && s == s0) Iterator.empty
       else {
         funnel.update(s)

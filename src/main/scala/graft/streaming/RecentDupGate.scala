@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
-  TTLConfig, TimeMode, TimerValues}
+  TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** In-stream recent-duplicate gate — the burst-duplicate catcher: a
   * crawler hiccup, a re-queued fetch, or a mirror re-announce delivers
@@ -28,7 +28,11 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
   *
   * Ordering contract (s86–s91's convention): rows fold in doc_id
   * order within a batch; micro-batches deliver ascending doc_id
-  * ranges per key. */
+  * ranges per key. Enforced, not assumed: a per-source high-water
+  * register (`lastId`) fails the query with [[IllegalStateException]]
+  * when a batch delivers a doc_id at or below the newest folded one —
+  * cross-batch disorder would silently shift the ring's eviction
+  * horizon and mis-flag bursts otherwise. */
 object RecentDupGate {
 
   /** Ring capacity per source. Env-dialed: the burst lengths a
@@ -55,9 +59,12 @@ object RecentDupGate {
   class Processor(window: Int)
       extends StatefulProcessor[String, (String, Long, Long), Out] {
     @transient private var ring: ListState[Long] = _
+    @transient private var lastId: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       ring = getHandle.getListState[Long]("ring", Encoders.scalaLong, TTLConfig.NONE)
+      lastId = getHandle.getValueState[Long]("lastId", Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     override def handleInputRows(source: String,
         rows: Iterator[(String, Long, Long)],
@@ -66,12 +73,24 @@ object RecentDupGate {
       // runs on a local buffer, ListState round-trips only at the edges
       var r: Vector[Long] =
         if (ring.exists()) ring.get().toVector else Vector.empty
-      val out = rows.toArray.sortBy(_._2).map { case (src, id, fp) =>
+      val sorted = rows.toArray.sortBy(_._2)
+      if (sorted.isEmpty) return Iterator.empty
+      // cross-batch half of the ordering contract: fail fast instead of
+      // folding a disordered batch into a silently shifted ring
+      if (lastId.exists() && sorted.head._2 <= lastId.get()) {
+        throw new IllegalStateException(
+          s"RecentDupGate ordering contract violated for source=$source: " +
+            s"batch delivered doc_id=${sorted.head._2} at or below the " +
+            s"already-folded high-water mark ${lastId.get()} — micro-batches " +
+            "must carry disjoint ascending doc_id ranges per key")
+      }
+      val out = sorted.map { case (src, id, fp) =>
         val (r1, hit) = step(r, fp, window)
         r = r1
         (src, id, fp, hit)
       }
       ring.put(r.toArray)
+      lastId.update(sorted.last._2)
       out.iterator
     }
   }

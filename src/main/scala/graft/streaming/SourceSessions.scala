@@ -16,9 +16,17 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode,
   * (a `MapState` of per-language doc counts + a `ValueState` newest
   * event time) and an explicit timer registry (`registerTimer` /
   * `deleteTimer`, fired by watermark advance into
-  * `handleExpiredTimer`). The summary therefore emits from the TIMER
-  * path, not the data path: a session row exists because the watermark
-  * PROVED the source quiet, never because a batch happened to poll it.
+  * `handleExpiredTimer`). The summary normally emits from the TIMER
+  * path: a session row exists because the watermark PROVED the source
+  * quiet, not because a batch happened to poll it. One strictness
+  * exception: when a batch's EARLIEST row already sits at or past the
+  * open session's expiry edge (every new row is > gap after the old
+  * newest event), the old session is provably over regardless of where
+  * the watermark stands — input rows are processed against the
+  * batch-start watermark before pending timers fire, so waiting for
+  * the timer would wrongly merge two sessions separated by more than
+  * the gap into one summary. That case closes the old session from the
+  * data path (see `handleInputRows`) and the batch opens a fresh one.
   *
   * State per key: |langs-seen-this-session| map entries + one long +
   * one timer — session-bounded, cleared on expiry, so a 100 TB ingest
@@ -51,23 +59,58 @@ object SourceSessions {
         timerValues: TimerValues): Iterator[Out] = {
       val known = maxTs.exists()
       val m0 = if (known) maxTs.get() else Long.MinValue
-      var m = m0
+      // single pass over the batch into a local delta (bounded by the
+      // session's language mix, not by row count), tracking the batch's
+      // event-time extremes — the delta merges into state only after
+      // the same-batch gap check below has decided which session owns it
+      val delta = scala.collection.mutable.HashMap.empty[String, Long]
+      var lo = Long.MaxValue
+      var hi = Long.MinValue
       rows.foreach { case (_, _, ts, lang) =>
-        val prev = if (langCounts.containsKey(lang)) langCounts.getValue(lang) else 0L
-        langCounts.updateValue(lang, prev + 1L)
-        if (ts.getTime > m) m = ts.getTime
+        delta.update(lang, delta.getOrElse(lang, 0L) + 1L)
+        val t = ts.getTime
+        if (t < lo) lo = t
+        if (t > hi) hi = t
       }
+      if (delta.isEmpty) return Iterator.empty
+      // same-batch gap close (strict sessionization, not just the timer
+      // path): when every row of this batch sits at or past the open
+      // session's expiry edge (m0 + gap), the old session is already
+      // over — its rows can never arrive again (they would be below
+      // these, and input rows are processed against the batch-start
+      // watermark BEFORE the pending timer fires). Emit its summary from
+      // the data path, delete the now-moot timer, and restart state so
+      // the batch opens a fresh session. Without this, rows landing in
+      // the same micro-batch that advances the watermark past expiry
+      // would merge two sessions separated by more than the gap.
+      // (Splits WITHIN one batch's own rows still merge — the batch is
+      // one poll of the source, and its internal span is bounded by the
+      // micro-batch interval, orders below any real session gap.)
+      val closedEarly: Option[Out] =
+        if (known && lo >= m0 + gapMs) {
+          val counts = langCounts.values().toArray
+          val out = (source, counts.sum, counts.length.toLong, new Timestamp(m0))
+          langCounts.clear()
+          getHandle.deleteTimer(m0 + gapMs)
+          Some(out)
+        } else None
+      val fresh = !known || closedEarly.isDefined
+      delta.foreach { case (lang, n) =>
+        val prev = if (langCounts.containsKey(lang)) langCounts.getValue(lang) else 0L
+        langCounts.updateValue(lang, prev + n)
+      }
+      val m = if (fresh) hi else math.max(m0, hi)
       maxTs.update(m)
       // re-arm: exactly one live timer per key, at newest-event + gap.
       // The live timer's expiry is derivable from the stored register
       // (m0 + gap), so an out-of-order batch that doesn't advance the
       // session edge skips the delete+register round-trip entirely
-      if (!known) getHandle.registerTimer(m + gapMs)
+      if (fresh) getHandle.registerTimer(m + gapMs)
       else if (m > m0) {
         getHandle.deleteTimer(m0 + gapMs)
         getHandle.registerTimer(m + gapMs)
       }
-      Iterator.empty
+      closedEarly.iterator
     }
 
     override def handleExpiredTimer(source: String, timerValues: TimerValues,

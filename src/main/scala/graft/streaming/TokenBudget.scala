@@ -31,7 +31,13 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   * order WITHIN a micro-batch (the per-batch sort below), and
   * micro-batches deliver disjoint ascending doc_id ranges per key —
   * the file/ingest sources used here satisfy it. Under that contract
-  * the stream fold replays exactly the batch window's ordering. */
+  * the stream fold replays exactly the batch window's ordering. The
+  * contract is ENFORCED, not assumed: a per-key high-water register
+  * (`lastId`) records the newest folded doc_id, and a batch that
+  * delivers a row at or below it fails the query with a loud
+  * [[IllegalStateException]] — a violating source must surface as an
+  * error, never as a silently wrong admitted verdict (the per-batch
+  * sort cannot repair cross-batch disorder once the meter has folded). */
 object TokenBudget {
 
   /** Default per-language quota in whitespace tokens (q86's ws_tokens
@@ -62,9 +68,12 @@ object TokenBudget {
   class Processor(quota: Long)
       extends StatefulProcessor[String, (String, Long, Long), Out] {
     @transient private var meter: ValueState[Long] = _
+    @transient private var lastId: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       meter = getHandle.getValueState[Long]("meter", Encoders.scalaLong, TTLConfig.NONE)
+      lastId = getHandle.getValueState[Long]("lastId", Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     override def handleInputRows(lang: String,
         rows: Iterator[(String, Long, Long)],
@@ -74,12 +83,26 @@ object TokenBudget {
       // (cross-batch ordering is the input contract above). The sort
       // buffers one (key, micro-batch) group — bounded by batch sizing,
       // not corpus size.
-      val out = rows.toArray.sortBy(_._2).map { case (l, id, n) =>
+      val sorted = rows.toArray.sortBy(_._2)
+      if (sorted.isEmpty) return Iterator.empty
+      // enforce the cross-batch half of the ordering contract: the
+      // batch's smallest doc_id must sit strictly above the high-water
+      // mark of everything already folded, else the meter is already
+      // wrong and the only honest outcome is a query failure
+      if (lastId.exists() && sorted.head._2 <= lastId.get()) {
+        throw new IllegalStateException(
+          s"TokenBudget ordering contract violated for lang=$lang: batch " +
+            s"delivered doc_id=${sorted.head._2} at or below the already-" +
+            s"folded high-water mark ${lastId.get()} — micro-batches must " +
+            "carry disjoint ascending doc_id ranges per key")
+      }
+      val out = sorted.map { case (l, id, n) =>
         val (m1, admitted) = step(m, n, quota)
         m = m1
         (l, id, n, admitted, m1)
       }
       meter.update(m)
+      lastId.update(sorted.last._2)
       out.iterator
     }
   }

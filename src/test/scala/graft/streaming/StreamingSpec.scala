@@ -760,11 +760,13 @@ class StreamingSpec extends SparkSpec {
         // admits or rejects everything proves nothing)
         assert(got.exists(_._4) && got.exists(!_._4),
           "fixture quota must both admit and reject")
-        // state is O(languages), not O(docs): one meter row per lang
+        // state is O(languages), not O(docs): one meter row plus one
+        // ordering high-water register per lang (numRowsTotal counts
+        // every state variable's rows)
         val langs = docs.map(_._1).distinct.length
         val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
-        assert(stateRows == langs,
-          s"expected $langs meter rows in the state store, got $stateRows")
+        assert(stateRows == 2 * langs,
+          s"expected ${2 * langs} state rows (meter + high-water per lang), got $stateRows")
         // and the provider that ran is RocksDB (the TWS requirement +
         // the engine's large-state posture, s78's proof)
         val metrics = q.lastProgress.stateOperators(0).customMetrics.keySet.asScala
@@ -1013,11 +1015,12 @@ class StreamingSpec extends SparkSpec {
         // fixture proves full-depth folding but not the gates — the
         // planted scenario below covers the depths
         assert(got.map(_._2) == Set(3), s"fixture stages ${got.map(_._2)}")
-        // state is one row per user ever seen
+        // state is two rows per user ever seen: the funnel value plus
+        // the ordering high-water register
         val users = ev.map(_._1).distinct.length
         val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
-        assert(stateRows == users,
-          s"expected $users funnel rows in the state store, got $stateRows")
+        assert(stateRows == 2 * users,
+          s"expected ${2 * users} state rows (funnel + high-water per user), got $stateRows")
       } finally q.stop()
       // planted depth coverage, hand-checked against q112's semantics:
       // 1 stalls at view, 2 at click, 3 completes, 4 clicks with no
@@ -1127,5 +1130,155 @@ class StreamingSpec extends SparkSpec {
           s"window-edge eviction wrong: $flags")
       } finally q2.stop()
     } finally spark.conf.unset(key)
+  }
+
+  test("s88c: the ordered-fold gates fail fast on a cross-batch ordering violation") {
+    // s88/s91/s92 are correct only under the disjoint-ascending input
+    // contract; a source that violates it must surface as a QUERY ERROR,
+    // not as a silently wrong admitted/stage/dup verdict — the per-batch
+    // sort cannot repair cross-batch disorder once state has folded.
+    // Each processor keeps a per-key high-water register and throws.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key, graft.core.GraftSession.RocksDBProviderClass)
+    def contractError(t: Throwable): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .exists(c => Option(c.getMessage).exists(_.contains("ordering contract violated")))
+    try {
+      // TokenBudget: doc 9 arrives after doc 10 already folded
+      val in1 = MemoryStream[(String, Long, Long)](spark)
+      val q1 = TokenBudget.meter(in1.toDS())
+        .toDF("lang", "doc_id", "n_tokens", "admitted", "meter_after")
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("s88c_a").start()
+      try {
+        in1.addData(("en", 10L, 5L)); q1.processAllAvailable()
+        in1.addData(("en", 9L, 5L))
+        val e = intercept[Exception] { q1.processAllAvailable() }
+        assert(contractError(e), s"expected the contract error, got: $e")
+      } finally q1.stop()
+      // FunnelTracker: an event at the already-folded (tus, id) edge
+      val in2 = MemoryStream[(Long, String, Long, Long)](spark)
+      val q2 = FunnelTracker.track(in2.toDS())
+        .toDF("user_id", "stage", "t_view", "t_click", "t_purchase")
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("s88c_b").start()
+      try {
+        in2.addData((1L, "view", 100L, 1L)); q2.processAllAvailable()
+        in2.addData((1L, "click", 100L, 1L))
+        val e = intercept[Exception] { q2.processAllAvailable() }
+        assert(contractError(e), s"expected the contract error, got: $e")
+      } finally q2.stop()
+      // RecentDupGate: a doc_id below the folded high-water mark
+      val in3 = MemoryStream[(String, Long, Long)](spark)
+      val q3 = RecentDupGate.gate(in3.toDS())
+        .toDF("source", "doc_id", "fp", "is_recent_dup")
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("s88c_c").start()
+      try {
+        in3.addData(("s", 5L, 77L)); q3.processAllAvailable()
+        in3.addData(("s", 4L, 78L))
+        val e = intercept[Exception] { q3.processAllAvailable() }
+        assert(contractError(e), s"expected the contract error, got: $e")
+      } finally q3.stop()
+    } finally spark.conf.unset(key)
+  }
+
+  test("s90c: a batch arriving wholly past the gap closes the old session from the data path") {
+    // the same-batch merge hazard: rows are processed against the
+    // BATCH-START watermark, so a quiet-for-more-than-gap source whose
+    // next rows land in the very batch that would advance the watermark
+    // past expiry reaches handleInputRows with the old timer still
+    // pending. Strict gap sessionization requires those rows to open a
+    // NEW session — the old one must close with only its own docs, not
+    // merge across a 38-minute silence.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key, graft.core.GraftSession.RocksDBProviderClass)
+    try {
+      val in = MemoryStream[(String, Long, Timestamp, String)](spark)
+      val wm = in.toDF().toDF("source", "doc_id", "ts", "lang")
+        .withWatermark("ts", "5 minutes")
+        .as[(String, Long, Timestamp, String)]
+      val q = SourceSessions.summarize(wm, gapMs = 10 * 60 * 1000)
+        .toDF("source", "n_docs", "n_langs", "session_end")
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("s90c_out").start()
+      try {
+        def rows() = spark.table("s90c_out").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getTimestamp(3))).toSet
+        in.addData(("crawlA", 1L, ts(0), "en"), ("crawlA", 2L, ts(2), "de"))
+        q.processAllAvailable()
+        assert(rows().isEmpty, s"nothing may emit while the session is open: ${rows()}")
+        // one batch, 38 minutes past the session edge: the old session
+        // [ts0, ts2] must close NOW with 2 docs / 2 langs — timer-path
+        // handling would merge ts(40) into it
+        in.addData(("crawlA", 3L, ts(40), "es"))
+        q.processAllAvailable()
+        assert(rows() == Set(("crawlA", 2L, 2L, ts(2))),
+          s"old session must close from the data path, unmerged: ${rows()}")
+        // and the batch's rows opened a fresh session that closes by
+        // timer as usual — exactly one more summary, counting only doc 3
+        in.addData(("crawlB", 90L, ts(100), "zh"))
+        q.processAllAvailable()
+        val deadline = System.currentTimeMillis + 10000
+        while (!rows().exists(r => r._4 == ts(40)) &&
+            System.currentTimeMillis < deadline) Thread.sleep(100)
+        assert(rows() == Set(("crawlA", 2L, 2L, ts(2)), ("crawlA", 1L, 1L, ts(40))),
+          s"new session must hold only the post-gap doc: ${rows()}")
+      } finally q.stop()
+    } finally spark.conf.unset(key)
+  }
+
+  test("s89b: the left-outer join's watermark-timed NULL row survives a restart") {
+    // s88b pins value-state recovery and s90b timer recovery; this pins
+    // the subtlest recovery surface in the streaming set — an UNMATCHED
+    // outer-join row held in join state across a checkpoint restart. The
+    // query dies while user 2's band is still open; after recovery the
+    // watermark closes the band and the (view, NULL) attribution row
+    // must emit exactly once, from recovered state.
+    val ckpt = tmpDir("s89b_ckpt")
+    val out = tmpDir("s89b_out")
+    val views = MemoryStream[(Timestamp, Long)](spark)
+    val clicks = MemoryStream[(Timestamp, Long)](spark)
+    def start() = {
+      val v = views.toDF().toDF("vts", "vuser").withWatermark("vts", "5 minutes")
+      val c = clicks.toDF().toDF("cts", "cuser").withWatermark("cts", "5 minutes")
+      v.join(c,
+        expr("vuser = cuser AND cts BETWEEN vts AND vts + interval 5 minutes"),
+        "leftOuter")
+        .select(col("vuser").as("user"), col("vts"), col("cts"))
+        .writeStream.outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out).start()
+    }
+    def rows() = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), Option(r.getTimestamp(2)))).toSet
+    val q1 = start()
+    try {
+      views.addData((ts(0), 1L), (ts(0), 2L))
+      clicks.addData((ts(3), 1L))
+      q1.processAllAvailable()
+      assert(rows() == Set((1L, ts(0), Some(ts(3)))), rows())
+    } finally q1.stop() // crash point: user 2's view held in join state, band open
+    val q2 = start()
+    try {
+      // watermark advance AFTER the restart closes user 2's band; the
+      // NULL row's inputs exist only in the recovered state store
+      views.addData((ts(60), 9L))
+      clicks.addData((ts(60), 9L))
+      q2.processAllAvailable()
+      val deadline = System.currentTimeMillis + 10000
+      while (!rows().exists(r => r._1 == 2L && r._3.isEmpty) &&
+          System.currentTimeMillis < deadline) Thread.sleep(100)
+      assert(rows().contains((2L, ts(0), None)),
+        s"recovered join state must emit the NULL attribution row: ${rows()}")
+      // exactly once, across further batches on the recovered query
+      views.addData((ts(70), 9L))
+      clicks.addData((ts(70), 9L))
+      q2.processAllAvailable()
+      val nullRows = spark.read.parquet(out).collect()
+        .count(r => r.getLong(0) == 2L && r.getTimestamp(2) == null)
+      assert(nullRows == 1, s"NULL attribution row emitted $nullRows times")
+    } finally q2.stop()
   }
 }
