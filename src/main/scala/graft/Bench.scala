@@ -1,14 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
-  /** q25/q28 are legitimately no-oracle (sketch internals are
-    * engine-local), so their accuracy contract — HLL within 5% of exact
-    * distinct, GK percentiles within 2% of exact — is asserted HERE, at
-    * whatever SF the bench measures, not only at ApproxSpec's fixed test
-    * SF. Untimed (runs after the timed loop); a violation marks the
-    * bench line `"ok":false` and logs loudly rather than aborting, so
-    * the timing record survives for diagnosis. Returns a JSON object
-    * string. */
+  /** q25/q28/q106 are legitimately no-oracle (sketch internals are
+    * engine-local), so their accuracy contracts — HLL within 5% of exact
+    * distinct, GK percentiles within 2% of exact, and q106's rollup
+    * soundness (union-of-hourly-sketches estimate EQUALS the direct
+    * whole-day sketch estimate, and sits within 5% of exact) — are
+    * asserted HERE, at whatever SF the bench measures, not only at
+    * ApproxSpec's fixed test SF. Untimed (runs after the timed loop); a
+    * violation marks the bench line `"ok":false` and logs loudly rather
+    * than aborting, so the timing record survives for diagnosis.
+    * Returns a JSON object string. */
   private def approxBounds(spark: SparkSession, sfDir: String): String = {
     import org.apache.spark.sql.functions._
     def rel(a: Double, e: Double) = math.abs(a - e) / e
@@ -30,13 +32,36 @@ object Bench {
       val q28Err = exactP.map { case (f, (p50, p95)) =>
         val (a50, a95) = approxP(f)
         math.max(rel(a50, p50), rel(a95, p95)) }.max
+      // q106 rollup soundness (ApproxSpec's two properties, re-asserted
+      // at the bench SF so every round's record carries them): the
+      // union-of-hourly-sketches day estimate must EQUAL the direct
+      // whole-day sketch estimate — register-wise max is associative, so
+      // pre-aggregation loses nothing — and sit within 5% of exact
+      val ev = graft.queries.events(spark, sfDir)
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+      val direct = ev.groupBy(col("day"))
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exactU = ev.groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val rolled = graft.queries.Aggregates.q106HllRollup(spark, sfDir)
+        .collect().map(r => (r.getString(0), r.getLong(2)))
+      val q106Sound = rolled.nonEmpty && rolled.forall { case (day, est) =>
+        est == direct(day) }
+      val q106Err = rolled.map { case (day, est) =>
+        rel(est.toDouble, exactU(day).toDouble) }.max
       graft.core.CacheScope.drain()
-      val ok = q25Err < 0.05 && q28Err < 0.02
+      val ok = q25Err < 0.05 && q28Err < 0.02 && q106Sound && q106Err < 0.05
       if (!ok) System.err.println(
-        f"[bench] APPROX BOUND VIOLATED: q25 rel err $q25Err%.4f (limit .05), q28 $q28Err%.4f (limit .02)")
+        f"[bench] APPROX BOUND VIOLATED: q25 rel err $q25Err%.4f (limit .05), " +
+          f"q28 $q28Err%.4f (limit .02), q106 union==direct $q106Sound, " +
+          f"q106 rel err $q106Err%.4f (limit .05)")
       else System.err.println(
-        f"[bench] approx bounds ok: q25 rel err $q25Err%.4f < .05, q28 $q28Err%.4f < .02")
-      f"""{"q25_max_rel_err":$q25Err%.6f,"q28_max_rel_err":$q28Err%.6f,"ok":$ok}"""
+        f"[bench] approx bounds ok: q25 rel err $q25Err%.4f < .05, q28 $q28Err%.4f < .02, " +
+          f"q106 union==direct, rel err $q106Err%.4f < .05")
+      f"""{"q25_max_rel_err":$q25Err%.6f,"q28_max_rel_err":$q28Err%.6f,""" +
+        f""""q106_union_eq_direct":$q106Sound,"q106_max_rel_err":$q106Err%.6f,"ok":$ok}"""
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] approx-bound check failed: ${e.getMessage}")
       s"""{"ok":false,"err":"${e.getClass.getSimpleName}"}"""

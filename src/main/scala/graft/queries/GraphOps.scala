@@ -17,6 +17,25 @@ object GraphOps {
 
   private val PrRounds = 2
 
+  /** Storage level for the graph intermediates (q111's edges/deg, q115's
+    * co/arcs/adj): MEMORY_AND_DISK_SER, chosen by measurement, not
+    * theory (VERDICT r10 item 6). The same-JVM interleaved A/B
+    * ([[graft.tools.GraphPersistProbe]], 2026-08-14, sf0.1, contended
+    * boot, 5 rounds) read: q111 SER 2.08–2.23 s vs DISK 2.82–3.53 s —
+    * a ~0.7 s win in EVERY round, not noise (the edge cache is
+    * re-scanned twice per rank round, so smaller serialized blocks cut
+    * exactly the memory-bandwidth footprint the co-tenant contention
+    * multiplies); q115 a wash on mins (4.34 vs 4.44 s) with SER the
+    * more outlier-robust arm (worst rounds 5.35 vs 11.99 s). Env-dialed
+    * (`GRAFT_GRAPH_PERSIST=MEMORY_AND_DISK`) for a CPU-starved,
+    * bandwidth-rich deployment where the trade reverses. */
+  private[graft] val GraphPersistLevel: org.apache.spark.storage.StorageLevel =
+    sys.env.get("GRAFT_GRAPH_PERSIST") match {
+      case Some("MEMORY_AND_DISK") =>
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      case _ => org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    }
+
   /** Node-count ceiling under which each PageRank round's state table
     * (one row per node) broadcasts to the cached edge partitions: the
     * edges then never re-sort or re-shuffle for the join, and the only
@@ -57,8 +76,10 @@ object GraphOps {
 
   /** `maxBroadcastNodes` exposed for the spec: GraphOpsSpec pins the
     * broadcast and shuffle spellings row-identical (the fallback is a
-    * tested execution path, not a comment). */
-  private[graft] def q111WithStrategy(rounds: Int, maxBroadcastNodes: Long): Q =
+    * tested execution path, not a comment). `persistLevel` exposed for
+    * [[graft.tools.GraphPersistProbe]] — see [[GraphPersistLevel]]. */
+  private[graft] def q111WithStrategy(rounds: Int, maxBroadcastNodes: Long,
+      persistLevel: org.apache.spark.storage.StorageLevel = GraphPersistLevel): Q =
     (spark, dir) => {
     require(rounds >= 1, s"pagerank needs >= 1 round, got $rounds")
     val trade = t(spark, dir, "orders")
@@ -68,11 +89,13 @@ object GraphOps {
         col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
       .distinct()
-    val edges = trade.select(col("c").as("src"), col("s").as("dst"))
-      .unionByName(trade.select(col("s").as("src"), col("c").as("dst")))
-      .scopedPersist
-    val deg = edges.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("outdeg")).scopedPersist
+    val edges = graft.core.CacheScope.persist(
+      trade.select(col("c").as("src"), col("s").as("dst"))
+        .unionByName(trade.select(col("s").as("src"), col("c").as("dst"))),
+      persistLevel)
+    val deg = graft.core.CacheScope.persist(
+      edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("outdeg")), persistLevel)
     // the one driver-side scalar: N for the seed/teleport constant —
     // and the broadcast dial: state is exactly one row per node, so
     // below the node cap each round's state ships TO the cached edge
@@ -169,8 +192,10 @@ object GraphOps {
 
   /** `maxBroadcastArcs` exposed for the spec: GraphOpsSpec pins the
     * broadcast and shuffle adjacency spellings row-identical (the
-    * above-cap fallback is a tested execution path, not a comment). */
-  private[graft] def q115WithStrategy(maxWidth: Int, maxBroadcastArcs: Long): Q =
+    * above-cap fallback is a tested execution path, not a comment).
+    * `persistLevel` exposed for [[graft.tools.GraphPersistProbe]]. */
+  private[graft] def q115WithStrategy(maxWidth: Int, maxBroadcastArcs: Long,
+      persistLevel: org.apache.spark.storage.StorageLevel = GraphPersistLevel): Q =
     (spark, dir) => {
     require(maxWidth >= 2, s"order-width cap $maxWidth admits no pairs")
     val li0 = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
@@ -187,24 +212,26 @@ object GraphOps {
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-      .distinct().scopedPersist
+      .distinct()
+    graft.core.CacheScope.persist(co, persistLevel)
     val deg = co.select(col("u").as("node"))
       .unionByName(co.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
-    val arcs = co
+    val arcs = graft.core.CacheScope.persist(co
       .join(deg.select(col("node").as("un"), col("deg").as("du")), col("u") === col("un"))
       .join(deg.select(col("node").as("vn"), col("deg").as("dv")), col("v") === col("vn"))
       .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
-        when(fwd, col("v")).otherwise(col("u")).as("dst"))
-      .scopedPersist
+        when(fwd, col("v")).otherwise(col("u")).as("dst")),
+      persistLevel)
     // one driver scalar (q68's convergence-scalar pattern): materializes
     // the arc persist and picks the strategy for both adjacency attaches
     val nArcs = arcs.count()
     val small = nArcs <= maxBroadcastArcs
-    val adj = arcs.groupBy(col("src"))
-      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-      .scopedPersist
+    val adj = graft.core.CacheScope.persist(
+      arcs.groupBy(col("src"))
+        .agg(sort_array(collect_list(col("dst"))).as("nbrs")),
+      persistLevel)
     val adjU = adj.select(col("src").as("au"), col("nbrs").as("nu"))
     val adjV = adj.select(col("src").as("av"), col("nbrs").as("nv"))
     // NOTE: an explode-derived edge stream (explode the cached

@@ -28,7 +28,7 @@ object TokenStats {
     * per-doc scoring (the oracle-side mirror is [[bigsCte]]; keep the
     * two in lockstep). Persisted: every caller both aggregates the
     * pairs globally and re-consumes them row-wise. */
-  private[queries] def bigramStream(docs: DataFrame): DataFrame =
+  private[graft] def bigramStream(docs: DataFrame): DataFrame =
     docs.withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(transform(
@@ -54,7 +54,19 @@ object TokenStats {
     * (num1·num2·1e6 ≤ 1e30 ≪ 1e38), and the quotient capped at 1e12
     * micro-units — "more than a million times over-represented reads as
     * a million times", q70's IDF-clipping argument. IntegralDivide
-    * returns BIGINT on both engines below the cap. */
+    * returns BIGINT on both engines below the cap.
+    *
+    * Why DECIMAL and not a q70-style pure-BIGINT decompose (VERDICT r10
+    * item 4, probed by [[graft.tools.Q118Probe]]): the lift runs only on
+    * the cnt≥5-filtered AGGREGATED pair table — vocab-shaped, ~10⁴ rows
+    * at sf0.1 — and a same-JVM interleaved A/B (decimal vs naive-BIGINT
+    * vs no-lift-at-all) measured all three within noise (means
+    * 1.34/1.33/1.30 s at sf0.1); the r9→r10 +0.5 s was boot contention,
+    * not decimal. A wrap-safe BIGINT spelling would also need TWO
+    * nested decompositions here (both cnt·total·1e6 and cl·cr can pass
+    * 2⁶³, and the q70 recipe's mod-term product (cnt·1e6 mod cl)·total
+    * itself wraps) — strictly more per-row work than one decimal
+    * mul/div, for zero measured gain. */
   private def liftMic(num1: String, num2: String, den1: String, den2: String) =
     expr(s"""least(1000000000000L,
       |  (cast($num1 as decimal(38,0)) * $num2 * 1000000)

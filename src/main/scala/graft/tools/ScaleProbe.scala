@@ -75,6 +75,12 @@ object ScaleProbe {
     // vocab-shaped frame) must aggregate two-phase and never cross a
     // single-partition window
     "q118_collocations",
+    // round 11 (VERDICT r10 item 3): q67's tfidf — a (doc × term) score
+    // over the token stream with a df-capped vocabulary join — was the
+    // last bench-expensive op arguing linearity in comments only; its
+    // token⋈vocab join must track the k× token stream while the salted
+    // vocab stays join-local
+    "q67_tfidf_terms",
     // round 10 third wave: q129's per-lang ordered prefix sum must track
     // the k× doc stream — lang cardinality is construction-constant, so
     // this is the probe that would expose the window degenerating into a
@@ -448,6 +454,15 @@ object ScaleProbe {
     import spark.implicits._
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       graft.core.GraftSession.RocksDBProviderClass)
+    // Bound the driver-side materialization: MemoryStream is fed from the
+    // driver by construction, and the probe must not OOM the very driver
+    // it avoids measuring. Each cell takes the first MaxStreamRows rows
+    // in key order (sort+limit run in Spark, so the driver only ever
+    // holds the capped set) — far above every sf this probe runs at
+    // (sf0.1 × k=8 ≈ 800 k event rows), so the cap is a guard rail, not
+    // a truncation in practice; a capped cell logs loudly below.
+    val MaxStreamRows: Int =
+      sys.env.getOrElse("GRAFT_PROBE_STREAM_MAX_ROWS", "2000000").toInt
     def timeStream[I, O](warm: Seq[I], bulk: Seq[I],
         wire: org.apache.spark.sql.Dataset[I] => org.apache.spark.sql.Dataset[O])(
         implicit enc: org.apache.spark.sql.Encoder[I]): Double = {
@@ -486,8 +501,11 @@ object ScaleProbe {
             case "s88_token_meter" =>
               val rows = spark.read.parquet(s"$dir/documents.parquet")
                 .select(col("lang"), col("doc_id"),
-                  size(split(col("text"), " ")).cast("long"))
+                  size(split(col("text"), " ")).cast("long").as("n"))
+                .orderBy("doc_id").limit(MaxStreamRows)
                 .as[(String, Long, Long)].collect().sortBy(_._2)
+              if (rows.length == MaxStreamRows)
+                System.err.println(s"[scaleprobe] s88 cell CAPPED at $MaxStreamRows rows")
               val (w, b) = rows.splitAt(math.min(64, rows.length / 10))
               (timeStream[(String, Long, Long), (String, Long, Long, Boolean, Long)](
                 w.toSeq, b.toSeq, ds => graft.streaming.TokenBudget.meter(ds)),
@@ -495,16 +513,22 @@ object ScaleProbe {
             case "s91_funnel" =>
               val rows = graft.queries.events(spark, dir)
                 .select(col("user_id"), col("event_type"),
-                  expr("unix_micros(ts)"), col("event_id"))
+                  expr("unix_micros(ts)").as("tus"), col("event_id"))
+                .orderBy("tus", "event_id").limit(MaxStreamRows)
                 .as[(Long, String, Long, Long)].collect().sortBy(r => (r._3, r._4))
+              if (rows.length == MaxStreamRows)
+                System.err.println(s"[scaleprobe] s91 cell CAPPED at $MaxStreamRows rows")
               val (w, b) = rows.splitAt(math.min(64, rows.length / 10))
               (timeStream[(Long, String, Long, Long), graft.streaming.FunnelTracker.Out](
                 w.toSeq, b.toSeq, ds => graft.streaming.FunnelTracker.track(ds)),
                 b.length.toLong) // bulk only: warm rows are untimed
             case _ =>
               val rows = spark.read.parquet(s"$dir/documents.parquet")
-                .select(col("source"), col("doc_id"), xxhash64(col("text")))
+                .select(col("source"), col("doc_id"), xxhash64(col("text")).as("fp"))
+                .orderBy("doc_id").limit(MaxStreamRows)
                 .as[(String, Long, Long)].collect().sortBy(_._2)
+              if (rows.length == MaxStreamRows)
+                System.err.println(s"[scaleprobe] s92 cell CAPPED at $MaxStreamRows rows")
               val (w, b) = rows.splitAt(math.min(64, rows.length / 10))
               (timeStream[(String, Long, Long), (String, Long, Long, Boolean)](
                 w.toSeq, b.toSeq, ds => graft.streaming.RecentDupGate.gate(ds)),

@@ -29,6 +29,32 @@ class SetKeepPositionsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: interpreted eval equals the Scala reference at full ScalaCheck volume") {
+    // the codegen property above is capped at 30 cases (a Spark job per
+    // case); the interpreted path costs nothing, so run the same
+    // contract at 300 — duplicates in BOTH the array and the probe list
+    // included (the kernel sorts the probe table with duplicates and
+    // binarySearch answers membership regardless)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val vals = org.scalacheck.Gen.listOf(org.scalacheck.Gen.chooseNum(-50L, 50L))
+    val prop = org.scalacheck.Prop.forAll(vals, vals) {
+      (arrRaw: List[Long], probesRaw: List[Long]) =>
+        val want = arrRaw.zipWithIndex.collect {
+          case (v, i) if !probesRaw.contains(v) => i
+        }
+        val e = SetKeepPositions(
+          Literal(new GenericArrayData(arrRaw.toArray), ArrayType(LongType)),
+          probesRaw.toIndexedSeq)
+        val got = e.eval(null).asInstanceOf[ArrayData].toIntArray().toSeq
+        got == want
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("interpreted path, order preservation, and extreme values") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}

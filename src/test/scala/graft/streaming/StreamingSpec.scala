@@ -1132,6 +1132,44 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset(key)
   }
 
+  test("s92c: the ListState dup ring survives a query restart from its checkpoint") {
+    // completes the state-primitive recovery matrix: s88b pins
+    // ValueState, s90b MapState + timers, s89b join state — this pins
+    // ListState. The ring's memory of pre-restart fingerprints is the
+    // recovered artifact: doc 3 re-delivers doc 1's fingerprint after
+    // the restart and must flag; a reset ring would admit it.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key, graft.core.GraftSession.RocksDBProviderClass)
+    try {
+      val ckpt = tmpDir("s92c_ckpt")
+      val out = tmpDir("s92c_out")
+      val in = MemoryStream[(String, Long, Long)](spark)
+      def start() = RecentDupGate.gate(in.toDS(), window = 3)
+        .toDF("source", "doc_id", "fp", "is_recent_dup")
+        .writeStream.outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out).start()
+      def flags() = spark.read.parquet(out).collect()
+        .map(r => r.getLong(1) -> r.getBoolean(3)).toMap
+      val q1 = start()
+      try {
+        in.addData(("s", 1L, 77L), ("s", 2L, 10L))
+        q1.processAllAvailable()
+        assert(flags() == Map(1L -> false, 2L -> false))
+      } finally q1.stop() // crash point: ring holds [77, 10]
+      val q2 = start()
+      try {
+        // 77 sits 2 back in the RECOVERED ring — must flag; and the
+        // high-water register recovered too: doc 4 below doc 3 is a
+        // contract violation even across the restart boundary
+        in.addData(("s", 3L, 77L))
+        q2.processAllAvailable()
+        assert(flags() == Map(1L -> false, 2L -> false, 3L -> true),
+          s"recovered ring must flag the pre-restart fingerprint: ${flags()}")
+      } finally q2.stop()
+    } finally spark.conf.unset(key)
+  }
+
   test("s88c: the ordered-fold gates fail fast on a cross-batch ordering violation") {
     // s88/s91/s92 are correct only under the disjoint-ascending input
     // contract; a source that violates it must surface as a QUERY ERROR,
