@@ -32,11 +32,17 @@ object Bench {
       val q28Err = exactP.map { case (f, (p50, p95)) =>
         val (a50, a95) = approxP(f)
         math.max(rel(a50, p50), rel(a95, p95)) }.max
-      // q106 rollup soundness (ApproxSpec's two properties, re-asserted
-      // at the bench SF so every round's record carries them): the
-      // union-of-hourly-sketches day estimate must EQUAL the direct
-      // whole-day sketch estimate — register-wise max is associative, so
-      // pre-aggregation loses nothing — and sit within 5% of exact
+      // q106 rollup soundness, re-asserted at the bench SF so every
+      // round's record carries it. The sound claim (learned the hard way
+      // when an exact-equality gate tripped at sf0.1 while passing at
+      // sf0.001): the union SKETCH is lossless — register-wise max is
+      // associative — but a directly-built DataSketches HLL serves the
+      // HIP estimator while a union result must serve the composite
+      // estimator, so the two ESTIMATES agree only within estimator
+      // error (lgK=12 → RSE ≈ 1.6%; they are bit-equal in the
+      // small-cardinality sparse regime, which is what ApproxSpec's
+      // fixed-SF run sees). Gates: union-vs-direct within 5% (≈3 RSE)
+      // and the rollup estimate within 5% of exact distinct.
       val ev = graft.queries.events(spark, sfDir)
         .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
       val direct = ev.groupBy(col("day"))
@@ -47,21 +53,22 @@ object Bench {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val rolled = graft.queries.Aggregates.q106HllRollup(spark, sfDir)
         .collect().map(r => (r.getString(0), r.getLong(2)))
-      val q106Sound = rolled.nonEmpty && rolled.forall { case (day, est) =>
-        est == direct(day) }
+      val q106VsDirect = rolled.map { case (day, est) =>
+        rel(est.toDouble, direct(day).toDouble) }.max
       val q106Err = rolled.map { case (day, est) =>
         rel(est.toDouble, exactU(day).toDouble) }.max
       graft.core.CacheScope.drain()
-      val ok = q25Err < 0.05 && q28Err < 0.02 && q106Sound && q106Err < 0.05
+      val ok = q25Err < 0.05 && q28Err < 0.02 &&
+        rolled.nonEmpty && q106VsDirect < 0.05 && q106Err < 0.05
       if (!ok) System.err.println(
         f"[bench] APPROX BOUND VIOLATED: q25 rel err $q25Err%.4f (limit .05), " +
-          f"q28 $q28Err%.4f (limit .02), q106 union==direct $q106Sound, " +
-          f"q106 rel err $q106Err%.4f (limit .05)")
+          f"q28 $q28Err%.4f (limit .02), q106 union-vs-direct $q106VsDirect%.4f " +
+          f"(limit .05), q106 rel err $q106Err%.4f (limit .05)")
       else System.err.println(
         f"[bench] approx bounds ok: q25 rel err $q25Err%.4f < .05, q28 $q28Err%.4f < .02, " +
-          f"q106 union==direct, rel err $q106Err%.4f < .05")
+          f"q106 union-vs-direct $q106VsDirect%.4f < .05, vs exact $q106Err%.4f < .05")
       f"""{"q25_max_rel_err":$q25Err%.6f,"q28_max_rel_err":$q28Err%.6f,""" +
-        f""""q106_union_eq_direct":$q106Sound,"q106_max_rel_err":$q106Err%.6f,"ok":$ok}"""
+        f""""q106_union_vs_direct_rel":$q106VsDirect%.6f,"q106_max_rel_err":$q106Err%.6f,"ok":$ok}"""
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] approx-bound check failed: ${e.getMessage}")
       s"""{"ok":false,"err":"${e.getClass.getSimpleName}"}"""
@@ -72,6 +79,19 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    // Measurement protocol (BASELINE.md §"Bench-gate protocol"):
+    //   warm1+min2 (default) — per query one discarded warm rep, then
+    //     min of two timed reps; the gate protocol since round 8 (single
+    //     reps swung 37% boot-to-boot).
+    //   cold1 (GRAFT_BENCH_PROTOCOL=cold1) — every query exactly once,
+    //     first-touch codegen/JIT billed to the query, matching how the
+    //     39.0 s round-1 baseline was recorded; exists so BASELINE.md
+    //     can carry measured anchors for BOTH protocols on one boot.
+    // Fixture/bucket-table warmup below runs in either protocol: it is
+    // scaffolding (one-time file writes), not query work.
+    val protocol = sys.env.getOrElse("GRAFT_BENCH_PROTOCOL", "warm1+min2")
+    require(protocol == "warm1+min2" || protocol == "cold1",
+      s"GRAFT_BENCH_PROTOCOL=$protocol — known protocols: warm1+min2, cold1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -125,11 +145,17 @@ object Bench {
         System.gc()
         dt
       }
-      val warm = rep()
-      val timed = Seq(rep(), rep())
-      System.err.println(f"[bench] done  $name min ${timed.min}%.2f s " +
-        f"(warm $warm%.2f, reps ${timed.map(t => f"$t%.2f").mkString("/")})")
-      (name, timed.min, timed)
+      if (protocol == "cold1") {
+        val t = rep()
+        System.err.println(f"[bench] done  $name cold $t%.2f s")
+        (name, t, Seq(t))
+      } else {
+        val warm = rep()
+        val timed = Seq(rep(), rep())
+        System.err.println(f"[bench] done  $name min ${timed.min}%.2f s " +
+          f"(warm $warm%.2f, reps ${timed.map(t => f"$t%.2f").mkString("/")})")
+        (name, timed.min, timed)
+      }
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -137,7 +163,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val bounds = approxBounds(spark, sfDir)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"warm1+min2","queries":$qs,"approx_bounds":$bounds,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol","queries":$qs,"approx_bounds":$bounds,"sf":"$sfDir"}"""
     println(line)
     // stdout tail-capture can truncate long runs; the file copy is the
     // durable record (driver picks up either). Both files anchor to the
@@ -164,7 +190,7 @@ object Bench {
       val cpusJson =
         if (cpus.matches("[0-9]+")) cpus
         else "\"" + cpus.replaceAll("[\"\\\\]", "") + "\""
-      val stamped = s"""{"ts":"${java.time.Instant.now()}","sf":"$sfDir","cpus":$cpusJson,"protocol":"warm1+min2","total":$total,"queries":$qs,"reps":$reps}"""
+      val stamped = s"""{"ts":"${java.time.Instant.now()}","sf":"$sfDir","cpus":$cpusJson,"protocol":"$protocol","total":$total,"queries":$qs,"reps":$reps}"""
       java.nio.file.Files.writeString(
         root.resolve("BENCH_HISTORY.jsonl"), stamped + "\n",
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)

@@ -147,11 +147,18 @@ object Aggregates {
     * column and serves arbitrary ranges by union.
     *
     * No oracle (DuckDB's approx_count_distinct is a different HLL
-    * implementation); rows-only, with TWO spec-pinned properties in
-    * ApproxSpec: the union-of-bucket-sketches estimate must EQUAL the
-    * direct whole-day sketch estimate (register-wise max is associative
-    * and order-independent — the property that makes the rollup sound),
-    * and the day estimates sit within 5% of exact distinct counts. */
+    * implementation); rows-only, with TWO pinned properties (ApproxSpec
+    * at the test SF, and re-asserted by Bench.approxBounds at every
+    * bench SF since round 11): the union-of-bucket-sketches estimate
+    * tracks the direct whole-day sketch estimate within 5% (≈3× the
+    * lgK=12 RSE), and the day estimates sit within 5% of exact distinct
+    * counts. The union-vs-direct bound is deliberately NOT equality:
+    * the union SKETCH is lossless (register-wise max is associative and
+    * order-independent), but a directly-built sketch serves the HIP
+    * estimator while a union result serves the composite estimator, so
+    * the estimates are bit-equal only in the sparse/list regime —
+    * measured 0.3% apart at sf0.1 (both ~1.5% from exact), where an
+    * exact-equality gate tripped. */
   val q106HllRollup: Q = (spark, dir) => {
     val ev = events(spark, dir)
       .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),

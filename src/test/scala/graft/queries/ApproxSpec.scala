@@ -24,11 +24,18 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
-  test("q106: hour-sketch union ≡ direct day sketch, and within 5% of exact") {
-    // property 1 — the rollup's soundness: unioning the hourly sketches
-    // must give the SAME estimate as sketching the whole day directly
-    // (HLL register-wise max is associative/order-independent, so
-    // pre-aggregation loses nothing)
+  test("q106: hour-sketch union tracks the direct day sketch, and within 5% of exact") {
+    // property 1 — the rollup's soundness: the union SKETCH is lossless
+    // (HLL register-wise max is associative/order-independent), but the
+    // ESTIMATES can differ within estimator error — a directly-built
+    // DataSketches HLL serves the HIP estimator while a union result
+    // must serve the composite estimator. At this SF's per-day
+    // cardinality the sketches sit in the sparse/list regime where both
+    // estimators are exact, so the 5% bound is loose here — but the
+    // bound, not equality, is the claim that survives any SF (the
+    // round-11 bench gate tripped an exact-equality spelling at sf0.1:
+    // 0.3% apart, both estimates within 1.5% of exact). The bench
+    // re-asserts this bound at its own SF every round (Bench.approxBounds).
     val ev = events(spark, sf)
       .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
     val direct = ev.groupBy(col("day"))
@@ -39,8 +46,9 @@ class ApproxSpec extends SparkSpec {
     assert(rolled.nonEmpty)
     rolled.foreach { case (day, nHours, est) =>
       assert(nHours >= 1 && nHours <= 24, s"$day: $nHours hourly buckets")
-      assert(est == direct(day),
-        s"$day: union-of-hours $est != direct day sketch ${direct(day)} — rollup unsound")
+      val d = direct(day)
+      assert(math.abs(est - d).toDouble / d < 0.05,
+        s"$day: union-of-hours $est vs direct day sketch $d — rollup unsound")
     }
     // property 2 — the estimate is usable: within 5% of exact distinct
     val exact = ev.groupBy(col("day"))
