@@ -878,6 +878,55 @@ object LlmOps {
       floor(cumBefore / lit(512.0)).cast("long").as("pack_id")))
   }
 
+  /** Sliding-window chunk geometry for q130 — window W tokens, stride S
+    * (overlap W−S). Env-dialed; the oracle SQL interpolates the SAME
+    * values so both engines chunk on one geometry. */
+  private[graft] val ChunkWindow: Int = {
+    val w = sys.env.getOrElse("GRAFT_CHUNK_WINDOW", "64").toInt
+    require(w >= 2, s"GRAFT_CHUNK_WINDOW=$w — a window under 2 tokens is a typo")
+    w
+  }
+  private[graft] val ChunkStride: Int = {
+    val s = sys.env.getOrElse("GRAFT_CHUNK_STRIDE", "48").toInt
+    require(s >= 1 && s <= ChunkWindow,
+      s"GRAFT_CHUNK_STRIDE=$s must sit in [1, window=$ChunkWindow] — a stride " +
+        "past the window leaves token gaps no chunk covers")
+    s
+  }
+
+  /** q130 [EXT]: sliding-window chunking — q97's complement: q97 PACKS
+    * short documents into fixed-budget sequences; this SPLITS long
+    * documents into window-W token chunks at stride S, the overlap
+    * (W−S tokens) preserving cross-boundary context the way a
+    * pretraining tokenizer pipeline expects (a sentence cut at a hard
+    * boundary reappears whole in the next chunk). Chunks start at token
+    * 1, 1+S, 1+2S, … ≤ n, so every token lands in ≥ 1 chunk for any
+    * S ≤ W (the dial's own require), and the tail chunk truncates to
+    * the document edge rather than padding — n_chunk_toks carries the
+    * truth.
+    *
+    * 100 TB: the ideal map-only shape — one row-local Generate
+    * (posexplode over the start sequence) inside whole-stage codegen,
+    * NO shuffle, NO join, output ~n/S rows per doc; the corpus is read
+    * once and chunk rows stream straight to the sink. Geometry is
+    * env-dialed and interpolated into the oracle (q103's convention). */
+  val q130ChunkWindows: Q = (spark, dir) => {
+    val w = ChunkWindow
+    val s = ChunkStride
+    val d = t(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+    orderAll(d
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(1), size(col("toks")), lit(s))).as(Seq("pos", "start")))
+      .select(
+        col("doc_id"),
+        (col("pos") + 1).cast("long").as("chunk_idx"),
+        col("start").cast("long").as("start_tok"),
+        least(lit(w), size(col("toks")) - col("start") + 1).cast("long")
+          .as("n_chunk_toks"),
+        array_join(slice(col("toks"), col("start"), lit(w)), " ").as("chunk_text")))
+  }
+
   /** q77: text normalization — the canonicalization pass that FEEDS
     * dedup (q80 groups by `lower(trim(text))`; production corpora also
     * need whitespace collapse and control-char stripping before any
@@ -1225,6 +1274,7 @@ object LlmOps {
     "q95_sample_hash" -> q95SampleHash,
     "q96_quota_per_lang" -> q96QuotaPerLang,
     "q97_pack_sequences" -> q97PackSequences,
+    "q130_chunk_windows" -> q130ChunkWindows,
     "q99_dataset_mixture" -> q99DatasetMixture,
     "q77_text_normalize" -> q77TextNormalize,
     "q79_pii_scrub" -> q79PiiScrub,
@@ -1577,6 +1627,22 @@ object LlmOps {
         |    0) / 512.0) AS BIGINT) AS pack_id
         |FROM documents
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
+    "q130_chunk_windows" ->
+      // same geometry interpolated (window/stride env dials); DuckDB
+      // range() is end-exclusive so the +1 keeps the final start at
+      // len(toks); list slicing toks[a:b] is 1-based inclusive, the
+      // mirror of Spark's slice(arr, start, length)
+      s"""WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST((i - 1) // $ChunkStride + 1 AS BIGINT) AS chunk_idx,
+        |  CAST(i AS BIGINT) AS start_tok,
+        |  CAST(least($ChunkWindow, len(toks) - i + 1) AS BIGINT) AS n_chunk_toks,
+        |  array_to_string(toks[i : least(i + ${ChunkWindow - 1}, len(toks))], ' ')
+        |    AS chunk_text
+        |FROM base, unnest(range(1, len(toks) + 1, $ChunkStride)) AS t(i)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+        |  5 NULLS FIRST""".stripMargin,
     "q94_train_test_split" ->
       // every % is wrapped ((x % m) + m) % m to mirror Spark's pmod:
       // DuckDB's % keeps the sign, so a negative doc_id would otherwise

@@ -98,6 +98,48 @@ class LlmOpsSpec extends SparkSpec {
       s"hot band leaked into candidates: ${out.size} pairs")
   }
 
+  test("q130 chunking covers every token, overlaps by W-S, and truncates only the tail") {
+    // the invariants the oracle's hash can't state directly: (a) the
+    // chunk set tiles the document — union of [start, start+len-1]
+    // covers [1, n] for any S <= W; (b) consecutive chunks overlap by
+    // exactly W-S except at the tail; (c) only the last chunk may be
+    // short, and its length is the exact remainder; (d) chunk_text
+    // really is the slice its coordinates claim
+    import org.apache.spark.sql.functions.col
+    val w = LlmOps.ChunkWindow
+    val s = LlmOps.ChunkStride
+    val docs = t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = LlmOps.q130ChunkWindows(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (docId, chunks) =>
+      val toks = docs(docId).split(" ", -1)
+      val n = toks.length
+      val sorted = chunks.sortBy(_._2)
+      // starts are exactly 1, 1+S, ... <= n
+      assert(sorted.map(_._3).toSeq == (1L to n.toLong by s.toLong).toSeq,
+        s"doc $docId: wrong start grid")
+      sorted.foreach { case (_, idx, start, len, text) =>
+        assert(len == math.min(w.toLong, n - start + 1),
+          s"doc $docId chunk $idx: bad length")
+        assert(text == toks.slice(start.toInt - 1, start.toInt - 1 + w).mkString(" "),
+          s"doc $docId chunk $idx: text is not the claimed slice")
+      }
+      // coverage: last chunk reaches the document edge; with S <= W no
+      // gap can open between consecutive chunks
+      val last = sorted.last
+      assert(last._3 + last._4 - 1 == n, s"doc $docId: tail not covered")
+      sorted.toSeq.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b._3 - a._3 == s && a._3 + a._4 - 1 >= b._3 - 1,
+            s"doc $docId: gap between chunks ${a._2} and ${b._2}")
+        case _ =>
+      }
+    }
+  }
+
   test("q94: Spark pmod and the oracle's ((x % m) + m) % m mirror agree on negative ids") {
     import spark.implicits._
     val P = 1000000007L
