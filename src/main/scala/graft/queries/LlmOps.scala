@@ -447,6 +447,42 @@ object LlmOps {
         col("cluster_size")))
   }
 
+  /** q131 [EXT]: near-dup cluster canonicalization — the ACTION step
+    * between q68's labels and the corpus rewrite: every near-dup
+    * cluster collapses to one canonical document, chosen by the
+    * standard keep-the-longest rule (max token count, tie → smallest
+    * doc_id — the untruncated original beats its planted re-crawl by
+    * construction, so the fixture makes the rule's effect observable).
+    * Output is TOTAL over cluster members (q103's gate argument): every
+    * member carries its cluster, length, and a `keep` verdict, so the
+    * downstream rewrite is one `filter(keep)` and the drop AUDIT (what
+    * was removed, and in favor of what) is the same frame.
+    *
+    * 100 TB: the label table from q68 dominates the cost (its own
+    * scale story); the selection itself is one doc_id-keyed join of two
+    * aggregate-shaped frames plus a per-CLUSTER window — partitions are
+    * bounded by duplicate multiplicity (never corpus-sized), and the
+    * window spills on a pathological million-copy cluster where any
+    * collect_list spelling would not. FULLY ORACLED: q68's recursive
+    * CTE extended by the same window. */
+  val q131DedupCanonical: Q = (spark, dir) => {
+    val labels = q68DedupClusters(spark, dir)
+    // token counts of the SAME planted frame q68/q81 cluster (originals
+    // + id-shifted truncated re-crawls); the inner join to labels keeps
+    // exactly the cluster members, so no len filter is needed here
+    val d = t(spark, dir, "documents")
+    val nTok = size(split(col("text"), " ")).cast("long")
+    val nt = d.select(col("doc_id"), nTok.as("n_toks"))
+      .unionByName(d.select((col("doc_id") + 1000000).as("doc_id"),
+        (nTok - 1).as("n_toks")))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_toks").desc, col("doc_id").asc)
+    orderAll(labels.join(nt, Seq("doc_id"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("n_toks"), col("keep")))
+  }
+
   /** Shingles with document frequency above this carry no near-dup signal
     * (they're corpus boilerplate) but dominate the inverted-index
     * self-join, whose work is Σ df² over shingles — at sf0.1 the uncapped
@@ -1270,6 +1306,7 @@ object LlmOps {
     "q65_dedup_incremental" -> q65DedupIncremental,
     "q67_tfidf_terms" -> q67TfidfTerms,
     "q68_dedup_clusters" -> q68DedupClusters,
+    "q131_dedup_canonical" -> q131DedupCanonical,
     "q80_dedup_exact" -> q80DedupExact,
     "q95_sample_hash" -> q95SampleHash,
     "q96_quota_per_lang" -> q96QuotaPerLang,
@@ -1585,6 +1622,48 @@ object LlmOps {
         |SELECT l.doc_id, l.cluster_id, sz.cluster_size
         |FROM lbl l JOIN sz USING (cluster_id)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    "q131_dedup_canonical" ->
+      // q68's recursive-CTE labels verbatim, extended by the canonical
+      // pick: keep-the-longest (token count desc, doc_id asc) per
+      // cluster — the planted frame's token counts come from the same
+      // dd CTE (originals + truncated re-crawls)
+      """WITH RECURSIVE dd AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    string_split(text, ' ')[1:len(string_split(text, ' ')) - 1]
+        |  FROM documents),
+        |docs AS (SELECT * FROM dd WHERE len(toks) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS sh
+        |  FROM docs, unnest(range(1, len(toks) - 1)) AS t(i)),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |prs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |vp AS (
+        |  SELECT d1, d2 FROM prs
+        |  JOIN sizes s1 ON s1.doc_id = d1
+        |  JOIN sizes s2 ON s2.doc_id = d2
+        |  WHERE CAST(common AS DOUBLE) / (s1.n_sh + s2.n_sh - common) >= 0.5),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM vp
+        |          UNION ALL SELECT d2, d1 FROM vp),
+        |reach(n, m) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        |  UNION
+        |  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m),
+        |lbl AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+        |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        |       FROM lbl GROUP BY 1),
+        |nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM dd)
+        |SELECT doc_id, cluster_id, cluster_size, n_toks,
+        |  (row_number() OVER (PARTITION BY cluster_id
+        |                      ORDER BY n_toks DESC, doc_id ASC) = 1) AS keep
+        |FROM lbl JOIN sz USING (cluster_id) JOIN nt USING (doc_id)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+        |  5 NULLS FIRST""".stripMargin,
     "q99_dataset_mixture" ->
       // q94's pmod-parity bucket, gated per-source by the same rate CASE
       """WITH b AS (

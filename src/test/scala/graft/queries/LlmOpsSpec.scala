@@ -140,6 +140,31 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("q131 keeps exactly one canonical per cluster, and the original beats its re-crawl") {
+    val rows = LlmOps.q131DedupCanonical(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (cluster, members) =>
+      assert(members.count(_._5) == 1,
+        s"cluster $cluster: ${members.count(_._5)} keepers")
+      // the keeper is the (n_toks desc, doc_id asc) maximum
+      val keeper = members.filter(_._5).head
+      assert(members.forall(m =>
+        Ordering[(Long, Long)].gteq((-m._4, m._1), (-keeper._4, keeper._1))),
+        s"cluster $cluster: keeper ${keeper._1} is not the canonical pick")
+      // planted structure: when an original and its truncated re-crawl
+      // share a cluster, the original (one token longer) must win
+      members.find(m => members.exists(_._1 == m._1 + 1000000)).foreach { orig =>
+        assert(!members.find(_._1 == orig._1 + 1000000).get._5,
+          s"cluster $cluster: truncated re-crawl kept over original ${orig._1}")
+      }
+      assert(members.length == members.head._3,
+        s"cluster $cluster: cluster_size disagrees with member count")
+    }
+    // the rule must actually fire somewhere: at least one keep=false row
+    assert(rows.exists(!_._5), "no document was ever dropped")
+  }
+
   test("q94: Spark pmod and the oracle's ((x % m) + m) % m mirror agree on negative ids") {
     import spark.implicits._
     val P = 1000000007L
