@@ -870,6 +870,46 @@ object LlmOps {
         bucket.as("bucket")))
   }
 
+  /** q132 [EXT]: temperature-scaled language rebalancing — the
+    * multilingual-mixing rule (exponent-smoothed sampling): language L
+    * with natural share p_L is kept at rate ∝ p_L^(α−1), flattening
+    * the head so low-resource languages are not drowned by the
+    * English-dominant crawl (the fixture's real shape: en carries ~3×
+    * any other lang, so the rule visibly fires), normalized so the
+    * SMALLEST language keeps everything (pure downsampling — no
+    * upsampling, no duplicated rows). α is FIXED at 1/2: keep rate
+    * r_L = √(n_min/n_L), because sqrt is the one power IEEE 754
+    * guarantees correctly rounded — identical in Spark and DuckDB —
+    * where an arbitrary-α pow() is libm-specific and would make the
+    * hash gate probabilistic (q70's no-ln argument, applied to the
+    * mixing exponent). Rates quantize to permille (floor — exact) and
+    * gate q94's deterministic Knuth bucket, so membership is stable
+    * under corpus growth and reruns like q95's sample.
+    *
+    * Output is TOTAL with an audit (n_lang, rate_permille, bucket,
+    * kept), q103's gate convention: the rewrite is `filter(kept)` and
+    * the mixing report is the same frame.
+    *
+    * 100 TB: per-language counts are an aggregate (langs ≪ corpus) that
+    * BROADCASTS back onto the scan; the keep decision is row-local —
+    * the corpus is read once and never shuffled. */
+  val q132TemperatureMix: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val minN = counts.agg(min(col("n_lang")).as("n_min"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .select(col("lang"), col("n_lang"),
+        floor(lit(1000.0) *
+            sqrt(col("n_min").cast("double") / col("n_lang").cast("double")))
+          .cast("long").as("rate_permille"))
+    val P = 1000000007L
+    val bucket = pmod(pmod(pmod(col("doc_id"), lit(P)) * lit(2654435761L), lit(P)), lit(1000L))
+    orderAll(d.select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .join(broadcast(rates), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_lang"), col("rate_permille"),
+        col("bucket"), (col("bucket") < col("rate_permille")).as("kept")))
+  }
+
   /** q96: per-language quota cap — corpus curation caps each language at
     * K=50 docs, keeping the best under a deterministic order (longest
     * first, doc_id tiebreak; in production the q85 quality score slots in
@@ -1307,6 +1347,7 @@ object LlmOps {
     "q67_tfidf_terms" -> q67TfidfTerms,
     "q68_dedup_clusters" -> q68DedupClusters,
     "q131_dedup_canonical" -> q131DedupCanonical,
+    "q132_temperature_mix" -> q132TemperatureMix,
     "q80_dedup_exact" -> q80DedupExact,
     "q95_sample_hash" -> q95SampleHash,
     "q96_quota_per_lang" -> q96QuotaPerLang,
@@ -1664,6 +1705,28 @@ object LlmOps {
         |FROM lbl JOIN sz USING (cluster_id) JOIN nt USING (doc_id)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
         |  5 NULLS FIRST""".stripMargin,
+    "q132_temperature_mix" ->
+      // same α=1/2 arithmetic: sqrt and the double division are IEEE
+      // correctly rounded on both engines, floor is exact, and the
+      // bucket is q94's pmod-parity spelling
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+        |           FROM documents GROUP BY 1),
+        |m AS (SELECT min(n_lang) AS n_min FROM c),
+        |r AS (SELECT lang, n_lang,
+        |        CAST(floor(1000.0 * sqrt(
+        |          CAST((SELECT n_min FROM m) AS DOUBLE) / CAST(n_lang AS DOUBLE)))
+        |          AS BIGINT) AS rate_permille
+        |      FROM c),
+        |b AS (SELECT doc_id, lang,
+        |        CAST(((((((((doc_id % 1000000007) + 1000000007) % 1000000007)
+        |              * 2654435761) % 1000000007) + 1000000007) % 1000000007) % 1000
+        |         + 1000) % 1000 AS BIGINT) AS bucket
+        |      FROM documents)
+        |SELECT b.doc_id, b.lang, r.n_lang, r.rate_permille, b.bucket,
+        |  b.bucket < r.rate_permille AS kept
+        |FROM b JOIN r USING (lang)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+        |  5 NULLS FIRST, 6 NULLS FIRST""".stripMargin,
     "q99_dataset_mixture" ->
       // q94's pmod-parity bucket, gated per-source by the same rate CASE
       """WITH b AS (

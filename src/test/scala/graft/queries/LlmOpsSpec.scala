@@ -165,6 +165,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.exists(!_._5), "no document was ever dropped")
   }
 
+  test("q132 temperature mix: smallest lang keeps all, rates fall with size as sqrt") {
+    val rows = LlmOps.q132TemperatureMix(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    val byLang = rows.groupBy(_._2)
+    val rates = byLang.map { case (l, ms) => l -> (ms.head._3, ms.head._4) }
+    // normalization: the smallest language's rate is exactly 1000 —
+    // every one of its docs is kept (pure downsampling, no upsampling)
+    val (minLang, (minN, minRate)) = rates.minBy(_._2._1)
+    assert(minRate == 1000L, s"$minLang (n=$minN) rate $minRate != 1000")
+    assert(byLang(minLang).forall(_._6), s"smallest lang $minLang dropped a doc")
+    // the rule: rate = floor(1000 * sqrt(n_min / n_L))
+    rates.foreach { case (l, (n, r)) =>
+      assert(r == math.floor(1000.0 * math.sqrt(minN.toDouble / n)).toLong,
+        s"$l: rate $r is not the alpha=1/2 rule for n=$n")
+    }
+    // the gate really is bucket < rate
+    rows.foreach { case (id, l, _, r, b, kept) =>
+      assert(kept == (b < r), s"doc $id in $l: kept=$kept but bucket=$b rate=$r")
+    }
+    // and it must actually rebalance: the fixture is en-dominant (~3×),
+    // so en's rate sits well below 1000 and real docs drop
+    assert(rates.values.exists(_._2 < 1000L),
+      s"all rates at 1000 — the rule never rebalances: $rates")
+    assert(rows.exists(!_._6), "no document was ever downsampled")
+  }
+
   test("q94: Spark pmod and the oracle's ((x % m) + m) % m mirror agree on negative ids") {
     import spark.implicits._
     val P = 1000000007L
