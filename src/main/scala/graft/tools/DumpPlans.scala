@@ -67,7 +67,10 @@ object DumpPlans {
       "q126_token_entropy" -> "token entropy: doc_id-keyed exchange reused by the tf agg, the doc-total window, and the per-doc re-agg; entropy arithmetic row-local BIGINT",
       "q127_iqr_outliers" -> "iqr fences: per-type exact-quantile agg (the only full shuffle), types-sized fence table broadcast back, outlier counts combine map-side",
       "q128_join_bloom_prefilter" -> "bloom prefilter: build side collapses to ONE sketch in a scalar subquery, might_contain prunes the probe scan BEFORE its shuffle, then the broadcast equi join",
-      "q129_token_budget" -> "token budget: ONE lang-keyed exchange feeding the ordered prefix-sum window, admission verdict a codegen'd row-local compare — no single-partition funnel, no second shuffle")
+      "q129_token_budget" -> "token budget: ONE lang-keyed exchange feeding the ordered prefix-sum window, admission verdict a codegen'd row-local compare — no single-partition funnel, no second shuffle",
+      "q130_chunk_windows" -> "chunking: one row-local Generate (posexplode over the start grid) inside whole-stage codegen — no join, no exchange before the dump sort; the map-only 100 TB shape",
+      "q131_dedup_canonical" -> "cluster canonicalization: q68's label table joined doc_id-keyed to the token counts, canonical pick a per-CLUSTER window (partitions bounded by duplicate multiplicity)",
+      "q132_temperature_mix" -> "temperature mix: lang counts aggregate with a 1-row broadcast min, rate table broadcast back onto the scan, keep verdict a codegen'd row-local compare — corpus never shuffled")
 
     val sb = new StringBuilder
     sb.append("# PLANS — finalized physical plans for headline queries\n\n")
