@@ -380,6 +380,43 @@ class PlanSpec extends SparkSpec {
       s"no window operator in the meter plan:\n$p")
   }
 
+  test("q130: chunking is map-only — one Generate, no join, no exchange but the result sort") {
+    // the 100 TB claim in the scaladoc, pinned: chunk rows are produced
+    // by a single row-local posexplode inside codegen, and the ONLY
+    // exchange in the whole plan is orderAll's range partitioning —
+    // the corpus itself never shuffles
+    val p = plan("q130_chunk_windows")
+    assert("Generate posexplode".r.findAllIn(p).size == 1,
+      s"expected exactly one posexplode Generate:\n$p")
+    assert(!p.contains("Join"), s"join in a map-only plan:\n$p")
+    assert("Exchange ".r.findAllIn(p).size == 1 &&
+      p.contains("Exchange rangepartitioning"),
+      s"expected the result sort's range exchange to be the only one:\n$p")
+  }
+
+  test("q131: the canonical pick is a per-cluster window, never a global funnel") {
+    // partitions are bounded by duplicate multiplicity only if the
+    // window really partitions on cluster_id; a bare row_number would
+    // silently serialize the whole label table
+    val p = plan("q131_dedup_canonical")
+    assert("hashpartitioning\\(cluster_id".r.findAllIn(p).nonEmpty,
+      s"no cluster_id partitioning for the canonical window:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition funnel in the canonical plan:\n$p")
+    assert(p.contains("row_number"), s"no rank window in the plan:\n$p")
+  }
+
+  test("q132: the mix decision reads only (doc_id, lang) and attaches rates by broadcast") {
+    // the corpus-side contract: bodies are never read (column pruning
+    // reaches the scan — `text` appears nowhere in the plan) and the
+    // rate table comes back as a broadcast join, so the corpus row
+    // path has no hash shuffle of its own
+    val p = plan("q132_temperature_mix")
+    assert(!p.contains("text"), s"document bodies read by the mix plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"rate table not attached by broadcast:\n$p")
+  }
+
   test("q74/q75: per-group top-k plans as a map-side WindowGroupLimit") {
     // same rewrite as q96/q67: each map task forwards at most k rows per
     // cluster (q74) / query vector (q75) before the exchange
