@@ -81,6 +81,13 @@ object ScaleProbe {
     // token⋈vocab join must track the k× token stream while the salted
     // vocab stays join-local
     "q67_tfidf_terms",
+    // round 11 additions: q130's chunk Generate must stay row-local at
+    // k× docs (map-only — any superlinearity means the explode started
+    // shuffling), q131 inherits q68's label cost plus a per-cluster
+    // window whose partitions are duplicate-multiplicity-bounded by
+    // construction (salted copies replay the base duplicate structure),
+    // q132's count+broadcast+filter must track the scan
+    "q130_chunk_windows", "q131_dedup_canonical", "q132_temperature_mix",
     // round 10 third wave: q129's per-lang ordered prefix sum must track
     // the k× doc stream — lang cardinality is construction-constant, so
     // this is the probe that would expose the window degenerating into a
