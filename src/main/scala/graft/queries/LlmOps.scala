@@ -985,23 +985,13 @@ object LlmOps {
     * (posexplode over the start sequence) inside whole-stage codegen,
     * NO shuffle, NO join, output ~n/S rows per doc; the corpus is read
     * once and chunk rows stream straight to the sink. Geometry is
-    * env-dialed and interpolated into the oracle (q103's convention). */
-  val q130ChunkWindows: Q = (spark, dir) => {
-    val w = ChunkWindow
-    val s = ChunkStride
-    val d = t(spark, dir, "documents")
-      .withColumn("toks", split(col("text"), " "))
-    orderAll(d
-      .select(col("doc_id"), col("toks"),
-        posexplode(sequence(lit(1), size(col("toks")), lit(s))).as(Seq("pos", "start")))
-      .select(
-        col("doc_id"),
-        (col("pos") + 1).cast("long").as("chunk_idx"),
-        col("start").cast("long").as("start_tok"),
-        least(lit(w), size(col("toks")) - col("start") + 1).cast("long")
-          .as("n_chunk_toks"),
-        array_join(slice(col("toks"), col("start"), lit(w)), " ").as("chunk_text")))
-  }
+    * env-dialed and interpolated into the oracle (q103's convention).
+    * The projection is the shared batch/stream code object
+    * [[graft.streaming.Chunker]] (s82/s85's convention) — s93 pins the
+    * streaming spelling row-identical to this oracled batch answer. */
+  val q130ChunkWindows: Q = (spark, dir) => orderAll(
+    graft.streaming.Chunker.chunk(t(spark, dir, "documents"),
+      ChunkWindow, ChunkStride))
 
   /** q77: text normalization — the canonicalization pass that FEEDS
     * dedup (q80 groups by `lower(trim(text))`; production corpora also

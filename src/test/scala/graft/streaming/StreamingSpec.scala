@@ -1132,6 +1132,43 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset(key)
   }
 
+  test("s93: the stateless chunker streams at ingest, row-identical to the oracled q130 batch") {
+    // chunking is safe to run AT INGEST because it is a pure projection
+    // (graft.streaming.Chunker — the s82/s85 shared-code-object
+    // convention): no state store, no watermark, each arriving doc fans
+    // out to its chunk rows in its own micro-batch. The pin: the real
+    // sf documents fixture streamed in three micro-batches must produce
+    // EXACTLY the DuckDB-oracled q130 batch answer's rows.
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("q130_chunk_windows")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(docs.nonEmpty && batch.nonEmpty)
+    val chunks = docs.grouped((docs.length + 2) / 3).toSeq
+    val in = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.Chunker.chunk(
+        in.toDF().toDF("doc_id", "text"),
+        graft.queries.LlmOps.ChunkWindow, graft.queries.LlmOps.ChunkStride)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("s93_out").start()
+    try {
+      chunks.foreach { c => in.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+      val got = spark.table("s93_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4))).toSet
+      assert(got == batch,
+        s"stream chunker diverged from the oracled batch answer:\n" +
+          s"stream-only=${(got -- batch).take(3)}\nbatch-only=${(batch -- got).take(3)}")
+      // and it really is stateless: no state operator in the progress
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "the chunker must not create a state operator")
+    } finally q.stop()
+  }
+
   test("s92c: the ListState dup ring survives a query restart from its checkpoint") {
     // completes the state-primitive recovery matrix: s88b pins
     // ValueState, s90b MapState + timers, s89b join state — this pins
