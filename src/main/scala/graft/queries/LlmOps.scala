@@ -1184,6 +1184,82 @@ object LlmOps {
     orderAll(graft.streaming.Decontaminator.flag(corpus, evalSh, n))
   }
 
+  /** q133 [EXT]: train→eval split-leakage audit — the decontamination
+    * family's third member, closing the loop q63/q103 leave open: q63
+    * reports corpus overlap against an EXTERNAL eval set and q103 gates
+    * a stream against it, but a pipeline's own q94 train/val/test split
+    * can leak INTERNALLY (a re-crawled near-copy of a train doc hashes
+    * to a different id and lands in test — exactly how test-set
+    * contamination happens in practice). Every val/test doc is scored
+    * by its distinct-shingle overlap against the FULL train-side
+    * shingle set; ≥ 0.5 flags the leak (q63's threshold). The fixture
+    * plants the failure mode deterministically: each train doc
+    * re-ingested minus its last token under doc_id+5000000, kept only
+    * when the NEW id's q94 bucket lands outside train — a genuine
+    * train→eval leak whose flag is observable, mirrored exactly in the
+    * oracle.
+    *
+    * 100 TB — and why this is NOT q103's broadcast probe: there the
+    * probe set is a benchmark (~1e6 fingerprints, ships to every task);
+    * here the probe side is 80% OF THE CORPUS, so the membership test
+    * becomes a shingle-keyed LEFT SEMI join — two corpus-sized
+    * exchanges keyed on the shingle fingerprint (eval-side explode,
+    * train-side distinct), then a doc-keyed re-agg; ids and 8-byte
+    * fingerprints cross the wire, bodies never do. */
+  /** q133's shingle width — deliberately its OWN dial, default 8 (the
+    * standard decontamination n-gram), NOT q63/q103's
+    * `GRAFT_DECON_SHINGLE_N` (default 3): against a ~5-doc eval set a
+    * trigram probe is already selective, but against 80% OF THE CORPUS
+    * the trigram space saturates — measured 75/96 clean val/test docs
+    * flagging at n=3 on sf0.001 (pure vocabulary collision), vs 8/96 at
+    * n=8, and those 8 are the fixture's genuine cross-split exact
+    * duplicates (q80's groups landing on both sides of the q94 split —
+    * real leaks, correct findings). The oracle interpolates the same
+    * dial. */
+  private[graft] val LeakShingleN: Int = {
+    val n = sys.env.getOrElse("GRAFT_LEAK_SHINGLE_N", "8").toInt
+    require(n >= 2, s"GRAFT_LEAK_SHINGLE_N=$n — a width under 2 is a typo")
+    n
+  }
+
+  val q133SplitLeakage: Q = (spark, dir) => {
+    val n = LeakShingleN
+    val P = 1000000007L
+    def bucketOf(id: org.apache.spark.sql.Column) =
+      pmod(pmod(pmod(id, lit(P)) * lit(2654435761L), lit(P)), lit(100L))
+    val d0 = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    // the planted leak: train docs re-ingested truncated under new ids,
+    // kept only when the new id's own bucket is val/test
+    val planted = d0.filter(bucketOf(col("doc_id")) < 80)
+      .select((col("doc_id") + 5000000).as("doc_id"),
+        array_join(slice(split(col("text"), " "), lit(1),
+          size(split(col("text"), " ")) - 1), " ").as("text"))
+      .filter(bucketOf(col("doc_id")) >= 80)
+    val corpus = d0.unionByName(planted)
+      .withColumn("bucket", bucketOf(col("doc_id")))
+      .withColumn("split", when(col("bucket") < 80, lit("train"))
+        .when(col("bucket") < 90, lit("val")).otherwise(lit("test")))
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("sha",
+        graft.streaming.Decontaminator.shingleFingerprints(col("toks"), n))
+      .scopedPersist
+    val trainSh = corpus.filter(col("split") === "train")
+      .select(explode(col("sha")).as("sh")).distinct()
+    val evalSide = corpus.filter(col("split") =!= "train")
+      .select(col("doc_id"), col("split"), col("sha"), size(col("sha")).as("n_sh"))
+    val hits = evalSide.select(col("doc_id"), explode(col("sha")).as("sh"))
+      .join(trainSh, Seq("sh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).cast("int").as("hits"))
+    orderAll(evalSide.drop("sha")
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("split"), col("n_sh"),
+        coalesce(col("hits"), lit(0)).as("n_hit"),
+        when(col("n_sh") > 0,
+          round(coalesce(col("hits"), lit(0)).cast("double") / col("n_sh"), 6))
+          .as("overlap"))
+      .withColumn("leaked", coalesce(col("overlap") >= 0.5, lit(false))))
+  }
+
   /** q64: repetition-based quality filter (the Gopher repetition rules'
     * shape): per-doc duplicate-token fraction and duplicate-2/3-gram
     * fractions, flagged when any crosses its threshold. Every 10th doc
@@ -1331,6 +1407,7 @@ object LlmOps {
     "q117_lm_score" -> q117LmScore,
     "q63_decontaminate" -> q63Decontaminate,
     "q103_decon_gate" -> q103DeconGate,
+    "q133_split_leakage" -> q133SplitLeakage,
     "q104_dedup_near_incremental" -> q104DedupNearIncremental,
     "q64_repetition_filter" -> q64RepetitionFilter,
     "q65_dedup_incremental" -> q65DedupIncremental,
@@ -1433,6 +1510,57 @@ object LlmOps {
        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""".stripMargin
   }
 
+  /** q133's oracle — q103's CTE conventions with the q94 split
+    * derivation and the train-side membership as a JOIN (string-form
+    * shingles; membership-invariant vs the engine's fingerprints,
+    * q88's argument). Same plant, same knob. */
+  private[queries] def q133OracleWith(n: Int): String = {
+    require(n >= 2, s"decontamination shingle width must be >= 2, got $n")
+    val sh = (0 until n).map(o => s"toks[i + $o]").mkString(" || ' ' || ")
+    def bucket(c: String) =
+      s"(((((((($c % 1000000007) + 1000000007) % 1000000007) * 2654435761) " +
+        s"% 1000000007) + 1000000007) % 1000000007) % 100 + 100) % 100"
+    s"""WITH d0 AS (SELECT doc_id, text FROM documents),
+       |planted AS (
+       |  SELECT doc_id + 5000000 AS doc_id,
+       |    array_to_string(
+       |      string_split(text, ' ')[1:len(string_split(text, ' ')) - 1],
+       |      ' ') AS text
+       |  FROM d0 WHERE ${bucket("doc_id")} < 80),
+       |corpus AS (
+       |  SELECT * FROM d0
+       |  UNION ALL SELECT * FROM planted WHERE ${bucket("doc_id")} >= 80),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    string_split(text, ' ') AS toks
+       |  FROM (SELECT doc_id, text, ${bucket("doc_id")} AS b FROM corpus)),
+       |csh AS (
+       |  SELECT DISTINCT doc_id, $sh AS sh
+       |  FROM sp, unnest(range(1, len(toks) - ${n - 2})) AS t(i)
+       |  WHERE split <> 'train'),
+       |tsh AS (
+       |  SELECT DISTINCT $sh AS sh
+       |  FROM sp, unnest(range(1, len(toks) - ${n - 2})) AS t(i)
+       |  WHERE split = 'train'),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS INT) AS n_sh FROM csh GROUP BY 1),
+       |hits AS (SELECT c.doc_id, CAST(count(*) AS INT) AS n_hit
+       |         FROM csh c JOIN tsh e USING (sh) GROUP BY 1),
+       |tot AS (
+       |  SELECT s.doc_id, s.split,
+       |    coalesce(z.n_sh, 0) AS n_sh, coalesce(h.n_hit, 0) AS n_hit
+       |  FROM sp s LEFT JOIN sizes z USING (doc_id) LEFT JOIN hits h USING (doc_id)
+       |  WHERE s.split <> 'train')
+       |SELECT doc_id, split, n_sh, n_hit,
+       |  CASE WHEN n_sh > 0 THEN round(CAST(n_hit AS DOUBLE) / n_sh, 6) END AS overlap,
+       |  coalesce(CASE WHEN n_sh > 0
+       |    THEN round(CAST(n_hit AS DOUBLE) / n_sh, 6) END >= 0.5, FALSE) AS leaked
+       |FROM tot
+       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+       |  5 NULLS FIRST, 6 NULLS FIRST""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q117_lm_score" ->
       // same quantized surprisal: unpadded bin() length == Spark's
@@ -1457,6 +1585,7 @@ object LlmOps {
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
     "q63_decontaminate" -> q63OracleWith(geom.deconShingleN),
     "q103_decon_gate" -> q103OracleWith(geom.deconShingleN),
+    "q133_split_leakage" -> q133OracleWith(LeakShingleN),
     "q104_dedup_near_incremental" ->
       // the verified batch×corpus match set from first principles —
       // distinct string shingles, exact Jaccard, same rounded-≥0.5 gate

@@ -193,6 +193,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.exists(!_._6), "no document was ever downsampled")
   }
 
+  test("q133 flags every planted train-to-eval leak and not the clean majority") {
+    val rows = LlmOps.q133SplitLeakage(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    // only val/test docs are audited
+    assert(rows.forall(r => r._2 == "val" || r._2 == "test"), "train doc in the audit")
+    val (plants, natural) = rows.partition(_._1 >= 5000000L)
+    assert(plants.nonEmpty, "no planted leak landed in val/test")
+    // every planted copy is a truncated train doc: its shingles are a
+    // subset of the original's, so any with shingles must flag
+    plants.filter(_._3 > 0).foreach { p =>
+      assert(p._6, s"planted leak ${p._1} not flagged: $p")
+      assert(p._5.exists(_ >= 0.5), s"planted leak ${p._1} overlap ${p._5}")
+    }
+    // the clean majority must NOT flag (random-token docs share few
+    // exact n-shingles with the train side)
+    assert(natural.count(_._6) < natural.length / 2,
+      s"${natural.count(_._6)}/${natural.length} natural docs flagged — the audit is noise")
+    // hits never exceed shingle count; overlap NULL exactly when n_sh=0
+    rows.foreach { r =>
+      assert(r._4 <= r._3, s"doc ${r._1}: n_hit ${r._4} > n_sh ${r._3}")
+      assert(r._5.isDefined == (r._3 > 0), s"doc ${r._1}: overlap/n_sh mismatch")
+    }
+  }
+
   test("q94: Spark pmod and the oracle's ((x % m) + m) % m mirror agree on negative ids") {
     import spark.implicits._
     val P = 1000000007L
