@@ -88,6 +88,11 @@ object ScaleProbe {
     // construction (salted copies replay the base duplicate structure),
     // q132's count+broadcast+filter must track the scan
     "q130_chunk_windows", "q131_dedup_canonical", "q132_temperature_mix",
+    // q133's train-side membership is a shingle-keyed semi join (NOT
+    // q103's broadcast probe) — the probe certifies the join stays
+    // key-local as both sides grow k× (salted copies keep cross-copy
+    // shingles disjoint, so train-side df per shingle is k-invariant)
+    "q133_split_leakage",
     // round 10 third wave: q129's per-lang ordered prefix sum must track
     // the k× doc stream — lang cardinality is construction-constant, so
     // this is the probe that would expose the window degenerating into a
