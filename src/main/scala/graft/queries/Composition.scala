@@ -1,0 +1,335 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [EXT] Corpus-composition toolkit, round 11 of the LLM-pipeline
+  * surface (SURVEY.md §2.2): BM25 ranked retrieval (q134), the
+  * cross-source overlap matrix (q135), and DSIR importance RESAMPLING
+  * (q136) — the stage that turns q125's importance weights into an
+  * actual training mixture. The reference (`app.py`, a producer loop)
+  * has no analytics; these are the corpus-assembly decisions a
+  * training-data pipeline makes over the same document stream the
+  * dedup/curation family cleans: what to retrieve for inspection, which
+  * crawl sources duplicate each other, and how many copies of each doc
+  * the final mixture draws.
+  *
+  * Determinism rules as everywhere in the package: scores either stay
+  * in exact integer/fixed-point domain end-to-end or quantize to
+  * BIGINT BEFORE any aggregation (integer sums are order-free, so
+  * Spark's parallel aggregation cannot drift an ulp from DuckDB's
+  * serial one); doubles appear only as single correctly-rounded
+  * divisions of exact operands, rounded to 6 dp.
+  */
+object Composition {
+
+  /** q134 [EXT]: BM25-ranked retrieval — top-10 documents per query for
+    * a deterministic 5-query panel (3 terms each, drawn from the
+    * corpus's own df-ranked vocabulary: ranks 4–18 under
+    * (df DESC, term ASC), skipping the 3 ubiquitous head terms, so the
+    * panel spans common→rarer and exists at every SF). Scoring is BM25
+    * (k1 = 1.2, b = 0.75) with the LOG-FREE idf surrogate
+    * (N − df + ½)/(df + ½) — q67's no-log argument applied to BM25's
+    * idf: the rational form preserves the df ordering the log only
+    * compresses, and keeps every factor a correctly-rounded IEEE op
+    * both engines compute bit-identically. Per-term contributions
+    * quantize to ppm fixed-point BIGINT BEFORE the per-doc sum
+    * (q117's quantize-then-sum recipe).
+    *
+    * Folded-rational saturation (k1 = 6/5, b = 3/4 folded to integer
+    * coefficients over 10·T):
+    * `sat = 22·tf·T / (10·tf·T + 3·T + 9·dl·N)`; every operand is an
+    * integer exact in double far beyond sf0.1 (the largest product,
+    * 22·tf·T, needs tf·T > 4·10¹¹ to lose integer exactness; at
+    * corpus scales past that the same formula rides DECIMAL(38)).
+    *
+    * 100 TB: the query panel and its df rows are vocab-top-18 via
+    * `orderBy(...).limit(18)` — TakeOrderedAndProject, a distributed
+    * top-k, never a global vocab sort — then BROADCAST; tf is one
+    * (doc_id, term) shuffle with dl riding the explode projection
+    * (dl is functionally dependent on doc_id, so the extra grouping
+    * column adds no groups); df reuses tf's output through a
+    * vocab-sized second shuffle; corpus scalars (N, T) are a 1-row
+    * broadcast; and the per-query top-10 plans as a map-side
+    * WindowGroupLimit (q96's rewrite, pinned in PlanSpec) so each map
+    * task forwards ≤ 10 rows per query. Bodies never cross the wire. */
+  val q134Bm25Retrieval: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+    val toks = d.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"),
+      explode(split(col("text"), " ")).as("term"))
+    // persisted: tf feeds BOTH the df aggregation and the scoring join
+    // (q67's measured defect class when unpersisted)
+    val tf = toks.groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .scopedPersist
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qterms = dfreq.orderBy(col("df").desc, col("term").asc).limit(18)
+      .withColumn("trk", row_number().over(
+        Window.orderBy(col("df").desc, col("term").asc)))
+      .filter(col("trk") >= 4)
+      .select(expr("cast((trk - 4) div 3 as int)").as("query_id"),
+        col("term"), col("df"))
+    val glob = d.agg(count(lit(1)).cast("long").as("nn"),
+      sum(size(split(col("text"), " ")).cast("long")).as("tt"))
+    val idf = (lit(2.0) * col("nn") - lit(2.0) * col("df") + lit(1.0)) /
+      (lit(2.0) * col("df") + lit(1.0))
+    val den = lit(10.0) * col("tf") * col("tt") + lit(3.0) * col("tt") +
+      lit(9.0) * col("dl") * col("nn")
+    val sat = (lit(22.0) * col("tf") * col("tt")) / den
+    val scored = tf.join(broadcast(qterms), Seq("term"))
+      .crossJoin(broadcast(glob))
+      .select(col("query_id"), col("doc_id"),
+        floor(lit(1000000.0) * (idf * sat)).cast("long").as("contrib"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_hit"),
+        sum(col("contrib")).as("score_fp"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_fp").desc, col("doc_id").asc)
+    orderAll(scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("query_id"), col("rk"), col("doc_id"), col("n_hit"),
+        col("score_fp")))
+  }
+
+  /** q135's shingle width — its own dial (default 3, the near-dup
+    * family's width: source overlap is a DUPLICATION diagnostic, not
+    * q133's membership probe, so the q81/q104 width is the right
+    * default). The oracle interpolates the same value. */
+  private[graft] val OverlapShingleN: Int = {
+    val n = sys.env.getOrElse("GRAFT_OVERLAP_SHINGLE_N", "3").toInt
+    require(n >= 2, s"GRAFT_OVERLAP_SHINGLE_N=$n — a width under 2 is a typo")
+    n
+  }
+
+  /** q135 [EXT]: cross-source overlap matrix — for every unordered pair
+    * of crawl sources, the distinct-shingle intersection with Jaccard
+    * and BOTH directional containments (containment is the asymmetric
+    * signal: a mirror site shows cont ≈ 1 in one direction long before
+    * Jaccard moves). This is the corpus-level complement of the
+    * doc-level dedup family: q81/q88 find duplicate DOCUMENTS; q135
+    * tells you which SOURCES are re-crawls, mirrors, or aggregators of
+    * each other — the deduplicate-or-drop-the-whole-source decision
+    * every crawl pipeline makes before doc-level work.
+    *
+    * 100 TB — and why there is NO doc-pair or shingle self-join: the
+    * (source, shingle) distinct table shuffles once on the shingle
+    * fingerprint; per shingle the engine keeps `collect_set(source)` —
+    * bounded by the SOURCE COUNT S (hundreds), not by occupancy, so no
+    * df-cap is needed (a shingle present in every source contributes
+    * C(S,2) pair rows, a constant) — and pair counts aggregate
+    * map-side. The matrix assembly is an S-row broadcast
+    * inequality-join (BroadcastNestedLoopJoin over source-count-sized
+    * frames — the one place a nested-loop join is the right plan).
+    * Bodies never move; 8-byte fingerprints do. The engine counts
+    * distinct xxhash64 fingerprints where the oracle counts distinct
+    * shingle strings — membership-equivalent modulo 2⁻⁶⁴-probability
+    * collisions (q88's argument). */
+  val q135SourceOverlap: Q = (spark, dir) => {
+    val n = OverlapShingleN
+    val d = t(spark, dir, "documents")
+    val sh = d.select(col("source"),
+        explode(graft.streaming.Decontaminator.shingleFingerprints(
+          split(col("text"), " "), n)).as("sh"))
+      .distinct()
+      .scopedPersist
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.groupBy(col("sh"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) > 1)
+      .select(explode(flatten(transform(col("srcs"), (a, i) =>
+        transform(slice(col("srcs"), i + lit(2), size(col("srcs"))),
+          b => struct(a.as("src_a"), b.as("src_b")))))).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("common"))
+    val matrix = sizes.as("x").join(broadcast(sizes.as("y")),
+        col("x.source") < col("y.source"))
+      .select(col("x.source").as("src_a"), col("y.source").as("src_b"),
+        col("x.n_sh").as("sh_a"), col("y.n_sh").as("sh_b"))
+    val c = coalesce(col("common"), lit(0L))
+    orderAll(matrix.join(pairs, Seq("src_a", "src_b"), "left_outer")
+      .select(col("src_a"), col("src_b"), col("sh_a"), col("sh_b"),
+        c.as("common"),
+        round(c.cast("double") / (col("sh_a") + col("sh_b") - c), 6)
+          .as("jaccard"),
+        round(c.cast("double") / col("sh_a"), 6).as("cont_a"),
+        round(c.cast("double") / col("sh_b"), 6).as("cont_b")))
+  }
+
+  /** q136's geometry: shard count (the parallelism of the prefix-sum
+    * phase — at cluster scale, set to O(executor slots)) and the target
+    * draw count. Both interpolated into the oracle; like q94's bucket
+    * count, the shard count is a declared constant of the dataset build
+    * (changing it re-draws the sample). */
+  private[graft] val ResampleShards: Int = {
+    val s = sys.env.getOrElse("GRAFT_RESAMPLE_SHARDS", "16").toInt
+    require(s >= 1, s"GRAFT_RESAMPLE_SHARDS=$s — need at least one shard")
+    s
+  }
+  private[graft] val ResampleTarget: Int = {
+    val m = sys.env.getOrElse("GRAFT_RESAMPLE_TARGET", "200").toInt
+    require(m >= 1, s"GRAFT_RESAMPLE_TARGET=$m — need a positive draw target")
+    m
+  }
+
+  /** q136 [EXT]: DSIR importance resampling — the ACTION stage of q125
+    * (Xie et al. 2023): documents are drawn WITH REPLACEMENT
+    * proportionally to importance weight w = 2^clamp(gain_bits, −4, 10)
+    * (the standard clipped exponentiated log-ratio — clipping bounds
+    * any single doc's mass, and the power-of-two form keeps w an exact
+    * BIGINT) via SYSTEMATIC sampling: one virtual pointer every
+    * `step = W/M` mass along the weighted prefix sum, so a doc with
+    * cumulative span (cum−w, cum] is drawn
+    * `⌊cum/step⌋ − ⌊(cum−w)/step⌋` times — exact integer arithmetic,
+    * zero variance in the draw count given the order, and M draws total
+    * (±1 at the tail).
+    *
+    * 100 TB — the two-phase shard prefix sum IS the distributed
+    * spelling of a global weighted prefix sum: phase 1 shuffles once on
+    * a Knuth-hash shard of doc_id (S shards = the parallelism dial;
+    * each shard's ordered cumulative sum is one window task over
+    * corpus/S rows); phase 2 cumulates the S per-shard totals — an
+    * S-row frame — into shard offsets and BROADCASTS them back. No
+    * global sort, no single-partition corpus window (the round-9 q124
+    * defect class), no driver-side data. The draw arithmetic is
+    * row-local. Composition with q125 is real code reuse:
+    * [[TokenStats.dsirPerDoc]] is the weight frame both queries
+    * consume (q131's pattern over q68). */
+  val q136ImportanceResample: Q = (spark, dir) => {
+    val s = ResampleShards
+    val m = ResampleTarget
+    val P = 1000000007L
+    val weighted = TokenStats.dsirPerDoc(spark, dir)
+      .select(col("doc_id"), col("lang"), col("gain_bits"),
+        expr("shiftleft(1L, cast(greatest(-4L, least(10L, gain_bits)) + 4 as int))")
+          .as("w"),
+        pmod(pmod(pmod(col("doc_id"), lit(P)) * lit(2654435761L), lit(P)),
+          lit(s.toLong)).as("shard"))
+      .scopedPersist
+    val wIn = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = weighted.withColumn("cum_in", sum(col("w")).over(wIn))
+    val totals = weighted.groupBy(col("shard")).agg(sum(col("w")).as("tot"))
+      .scopedPersist
+    // the offset cumulation runs over an S-row frame: the unpartitioned
+    // window is bounded by the shard count, never the corpus
+    val wOff = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("off", coalesce(sum(col("tot")).over(wOff), lit(0L)))
+      .select(col("shard"), col("off"))
+    val wtot = totals.agg(sum(col("tot")).as("w_total"))
+    orderAll(withCum.join(broadcast(offsets), Seq("shard"))
+      .crossJoin(broadcast(wtot))
+      .withColumn("cum", col("off") + col("cum_in"))
+      .withColumn("step", greatest(expr(s"w_total div $m"), lit(1L)))
+      .select(col("doc_id"), col("lang"), col("gain_bits"), col("shard"),
+        col("w"), col("cum"),
+        expr("cum div step - (cum - w) div step").as("n_picks")))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q134_bm25_retrieval" -> q134Bm25Retrieval,
+    "q135_source_overlap" -> q135SourceOverlap,
+    "q136_importance_resample" -> q136ImportanceResample)
+
+  /** q135's oracle shingle expression over 1-based `toks[i]`. */
+  private def shingleSql(n: Int): String =
+    (0 until n).map(o => s"toks[i + $o]").mkString(" || ' ' || ")
+
+  /** The Knuth multiplicative bucket over a non-negative BIGINT, mod
+    * `m` — q132/q133's oracle spelling (the pmod dance keeps every
+    * intermediate non-negative in both engines). */
+  private def knuthMod(c: String, m: Int): String =
+    s"(((((((($c % 1000000007) + 1000000007) % 1000000007) * 2654435761) " +
+      s"% 1000000007) + 1000000007) % 1000000007) % $m + $m) % $m"
+
+  val oracles: Map[String, String] = Map(
+    "q134_bm25_retrieval" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+        |    t.term
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(term)),
+        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |ranked AS (SELECT term, df,
+        |    CAST(row_number() OVER (ORDER BY df DESC, term ASC) AS INT) AS trk
+        |  FROM dfreq),
+        |qterms AS (SELECT CAST((trk - 4) // 3 AS INT) AS query_id, term, df
+        |           FROM ranked WHERE trk BETWEEN 4 AND 18),
+        |gl AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tt
+        |  FROM documents),
+        |scored AS (
+        |  SELECT query_id, doc_id, CAST(count(*) AS INT) AS n_hit,
+        |    CAST(sum(CAST(floor(1000000.0 * (
+        |      ((2.0 * nn - 2.0 * df + 1.0) / (2.0 * df + 1.0)) *
+        |      ((22.0 * tf * tt) /
+        |       (10.0 * tf * tt + 3.0 * tt + 9.0 * dl * nn)))) AS BIGINT))
+        |      AS BIGINT) AS score_fp
+        |  FROM tf JOIN qterms USING (term) CROSS JOIN gl
+        |  GROUP BY 1, 2),
+        |top AS (SELECT query_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_fp DESC, doc_id ASC) AS INT) AS rk,
+        |    doc_id, n_hit, score_fp
+        |  FROM scored)
+        |SELECT query_id, rk, doc_id, n_hit, score_fp FROM top WHERE rk <= 10
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+        |  5 NULLS FIRST""".stripMargin,
+    "q135_source_overlap" -> {
+      val n = OverlapShingleN
+      s"""WITH sp AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+         |sh AS (SELECT DISTINCT source, ${shingleSql(n)} AS sh
+         |       FROM sp, unnest(range(1, len(toks) - ${n - 2})) AS t(i)),
+         |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh
+         |          FROM sh GROUP BY 1),
+         |com AS (SELECT a.source AS src_a, b.source AS src_b,
+         |          CAST(count(*) AS BIGINT) AS common
+         |        FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+         |        GROUP BY 1, 2)
+         |SELECT x.source AS src_a, y.source AS src_b,
+         |  x.n_sh AS sh_a, y.n_sh AS sh_b,
+         |  coalesce(c.common, 0) AS common,
+         |  round(CAST(coalesce(c.common, 0) AS DOUBLE) /
+         |    (x.n_sh + y.n_sh - coalesce(c.common, 0)), 6) AS jaccard,
+         |  round(CAST(coalesce(c.common, 0) AS DOUBLE) / x.n_sh, 6) AS cont_a,
+         |  round(CAST(coalesce(c.common, 0) AS DOUBLE) / y.n_sh, 6) AS cont_b
+         |FROM sizes x JOIN sizes y ON x.source < y.source
+         |LEFT JOIN com c ON c.src_a = x.source AND c.src_b = y.source
+         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+         |  5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST, 8 NULLS FIRST""".stripMargin
+    },
+    "q136_importance_resample" -> {
+      val s = ResampleShards
+      val m = ResampleTarget
+      s"""WITH ${TokenStats.dsirCte},
+         |wt AS (
+         |  SELECT doc_id, lang, gain_bits,
+         |    CAST(CAST(1 AS BIGINT) <<
+         |      CAST(greatest(-4, least(10, gain_bits)) + 4 AS INT) AS BIGINT) AS w,
+         |    CAST(${knuthMod("doc_id", s)} AS BIGINT) AS shard
+         |  FROM dsir),
+         |cum AS (
+         |  SELECT *, CAST(sum(w) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_in
+         |  FROM wt),
+         |tots AS (SELECT shard, CAST(sum(w) AS BIGINT) AS tot FROM wt GROUP BY 1),
+         |offs AS (SELECT shard, CAST(coalesce(sum(tot) OVER (ORDER BY shard
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+         |  FROM tots),
+         |g AS (SELECT CAST(sum(tot) AS BIGINT) AS w_total FROM tots),
+         |fin AS (
+         |  SELECT c.doc_id, c.lang, c.gain_bits, c.shard, c.w,
+         |    c.cum_in + o.off AS cum,
+         |    greatest(g.w_total // $m, 1) AS step
+         |  FROM cum c JOIN offs o USING (shard) CROSS JOIN g)
+         |SELECT doc_id, lang, gain_bits, shard, w, cum,
+         |  CAST(cum // step - (cum - w) // step AS BIGINT) AS n_picks
+         |FROM fin
+         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+         |  5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST""".stripMargin
+    })
+}

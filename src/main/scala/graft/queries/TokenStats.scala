@@ -264,7 +264,12 @@ object TokenStats {
     * table (broadcastable once top-V capped, q48's note) followed
     * by one doc-keyed re-aggregate — the corpus crosses the wire
     * twice (tok, then doc_id), bodies never. */
-  val q125DsirWeights: Q = (spark, dir) => {
+  val q125DsirWeights: Q = (spark, dir) => orderAll(dsirPerDoc(spark, dir))
+
+  /** q125's unordered core, shared with q136 (`Composition`), which
+    * resamples FROM these weights — the pipeline's next stage consumes
+    * the same frame, so the recipe lives once. */
+  private[queries] def dsirPerDoc(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val toks = docs
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
@@ -286,14 +291,14 @@ object TokenStats {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tok"),
         sum(col("b_raw")).as("bits_raw"), sum(col("b_tgt")).as("bits_tgt"))
-    orderAll(docs.select(col("doc_id"), col("lang"))
+    docs.select(col("doc_id"), col("lang"))
       .join(perDoc, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("lang"),
         coalesce(col("n_tok"), lit(0L)).as("n_tok"),
         coalesce(col("bits_raw"), lit(0L)).as("bits_raw"),
         coalesce(col("bits_tgt"), lit(0L)).as("bits_tgt"),
         (coalesce(col("bits_raw"), lit(0L))
-          - coalesce(col("bits_tgt"), lit(0L))).as("gain_bits")))
+          - coalesce(col("bits_tgt"), lit(0L))).as("gain_bits"))
   }
 
   /** q126 [EXT]: quantized token entropy — per document, the Shannon
@@ -370,6 +375,39 @@ object TokenStats {
     "q124_heavy_hitters" -> q124HeavyHitters,
     "q125_dsir_weights" -> q125DsirWeights,
     "q126_token_entropy" -> q126TokenEntropy)
+
+  /** q125's oracle CTE chain ending in `dsir` (one row per doc with its
+    * gain_bits) — shared with q136's resampling oracle (`Composition`),
+    * mirroring the [[dsirPerDoc]] code-sharing on the engine side. */
+  private[queries] val dsirCte: String =
+    """lt AS (
+      |  SELECT doc_id, lang, t.tok FROM documents,
+      |    unnest(string_split(text, ' ')) AS t(tok)
+      |  WHERE t.tok <> ''),
+      |raw AS (SELECT tok, count(*) AS c_raw FROM lt GROUP BY 1),
+      |tgt AS (SELECT tok, count(*) AS c_tgt FROM lt WHERE lang = 'en' GROUP BY 1),
+      |model AS (
+      |  SELECT raw.tok, c_raw, coalesce(c_tgt, 0) AS c_tgt
+      |  FROM raw LEFT JOIN tgt ON raw.tok = tgt.tok),
+      |s AS (SELECT CAST(sum(c_raw) AS BIGINT) AS n_raw,
+      |        CAST(sum(c_tgt) AS BIGINT) AS n_tgt, count(*) AS v FROM model),
+      |bits AS (
+      |  SELECT tok,
+      |    CAST(length(bin((n_raw + v) // (c_raw + 1))) - 1 AS BIGINT) AS b_raw,
+      |    CAST(length(bin((n_tgt + v) // (c_tgt + 1))) - 1 AS BIGINT) AS b_tgt
+      |  FROM model CROSS JOIN s),
+      |perdoc AS (
+      |  SELECT doc_id, count(*) AS n_tok,
+      |    CAST(sum(b_raw) AS BIGINT) AS bits_raw,
+      |    CAST(sum(b_tgt) AS BIGINT) AS bits_tgt
+      |  FROM lt JOIN bits USING (tok) GROUP BY 1),
+      |dsir AS (
+      |  SELECT d.doc_id, d.lang,
+      |    coalesce(n_tok, 0) AS n_tok,
+      |    coalesce(bits_raw, 0) AS bits_raw,
+      |    coalesce(bits_tgt, 0) AS bits_tgt,
+      |    coalesce(bits_raw, 0) - coalesce(bits_tgt, 0) AS gain_bits
+      |  FROM documents d LEFT JOIN perdoc ON d.doc_id = perdoc.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q129_token_budget" ->
@@ -455,33 +493,8 @@ object TokenStats {
         |SELECT tok, cnt, doc_freq, share_ppm FROM scored WHERE share_ppm >= 500
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
     "q125_dsir_weights" ->
-      """WITH lt AS (
-        |  SELECT doc_id, lang, t.tok FROM documents,
-        |    unnest(string_split(text, ' ')) AS t(tok)
-        |  WHERE t.tok <> ''),
-        |raw AS (SELECT tok, count(*) AS c_raw FROM lt GROUP BY 1),
-        |tgt AS (SELECT tok, count(*) AS c_tgt FROM lt WHERE lang = 'en' GROUP BY 1),
-        |model AS (
-        |  SELECT raw.tok, c_raw, coalesce(c_tgt, 0) AS c_tgt
-        |  FROM raw LEFT JOIN tgt ON raw.tok = tgt.tok),
-        |s AS (SELECT CAST(sum(c_raw) AS BIGINT) AS n_raw,
-        |        CAST(sum(c_tgt) AS BIGINT) AS n_tgt, count(*) AS v FROM model),
-        |bits AS (
-        |  SELECT tok,
-        |    CAST(length(bin((n_raw + v) // (c_raw + 1))) - 1 AS BIGINT) AS b_raw,
-        |    CAST(length(bin((n_tgt + v) // (c_tgt + 1))) - 1 AS BIGINT) AS b_tgt
-        |  FROM model CROSS JOIN s),
-        |perdoc AS (
-        |  SELECT doc_id, count(*) AS n_tok,
-        |    CAST(sum(b_raw) AS BIGINT) AS bits_raw,
-        |    CAST(sum(b_tgt) AS BIGINT) AS bits_tgt
-        |  FROM lt JOIN bits USING (tok) GROUP BY 1)
-        |SELECT d.doc_id, d.lang,
-        |  coalesce(n_tok, 0) AS n_tok,
-        |  coalesce(bits_raw, 0) AS bits_raw,
-        |  coalesce(bits_tgt, 0) AS bits_tgt,
-        |  coalesce(bits_raw, 0) - coalesce(bits_tgt, 0) AS gain_bits
-        |FROM documents d LEFT JOIN perdoc ON d.doc_id = perdoc.doc_id
+      s"""WITH $dsirCte
+        |SELECT doc_id, lang, n_tok, bits_raw, bits_tgt, gain_bits FROM dsir
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
         |  5 NULLS FIRST, 6 NULLS FIRST""".stripMargin,
     "q126_token_entropy" ->

@@ -1,0 +1,164 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Behavioral contracts for the corpus-composition operators
+  * (Composition): BM25 retrieval, the source-overlap matrix, and DSIR
+  * importance resampling. The DuckDB oracles pin exact values at the
+  * gate SF; these pin the semantic invariants on crafted fixtures —
+  * so a fixture regeneration can't silently green a wrong
+  * implementation. */
+class CompositionSpec extends SparkSpec {
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  private def writeDocs(dir: String, docs: Seq[(Long, String, String, String)]): Unit =
+    docs.map { case (id, text, lang, src) => (id, text, lang, src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/documents.parquet")
+
+  // ---- q134 BM25 -------------------------------------------------------
+
+  /** 21 docs engineered so the df ranking is fully known: c1..c3 are in
+    * every doc (ranks 1–3, excluded from the panel), t01/t02 have df=2
+    * (ranks 4–5), t03.. have df=1 — so query 0 is exactly
+    * {t01, t02, t03} and the BM25 axioms are observable. */
+  private def bm25Fixture(dir: String): Unit = {
+    val base = (1 to 19).map { i =>
+      (i.toLong, f"t$i%02d z$i%02d c1 c2 c3", "en", "web")
+    }
+    writeDocs(dir, base ++ Seq(
+      (20L, "t01 t01 c1 c2 c3", "en", "web"),  // tf=2, same dl as doc 1
+      (21L, "t02 c1 c2 c3", "en", "web")))     // tf=1, SHORTER than doc 2
+  }
+
+  test("q134: tf, brevity, and rarity each raise the BM25 score as the axioms say") {
+    val dir = tmpDir("q134docs")
+    bm25Fixture(dir)
+    val rows = Composition.q134Bm25Retrieval(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+    val q0 = rows.filter(_._1 == 0).map(r => r._3 -> r._5).toMap
+    // tf monotonicity: doc 20 (t01 twice) beats doc 1 (t01 once, same dl)
+    assert(q0(20L) > q0(1L), s"tf=2 must outscore tf=1 at equal dl: $q0")
+    // length normalization: doc 21 (4 tokens) beats doc 2 (same tf, 5 tokens)
+    assert(q0(21L) > q0(2L), s"shorter doc must outscore at equal tf: $q0")
+    // idf: doc 3's df=1 term contributes more than doc 2's df=2 term
+    assert(q0(3L) > q0(2L), s"rarer term must outscore at equal tf+dl: $q0")
+    // ranks are contiguous from 1 and ordered by (score desc, doc_id asc)
+    rows.groupBy(_._1).foreach { case (_, qr) =>
+      val byRk = qr.sortBy(_._2)
+      assert(byRk.map(_._2).toSeq == (1 to byRk.length).toSeq)
+      assert(byRk.sliding(2).forall {
+        case Array(a, b) => a._5 > b._5 || (a._5 == b._5 && a._3 < b._3)
+        case _           => true
+      })
+    }
+  }
+
+  test("q134: a vocabulary smaller than the panel floor yields an empty result, not a crash") {
+    val dir = tmpDir("q134tiny")
+    writeDocs(dir, Seq((1L, "a b c a b c", "en", "web")))
+    assert(Composition.q134Bm25Retrieval(spark, dir).collect().isEmpty)
+  }
+
+  test("q134: the sf corpus panel returns 5 full top-10 lists with sane hit counts") {
+    val rows = Composition.q134Bm25Retrieval(spark, sf).collect()
+    assert(rows.length == 50, s"expected 5 queries x 10, got ${rows.length}")
+    val byQ = rows.groupBy(_.getInt(0))
+    assert(byQ.keySet == Set(0, 1, 2, 3, 4))
+    assert(rows.forall(r => r.getInt(3) >= 1 && r.getInt(3) <= 3))
+    assert(rows.forall(_.getLong(4) > 0L))
+  }
+
+  // ---- q135 source overlap ---------------------------------------------
+
+  test("q135: a mirror source shows full containment; a disjoint one shows zero") {
+    val dir = tmpDir("q135docs")
+    val shared = "alpha beta gamma delta epsilon zeta"
+    writeDocs(dir, Seq(
+      (1L, shared, "en", "mirror_a"),
+      (2L, shared, "en", "mirror_b"),
+      (3L, "one two three four five six", "en", "other")))
+    val rows = Composition.q135SourceOverlap(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(rows.size == 3, s"3 sources -> 3 unordered pairs, got $rows")
+    val (shA, shB, common, jacc) = rows(("mirror_a", "mirror_b"))
+    assert(shA == shB && common == shA && jacc == 1.0,
+      s"mirror pair must be identical: $rows")
+    assert(rows(("mirror_a", "other"))._3 == 0L)
+    assert(rows(("mirror_b", "other"))._4 == 0.0)
+  }
+
+  test("q135: the sf matrix is complete and every measure respects its bounds") {
+    val rows = Composition.q135SourceOverlap(spark, sf).collect()
+    val nSrc = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source").distinct().count().toInt
+    assert(rows.length == nSrc * (nSrc - 1) / 2,
+      s"expected C($nSrc,2) pairs, got ${rows.length}")
+    rows.foreach { r =>
+      val (a, b, shA, shB, common, jacc, ca, cb) = (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+        r.getDouble(6), r.getDouble(7))
+      assert(a < b)
+      assert(common >= 0 && common <= math.min(shA, shB))
+      assert(jacc >= 0.0 && jacc <= 1.0 && ca >= 0.0 && ca <= 1.0 && cb >= 0.0 && cb <= 1.0)
+      // containment dominates jaccard (|A∩B|/|A| >= |A∩B|/|A∪B|)
+      assert(ca + 1e-9 >= jacc && cb + 1e-9 >= jacc)
+    }
+  }
+
+  // ---- q136 importance resampling --------------------------------------
+
+  test("q136: a uniform corpus gets uniform weights and the draw total lands on the step arithmetic") {
+    val dir = tmpDir("q136docs")
+    // all-English corpus: target LM == raw LM, gain_bits = 0 for every
+    // doc, so w = 2^4 = 16 uniformly
+    writeDocs(dir, (1L to 40L).map(i => (i, s"tok$i common words here", "en", "web")))
+    val rows = Composition.q136ImportanceResample(spark, dir).collect()
+    assert(rows.length == 40)
+    assert(rows.forall(_.getLong(4) == 16L), "uniform corpus must weigh 16 everywhere")
+    val wTotal = 40L * 16L
+    val step = math.max(wTotal / Composition.ResampleTarget, 1L)
+    val picks = rows.map(_.getLong(6)).sum
+    assert(picks == wTotal / step,
+      s"systematic draw total must be floor(W/step): $picks vs ${wTotal / step}")
+  }
+
+  test("q136: weights clamp to [1, 16384], heavy docs always draw, and the draw is deterministic") {
+    val rows = Composition.q136ImportanceResample(spark, sf).collect()
+    val again = Composition.q136ImportanceResample(spark, sf).collect()
+    assert(rows.toSeq == again.toSeq, "resampling must be bit-deterministic")
+    val n = rows.length
+    val wTotal = rows.map(_.getLong(4)).sum
+    val step = math.max(wTotal / Composition.ResampleTarget, 1L)
+    rows.foreach { r =>
+      val (gain, w, picks) = (r.getLong(2), r.getLong(4), r.getLong(6))
+      assert(w >= 1L && w <= 16384L)
+      assert(w == (1L << (math.max(-4L, math.min(10L, gain)) + 4L).toInt))
+      assert(picks >= 0L)
+      if (w >= step) assert(picks >= 1L, s"span >= step must contain a draw point: w=$w step=$step")
+    }
+    val total = rows.map(_.getLong(6)).sum
+    assert(total == wTotal / step, s"draw total $total != floor(W/step) ${wTotal / step}")
+    assert(n > 0 && total >= math.min(Composition.ResampleTarget, n / 2).toLong)
+  }
+
+  test("q136: the weighted prefix sum is globally consistent across shards") {
+    val rows = Composition.q136ImportanceResample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // within a shard, cum increases by exactly w in doc_id order
+    rows.groupBy(_._2).foreach { case (_, docs) =>
+      val inOrder = docs.sortBy(_._1)
+      inOrder.foldLeft(Option.empty[Long]) { case (prev, (_, _, w, cum)) =>
+        prev.foreach(p => assert(cum == p + w, "per-shard prefix must be contiguous"))
+        Some(cum)
+      }
+    }
+    // shards tile [1, W] without gaps: the global max equals the sum of
+    // all weights and every shard's first cum is its offset + first w
+    assert(rows.map(_._4).max == rows.map(_._3).sum)
+  }
+}

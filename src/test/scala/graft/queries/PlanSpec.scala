@@ -63,11 +63,18 @@ class PlanSpec extends SparkSpec {
     // q132 attaches its 1-row n_min scalar onto the LANGS-sized count
     // table the same way — the nested-loop probe side is the aggregate,
     // never the corpus (the corpus join is equi on lang, broadcast)
+    // q134/q136 attach their 1-row corpus-scalar aggregates (N,T / W)
+    // by the same broadcast scalar pattern as q118/q124/q125
+    // q135's matrix assembly is an inequality join of two
+    // SOURCE-COUNT-sized aggregates (~hundreds of rows at any corpus
+    // scale) — the one place a BroadcastNestedLoopJoin is the right
+    // plan; the corpus-sized work is all equi-keyed on the shingle
     val exempt = Set("q82_similarity_topk", "q73_cluster_assign",
       "q74_cluster_balanced_sample", "q100_knn_ivf", "q101_knn_pq",
       "q108_kmeans_refine", "q110_semantic_dedup", "q118_collocations",
       "q123_rfm_segments", "q124_heavy_hitters", "q125_dsir_weights",
-      "q132_temperature_mix")
+      "q132_temperature_mix", "q134_bm25_retrieval", "q135_source_overlap",
+      "q136_importance_resample")
     val offenders = (graft.SparkEntry.queries.keySet -- exempt).toSeq.sorted.filter { name =>
       val p = plan(name)
       p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
@@ -424,6 +431,56 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("text"), s"document bodies read by the mix plan:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"rate table not attached by broadcast:\n$p")
+  }
+
+  test("q134: the panel is a distributed top-k, tf is cache-served, and the top-10 is map-side limited") {
+    // the three 100 TB claims in the scaladoc, pinned: (a) the query
+    // panel comes out of the vocab via TakeOrderedAndProject — a
+    // distributed top-18, never a global vocab sort; (b) the tf table
+    // feeds both the df aggregation and the scoring join from cache;
+    // (c) the per-query top-10 plans a map-side WindowGroupLimit so
+    // each map task forwards <= 10 rows per query
+    val p = plan("q134_bm25_retrieval")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"panel selection is not a distributed top-k:\n$p")
+    assert(p.contains("InMemoryTableScan"), s"tf recomputed per consumer:\n$p")
+    assert(p.linesIterator.exists(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial")),
+      s"no map-side partial group limit:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"query panel not attached by broadcast:\n$p")
+  }
+
+  test("q135: per-shingle source sets are bounded aggregates, never a shingle self-join") {
+    // the scaladoc's no-self-join claim, pinned: the pair generator is
+    // collect_set(source) per shingle (bounded by source count), so the
+    // plan carries an object hash aggregate with collect_set and NO
+    // sort-merge join — every join in the plan is broadcast-sized
+    // (matrix assembly + the pair attach), and the shingle table is
+    // cache-served into both its consumers
+    val p = plan("q135_source_overlap")
+    assert(p.contains("collect_set"), s"no bounded source-set aggregate:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"shingle table recomputed per consumer:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-scale join in a source-count-sized assembly:\n$p")
+  }
+
+  test("q136: the prefix sum windows on shard and only the S-row totals ever funnel") {
+    // the two-phase claim, pinned: the corpus-sized window partitions
+    // on shard — corpus rows hash-exchange on the shard key and the
+    // prefix window runs per-shard (never a global single-partition
+    // window over the corpus, the round-9 q124 defect class) — and
+    // shard offsets come back by broadcast. SinglePartition exchanges
+    // DO exist in the plan, all on aggregate-sized frames (q125's
+    // model scalars, the S-row totals cumulation, the W scalar); the
+    // corpus window's own feed is the shard hash exchange.
+    val p = plan("q136_importance_resample")
+    assert("windowspecdefinition\\(shard".r.findAllIn(p).nonEmpty &&
+      p.contains("Exchange hashpartitioning(shard"),
+      s"corpus prefix sum does not hash-partition on shard:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"shard offsets not attached by broadcast:\n$p")
   }
 
   test("q74/q75: per-group top-k plans as a map-side WindowGroupLimit") {
