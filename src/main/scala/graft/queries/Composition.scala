@@ -129,15 +129,28 @@ object Composition {
   val q135SourceOverlap: Q = (spark, dir) => {
     val n = OverlapShingleN
     val d = t(spark, dir, "documents")
-    val sh = d.select(col("source"),
+    // toks is materialized as its own projection BEFORE the shingle
+    // transform: inlining split() into the lambda would re-split the
+    // text on every element_at — measured 3.5 s vs 0.6 s at sf0.1
+    // (CollapseProject keeps the split separate because the lambda
+    // references it many times; q133's spelling). No distinct() stage:
+    // collect_set dedups (source, sh) inside the ONE corpus-sized
+    // exchange, and partial aggregation bounds map-side state at S
+    // entries per shingle — a separate distinct would add a second
+    // corpus-sized shuffle for nothing.
+    val grouped = d
+      .select(col("source"), split(col("text"), " ").as("toks"))
+      .select(col("source"),
         explode(graft.streaming.Decontaminator.shingleFingerprints(
-          split(col("text"), " "), n)).as("sh"))
-      .distinct()
-      .scopedPersist
-    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.groupBy(col("sh"))
+          col("toks"), n)).as("sh"))
+      .groupBy(col("sh"))
       .agg(sort_array(collect_set(col("source"))).as("srcs"))
-      .filter(size(col("srcs")) > 1)
+      .scopedPersist
+    // each shingle contributes exactly once per source it appears in,
+    // so re-exploding the source sets IS the distinct per-source count
+    val sizes = grouped.select(explode(col("srcs")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val pairs = grouped.filter(size(col("srcs")) > 1)
       .select(explode(flatten(transform(col("srcs"), (a, i) =>
         transform(slice(col("srcs"), i + lit(2), size(col("srcs"))),
           b => struct(a.as("src_a"), b.as("src_b")))))).as("p"))
