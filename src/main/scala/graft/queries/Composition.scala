@@ -242,10 +242,42 @@ object Composition {
         expr("cum div step - (cum - w) div step").as("n_picks")))
   }
 
+  /** q137 [EXT]: per-source K-minwise panel — the fixed-size uniform
+    * audit sample every pipeline keeps per source (label-QA batches,
+    * content eyeballing, drift spot checks): the K docs with the
+    * smallest Knuth-hash priority per source. Distinct from its two
+    * neighbors by construction: q95's rate sample GROWS with the
+    * corpus where this panel is fixed-size, and q96's quota keeps the
+    * BEST-ranked docs where this panel is deliberately quality-blind
+    * (uniform over the source's history — that's what makes it an
+    * audit sample). Minwise is also mergeable and order-independent,
+    * which is why the same kernel runs in-stream as s94
+    * ([[graft.streaming.MinwisePanel]]): StreamingSpec s94 pins the
+    * stream-reconstructed panel row-identical to THIS oracled answer,
+    * q129/s88's proof pattern.
+    *
+    * 100 TB: one shuffle on source; the rank filter plans a map-side
+    * WindowGroupLimit (q96's rewrite, pinned in PlanSpec) so each map
+    * task forwards ≤ K rows per source — the output and all
+    * intermediate state are K·|sources| rows. */
+  val q137MinwisePanel: Q = (spark, dir) => {
+    val k = graft.streaming.MinwisePanel.K
+    val P = graft.streaming.MinwisePanel.P
+    val prio = pmod(pmod(col("doc_id"), lit(P)) * lit(graft.streaming.MinwisePanel.C), lit(P))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("prio").asc, col("doc_id").asc)
+    orderAll(t(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), prio.as("prio"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("rk"), col("doc_id"), col("prio")))
+  }
+
   val defs: Map[String, Q] = Map(
     "q134_bm25_retrieval" -> q134Bm25Retrieval,
     "q135_source_overlap" -> q135SourceOverlap,
-    "q136_importance_resample" -> q136ImportanceResample)
+    "q136_importance_resample" -> q136ImportanceResample,
+    "q137_minwise_panel" -> q137MinwisePanel)
 
   /** q135's oracle shingle expression over 1-based `toks[i]`. */
   private def shingleSql(n: Int): String =
@@ -314,6 +346,22 @@ object Composition {
          |LEFT JOIN com c ON c.src_a = x.source AND c.src_b = y.source
          |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
          |  5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST, 8 NULLS FIRST""".stripMargin
+    },
+    "q137_minwise_panel" -> {
+      val k = graft.streaming.MinwisePanel.K
+      s"""WITH p AS (
+         |  SELECT source, doc_id,
+         |    (((((((doc_id % 1000000007) + 1000000007) % 1000000007)
+         |        * 2654435761) % 1000000007) + 1000000007) % 1000000007) AS prio
+         |  FROM documents),
+         |r AS (SELECT source,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY prio ASC, doc_id ASC) AS INT) AS rk,
+         |    doc_id, prio
+         |  FROM p)
+         |SELECT source, rk, doc_id, prio FROM r WHERE rk <= $k
+         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+         |  4 NULLS FIRST""".stripMargin
     },
     "q136_importance_resample" -> {
       val s = ResampleShards

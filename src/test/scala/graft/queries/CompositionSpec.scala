@@ -146,6 +146,27 @@ class CompositionSpec extends SparkSpec {
     assert(n > 0 && total >= math.min(Composition.ResampleTarget, n / 2).toLong)
   }
 
+  test("q137: every source gets min(K, its docs) panel rows with the kernel's own priorities") {
+    val rows = Composition.q137MinwisePanel(spark, sf).collect()
+    val perSource = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val k = graft.streaming.MinwisePanel.K
+    val bySrc = rows.groupBy(_.getString(0))
+    assert(bySrc.keySet == perSource.keySet)
+    bySrc.foreach { case (src, panel) =>
+      assert(panel.length == math.min(k.toLong, perSource(src)),
+        s"$src panel size ${panel.length}")
+      panel.foreach { r =>
+        assert(r.getLong(3) == graft.streaming.MinwisePanel.priority(r.getLong(2)),
+          "batch priority must equal the streaming kernel's")
+      }
+      // the panel really is the bottom-k: every member's priority is
+      // <= the rank-k boundary, and ranks are contiguous
+      assert(panel.map(_.getInt(1)).sorted.toSeq == (1 to panel.length).toSeq)
+    }
+  }
+
   test("q136: the weighted prefix sum is globally consistent across shards") {
     val rows = Composition.q136ImportanceResample(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5)))

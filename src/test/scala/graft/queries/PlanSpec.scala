@@ -483,10 +483,12 @@ class PlanSpec extends SparkSpec {
       s"shard offsets not attached by broadcast:\n$p")
   }
 
-  test("q74/q75: per-group top-k plans as a map-side WindowGroupLimit") {
+  test("q74/q75/q137: per-group top-k plans as a map-side WindowGroupLimit") {
     // same rewrite as q96/q67: each map task forwards at most k rows per
-    // cluster (q74) / query vector (q75) before the exchange
-    Seq("q74_cluster_balanced_sample", "q75_knn_join").foreach { q =>
+    // cluster (q74) / query vector (q75) / source (q137) before the
+    // exchange
+    Seq("q74_cluster_balanced_sample", "q75_knn_join",
+        "q137_minwise_panel").foreach { q =>
       val p = plan(q)
       assert(p.linesIterator.exists(l =>
         l.contains("WindowGroupLimit") && l.contains("Partial")),

@@ -1169,6 +1169,68 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s94: the minwise panel's CDC stream reconstructs exactly the oracled q137 batch answer") {
+    // per-source K-minwise audit sample in transformWithState ListState,
+    // emitted as an enter/evict event log (the evict row IS the
+    // retraction, so Append mode carries a reconstructable panel). The
+    // pin: folding the event stream over the real sf fixture must yield
+    // EXACTLY the DuckDB-oracled q137 batch panel — the kernel is
+    // order-independent, so no ordering contract mediates the equality.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key, graft.core.GraftSession.RocksDBProviderClass)
+    try {
+      val sf = "/root/testdata/sf0.001"
+      val batch = graft.SparkEntry.queries("q137_minwise_panel")(spark, sf)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSet
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("source"), col("doc_id"))
+        .as[(String, Long)].collect().sortBy(_._2)
+      assert(docs.nonEmpty && batch.nonEmpty)
+      val chunks = docs.grouped((docs.length + 2) / 3).toSeq
+      val in = MemoryStream[(String, Long)](spark)
+      val q = graft.streaming.MinwisePanel.panel(in.toDS())
+        .toDF("source", "doc_id", "prio", "event")
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("s94_out").start()
+      try {
+        chunks.foreach { c => in.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+        val events = spark.table("s94_out").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        val panel = events.foldLeft(Set.empty[(String, Long, Long)]) {
+          case (s, (src, id, p, "enter")) => s + ((src, id, p))
+          case (s, (src, id, p, _))      => s - ((src, id, p))
+        }
+        assert(panel == batch,
+          s"reconstructed panel diverged from the oracled batch answer:\n" +
+            s"stream-only=${(panel -- batch).take(5)}\nbatch-only=${(batch -- panel).take(5)}")
+      } finally q.stop()
+      // hand-built edges at k=2 (priorities: id8 < id5 < id2 < id7 <
+      // id4 < id1 < id6 < id3): an above-max arrival leaves no trace, a
+      // below-max arrival evicts the max, a re-delivered panel member
+      // is a no-op — and none of it resets at batch boundaries
+      val p = graft.streaming.MinwisePanel.priority _
+      val in2 = MemoryStream[(String, Long)](spark)
+      val q2 = graft.streaming.MinwisePanel.panel(in2.toDS(), k = 2)
+        .toDF("source", "doc_id", "prio", "event")
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("s94b_out").start()
+      try {
+        in2.addData(("s", 1L), ("s", 2L)); q2.processAllAvailable()
+        in2.addData(("s", 3L), ("s", 5L)); q2.processAllAvailable()
+        in2.addData(("s", 5L), ("s", 8L)); q2.processAllAvailable()
+        val got = spark.table("s94b_out").collect()
+          .map(r => (r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+        val expected = Seq(
+          (1L, p(1L), "enter"), (2L, p(2L), "enter"),
+          (5L, p(5L), "enter"), (1L, p(1L), "evict"),
+          (8L, p(8L), "enter"), (2L, p(2L), "evict"))
+        assert(got.toSet == expected.toSet && got.length == expected.length,
+          s"edge event log wrong:\ngot=$got\nexpected=$expected")
+      } finally q2.stop()
+    } finally spark.conf.unset(key)
+  }
+
   test("s92c: the ListState dup ring survives a query restart from its checkpoint") {
     // completes the state-primitive recovery matrix: s88b pins
     // ValueState, s90b MapState + timers, s89b join state — this pins

@@ -113,4 +113,35 @@ class TwsKernelsSpec extends AnyFunSuite {
       }
     })
   }
+
+  // --- s94: the minwise panel ----------------------------------------
+
+  test("minwise panel: the panel is the bottom-K of the arrival SET under any permutation") {
+    // the order-independence that exempts s94 from the ordering
+    // contract, as a property: fold forward and fold reversed both land
+    // on the k smallest (priority, id) pairs of the distinct arrivals,
+    // the panel stays sorted, and the enter/evict event log always nets
+    // to the panel
+    val idsGen = Gen.listOf(Gen.chooseNum(0L, 100000L))
+    val kGen = Gen.chooseNum(1, 8)
+    check(Prop.forAll(idsGen, kGen) { (ids: List[Long], k: Int) =>
+      def fold(order: List[Long]) =
+        order.foldLeft((Vector.empty[(Long, Long)],
+            List.empty[(Long, Long, String)])) {
+          case ((p, evs), id) =>
+            val (p1, e) = MinwisePanel.step(p, id, k)
+            (p1, evs ++ e)
+        }
+      val (fwd, evs) = fold(ids)
+      val (rev, _) = fold(ids.reverse)
+      val expected = ids.distinct
+        .map(id => (MinwisePanel.priority(id), id)).sorted.take(k).toVector
+      val netted = evs.foldLeft(Set.empty[(Long, Long)]) {
+        case (s, (id, p, "enter")) => s + ((p, id))
+        case (s, (id, p, _))       => s - ((p, id))
+      }
+      fwd == expected && rev == expected &&
+        fwd == fwd.sorted && netted == fwd.toSet
+    })
+  }
 }
