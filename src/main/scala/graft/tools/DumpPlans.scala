@@ -70,7 +70,11 @@ object DumpPlans {
       "q129_token_budget" -> "token budget: ONE lang-keyed exchange feeding the ordered prefix-sum window, admission verdict a codegen'd row-local compare — no single-partition funnel, no second shuffle",
       "q130_chunk_windows" -> "chunking: one row-local Generate (posexplode over the start grid) inside whole-stage codegen — no join, no exchange before the dump sort; the map-only 100 TB shape",
       "q131_dedup_canonical" -> "cluster canonicalization: q68's label table joined doc_id-keyed to the token counts, canonical pick a per-CLUSTER window (partitions bounded by duplicate multiplicity)",
-      "q132_temperature_mix" -> "temperature mix: lang counts aggregate with a 1-row broadcast min, rate table broadcast back onto the scan, keep verdict a codegen'd row-local compare — corpus never shuffled")
+      "q132_temperature_mix" -> "temperature mix: lang counts aggregate with a 1-row broadcast min, rate table broadcast back onto the scan, keep verdict a codegen'd row-local compare — corpus never shuffled",
+      "q134_bm25_retrieval" -> "bm25: cached tf served to the df agg and the scoring join, panel via TakeOrderedAndProject then broadcast, (N,T) a 1-row broadcast scalar, per-query top-10 as map-side WindowGroupLimit",
+      "q135_source_overlap" -> "source overlap: ONE corpus-sized exchange (shingle-keyed collect_set, partial-agg-deduped), sizes re-exploded from the grouped sets, matrix an S-row broadcast inequality join",
+      "q136_importance_resample" -> "importance resample: dsir weight frame persisted, corpus windows per SHARD (hash exchange on shard), S-row offset cumulation the only funnel, offsets + W broadcast back, draw arithmetic row-local BIGINT",
+      "q137_minwise_panel" -> "minwise panel: one source-keyed exchange, rank<=K as map-side WindowGroupLimit — K·sources rows forwarded from the k× scan")
 
     val sb = new StringBuilder
     sb.append("# PLANS — finalized physical plans for headline queries\n\n")

@@ -93,6 +93,17 @@ object ScaleProbe {
     // key-local as both sides grow k× (salted copies keep cross-copy
     // shingles disjoint, so train-side df per shingle is k-invariant)
     "q133_split_leakage",
+    // round 11 composition wave: q134's tf build must track the k×
+    // token stream while the df-ranked panel (suffixed per-copy vocab →
+    // panel terms hit ~1/k of the corpus) stays broadcast-tiny; q135 is
+    // the adversarial per-shingle-state case — cross-copy shingles are
+    // disjoint so the grouped (sh → source-set) table itself grows k×
+    // and the wall must track it; q136's sharded prefix sum rides the
+    // k× doc stream (S constant — the probe would expose a shard window
+    // degenerating superlinear); q137's WindowGroupLimit must keep the
+    // k× scan's forwarded rows at K·sources
+    "q134_bm25_retrieval", "q135_source_overlap",
+    "q136_importance_resample", "q137_minwise_panel",
     // round 10 third wave: q129's per-lang ordered prefix sum must track
     // the k× doc stream — lang cardinality is construction-constant, so
     // this is the probe that would expose the window degenerating into a
