@@ -56,11 +56,13 @@ object Composition {
     * task forwards ≤ 10 rows per query. Bodies never cross the wire. */
   val q134Bm25Retrieval: Q = (spark, dir) => {
     val d = t(spark, dir, "documents")
-    val toks = d.select(col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("dl"),
-      explode(split(col("text"), " ")).as("term"))
-    // persisted: tf feeds BOTH the df aggregation and the scoring join
-    // (q67's measured defect class when unpersisted)
+    // toks rides its own projection so the text splits ONCE per row
+    // (size + explode would otherwise each re-split; q135's lesson)
+    val toks = d.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+    // persisted: tf feeds the df aggregation, the corpus scalars, AND
+    // the scoring join (q67's measured defect class when unpersisted)
     val tf = toks.groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .scopedPersist
@@ -71,8 +73,13 @@ object Composition {
       .filter(col("trk") >= 4)
       .select(expr("cast((trk - 4) div 3 as int)").as("query_id"),
         col("term"), col("df"))
-    val glob = d.agg(count(lit(1)).cast("long").as("nn"),
-      sum(size(split(col("text"), " ")).cast("long")).as("tt"))
+    // (N, T) from the cached tf, not a second corpus scan: every doc
+    // yields >= 1 explode row (split of even an empty string is ['']),
+    // so countDistinct(doc_id) == count(documents) and sum(tf) == total
+    // tokens — the oracle's gl CTE computes the same two scalars from
+    // the table directly
+    val glob = tf.agg(countDistinct(col("doc_id")).as("nn"),
+      sum(col("tf")).as("tt"))
     val idf = (lit(2.0) * col("nn") - lit(2.0) * col("df") + lit(1.0)) /
       (lit(2.0) * col("df") + lit(1.0))
     val den = lit(10.0) * col("tf") * col("tt") + lit(3.0) * col("tt") +

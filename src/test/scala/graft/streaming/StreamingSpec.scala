@@ -1231,6 +1231,47 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset(key)
   }
 
+  test("s94b: the minwise panel survives a restart — recovered members still evict and dedupe") {
+    // s92c pins ListState recovery mechanically; this pins the panel's
+    // SEMANTIC recovery: after restart the recovered members must still
+    // (a) absorb a re-delivered member as a no-op (idempotent replay)
+    // and (b) lose their max to a smaller post-restart arrival — a
+    // reset panel would instead re-admit the re-delivery and never
+    // emit the evict for the pre-restart member.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key, graft.core.GraftSession.RocksDBProviderClass)
+    try {
+      val p = graft.streaming.MinwisePanel.priority _
+      val ckpt = tmpDir("s94b_ckpt")
+      val out = tmpDir("s94b_out")
+      val in = MemoryStream[(String, Long)](spark)
+      def start() = graft.streaming.MinwisePanel.panel(in.toDS(), k = 2)
+        .toDF("source", "doc_id", "prio", "event")
+        .writeStream.outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out).start()
+      def events() = spark.read.parquet(out).collect()
+        .map(r => (r.getLong(1), r.getString(3))).toSeq.sorted
+      val q1 = start()
+      try {
+        in.addData(("s", 1L), ("s", 2L))
+        q1.processAllAvailable()
+        assert(events() == Seq((1L, "enter"), (2L, "enter")))
+      } finally q1.stop() // crash point: panel holds {prio(2), prio(1)}
+      val q2 = start()
+      try {
+        // id 2 re-delivered (recovered member → no-op) and id 5
+        // (prio(5) < prio(2) < prio(1)) must displace the RECOVERED max
+        in.addData(("s", 2L), ("s", 5L))
+        q2.processAllAvailable()
+        assert(events() == Seq((1L, "enter"), (1L, "evict"),
+          (2L, "enter"), (5L, "enter")),
+          s"recovered panel mishandled the post-restart batch: ${events()}")
+        assert(p(5L) < p(2L) && p(2L) < p(1L), "fixture priority order moved")
+      } finally q2.stop()
+    } finally spark.conf.unset(key)
+  }
+
   test("s92c: the ListState dup ring survives a query restart from its checkpoint") {
     // completes the state-primitive recovery matrix: s88b pins
     // ValueState, s90b MapState + timers, s89b join state — this pins
