@@ -1274,7 +1274,14 @@ object LlmOps {
     val text = when(col("doc_id") % 10 === 0,
       concat(col("text"), lit(" spam spam spam spam spam spam spam spam spam spam spam spam")))
       .otherwise(col("text"))
-    val toks = split(text, " ")
+    // toks rides its own projection: HOF lambda bodies re-evaluate
+    // every non-attribute expression they reference, so an inlined
+    // split would re-split the text for each element_at in the gram
+    // lambdas — ~5 splits per token position (q135's measured defect
+    // class; harmless at 54-token fixture docs, a real multiplier on
+    // long documents at scale)
+    val withToks = d.withColumn("toks", split(text, " "))
+    val toks = col("toks")
     val n1 = size(toks)
     def gramFrac(k: Int) = {
       val n = size(toks) - (k - 1)
@@ -1289,7 +1296,7 @@ object LlmOps {
     val dupWord = round((n1 - size(array_distinct(toks))).cast("double") / n1, 6)
     val dup2 = gramFrac(2)
     val dup3 = gramFrac(3)
-    orderAll(d.select(
+    orderAll(withToks.select(
       col("doc_id"),
       n1.as("n_tok"),
       dupWord.as("dup_word_frac"),
