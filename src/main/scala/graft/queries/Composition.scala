@@ -280,11 +280,74 @@ object Composition {
       .select(col("source"), col("rk"), col("doc_id"), col("prio")))
   }
 
+  /** q138's verbatim threshold: a max-run of R consecutive 8-gram hits
+    * spans R + 7 contiguous train-shared tokens (R = 5 ⇒ a 12-token
+    * verbatim splice). Env-dialed, interpolated into the oracle. */
+  private[graft] val MemoRunMin: Int = {
+    val r = sys.env.getOrElse("GRAFT_MEMO_RUN_MIN", "5").toInt
+    require(r >= 1, s"GRAFT_MEMO_RUN_MIN=$r — a non-positive run flags everything")
+    r
+  }
+
+  /** q138 [EXT]: memorization-span audit — the POSITIONAL complement of
+    * q133's set-overlap leakage score: per val/test doc, the LONGEST
+    * CONTIGUOUS run of shingle positions whose 8-gram is present
+    * anywhere in the train side. The two metrics separate cases q133
+    * alone cannot: 50% overlap from scattered hits is vocabulary
+    * collision or paraphrase-level similarity, while 50% overlap in ONE
+    * contiguous run is a verbatim splice of training text — the
+    * memorization-risk signal eval-contamination analyses threshold on.
+    * q133's planted leaks (truncated re-ingests) are full-span by
+    * construction (max_run = n_pos), so the flag has deterministic true
+    * positives; clean docs over the 31-token vocabulary collide on
+    * single 8-grams but not on runs.
+    *
+    * Same corpus derivation as q133 ([[LlmOps.leakSplitCorpus]], shared
+    * code) and the same scale shape — two corpus-sized exchanges
+    * carrying ids + 8-byte fingerprints (eval side POSITIONAL, train
+    * side distinct), then a per-DOC window whose partitions are bounded
+    * by document length, never corpus-sized, and doc-keyed re-aggs.
+    * Runs come out of the gaps-and-islands rewrite (pos − rank is
+    * constant within a consecutive run) — the one SQL spelling that
+    * needs no self-join and no iteration. */
+  val q138MemorizationSpan: Q = (spark, dir) => {
+    val n = LlmOps.LeakShingleN
+    val corpus = LlmOps.leakSplitCorpus(spark, dir).scopedPersist
+    val toks = col("toks")
+    // positional shingles — deliberately NOT distinct (runs are
+    // positional); toks is a materialized attribute, so the lambda
+    // re-evaluates element_at only, never the split (q64/q135's class)
+    val shPos = transform(sequence(lit(1), size(toks) - (n - 1)),
+      i => xxhash64((0 until n).map(o => element_at(toks, i + o)): _*))
+    val evalPos = corpus.filter(col("split") =!= "train")
+      .select(col("doc_id"), posexplode(when(size(toks) >= n, shPos)
+        .otherwise(array().cast("array<bigint>"))))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("sh"))
+    val trainSh = corpus.filter(col("split") === "train")
+      .select(explode(graft.streaming.Decontaminator
+        .shingleFingerprints(toks, n)).as("sh")).distinct()
+    val wRn = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val runs = evalPos.join(trainSh, Seq("sh"), "left_semi")
+      .withColumn("grp", col("i") - row_number().over(wRn))
+      .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("run_len"))
+    val mx = runs.groupBy(col("doc_id"))
+      .agg(max(col("run_len")).as("max_run"), sum(col("run_len")).as("n_hit"))
+    val ev = corpus.filter(col("split") =!= "train")
+      .select(col("doc_id"), col("split"),
+        greatest(size(toks) - (n - 1), lit(0)).cast("long").as("n_pos"))
+    orderAll(ev.join(mx, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("split"), col("n_pos"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"))
+      .withColumn("memorized", col("max_run") >= MemoRunMin))
+  }
+
   val defs: Map[String, Q] = Map(
     "q134_bm25_retrieval" -> q134Bm25Retrieval,
     "q135_source_overlap" -> q135SourceOverlap,
     "q136_importance_resample" -> q136ImportanceResample,
-    "q137_minwise_panel" -> q137MinwisePanel)
+    "q137_minwise_panel" -> q137MinwisePanel,
+    "q138_memorization_span" -> q138MemorizationSpan)
 
   /** q135's oracle shingle expression over 1-based `toks[i]`. */
   private def shingleSql(n: Int): String =
@@ -353,6 +416,53 @@ object Composition {
          |LEFT JOIN com c ON c.src_a = x.source AND c.src_b = y.source
          |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
          |  5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST, 8 NULLS FIRST""".stripMargin
+    },
+    "q138_memorization_span" -> {
+      val n = LlmOps.LeakShingleN
+      val r = MemoRunMin
+      s"""WITH d0 AS (SELECT doc_id, text FROM documents),
+         |planted AS (
+         |  SELECT doc_id + 5000000 AS doc_id,
+         |    array_to_string(
+         |      string_split(text, ' ')[1:len(string_split(text, ' ')) - 1],
+         |      ' ') AS text
+         |  FROM d0 WHERE ${knuthMod("doc_id", 100)} < 80),
+         |corpus AS (
+         |  SELECT * FROM d0
+         |  UNION ALL SELECT * FROM planted WHERE ${knuthMod("doc_id", 100)} >= 80),
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+         |         ELSE 'test' END AS split,
+         |    string_split(text, ' ') AS toks
+         |  FROM (SELECT doc_id, text, ${knuthMod("doc_id", 100)} AS b FROM corpus)),
+         |pos AS (
+         |  SELECT doc_id, i, ${shingleSql(n)} AS sh
+         |  FROM sp, unnest(range(1, len(toks) - ${n - 2})) AS t(i)
+         |  WHERE split <> 'train'),
+         |tsh AS (
+         |  SELECT DISTINCT ${shingleSql(n)} AS sh
+         |  FROM sp, unnest(range(1, len(toks) - ${n - 2})) AS t(i)
+         |  WHERE split = 'train'),
+         |hits AS (SELECT p.doc_id, p.i FROM pos p JOIN tsh USING (sh)),
+         |runs AS (SELECT doc_id,
+         |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+         |  FROM hits),
+         |rl AS (SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS run_len
+         |       FROM runs GROUP BY 1, 2),
+         |mx AS (SELECT doc_id, CAST(max(run_len) AS BIGINT) AS max_run,
+         |         CAST(sum(run_len) AS BIGINT) AS n_hit
+         |       FROM rl GROUP BY 1),
+         |ev AS (SELECT doc_id, split,
+         |         CAST(greatest(len(toks) - ${n - 1}, 0) AS BIGINT) AS n_pos
+         |       FROM sp WHERE split <> 'train')
+         |SELECT e.doc_id, e.split, e.n_pos,
+         |  coalesce(m.n_hit, 0) AS n_hit,
+         |  coalesce(m.max_run, 0) AS max_run,
+         |  coalesce(m.max_run, 0) >= $r AS memorized
+         |FROM ev e LEFT JOIN mx m USING (doc_id)
+         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+         |  5 NULLS FIRST, 6 NULLS FIRST""".stripMargin
     },
     "q137_minwise_panel" -> {
       val k = graft.streaming.MinwisePanel.K

@@ -1222,24 +1222,31 @@ object LlmOps {
     n
   }
 
-  val q133SplitLeakage: Q = (spark, dir) => {
-    val n = LeakShingleN
+  /** q133/q138's shared corpus derivation: documents + the planted
+    * train→eval leaks (train docs re-ingested truncated under new ids,
+    * kept only when the new id's own q94 bucket is val/test), split
+    * labels, and the materialized token array. Returned UNPERSISTED —
+    * each consumer persists its own enriched frame. */
+  private[queries] def leakSplitCorpus(spark: SparkSession, dir: String): DataFrame = {
     val P = 1000000007L
     def bucketOf(id: org.apache.spark.sql.Column) =
       pmod(pmod(pmod(id, lit(P)) * lit(2654435761L), lit(P)), lit(100L))
     val d0 = t(spark, dir, "documents").select(col("doc_id"), col("text"))
-    // the planted leak: train docs re-ingested truncated under new ids,
-    // kept only when the new id's own bucket is val/test
     val planted = d0.filter(bucketOf(col("doc_id")) < 80)
       .select((col("doc_id") + 5000000).as("doc_id"),
         array_join(slice(split(col("text"), " "), lit(1),
           size(split(col("text"), " ")) - 1), " ").as("text"))
       .filter(bucketOf(col("doc_id")) >= 80)
-    val corpus = d0.unionByName(planted)
+    d0.unionByName(planted)
       .withColumn("bucket", bucketOf(col("doc_id")))
       .withColumn("split", when(col("bucket") < 80, lit("train"))
         .when(col("bucket") < 90, lit("val")).otherwise(lit("test")))
       .withColumn("toks", split(col("text"), " "))
+  }
+
+  val q133SplitLeakage: Q = (spark, dir) => {
+    val n = LeakShingleN
+    val corpus = leakSplitCorpus(spark, dir)
       .withColumn("sha",
         graft.streaming.Decontaminator.shingleFingerprints(col("toks"), n))
       .scopedPersist

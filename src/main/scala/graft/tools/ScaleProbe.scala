@@ -104,6 +104,10 @@ object ScaleProbe {
     // k× scan's forwarded rows at K·sources
     "q134_bm25_retrieval", "q135_source_overlap",
     "q136_importance_resample", "q137_minwise_panel",
+    // q138 rides q133's corpus but positionally: the eval-side explode
+    // is NOT distinct and the per-doc islands window must stay bounded
+    // by document length as docs multiply k×
+    "q138_memorization_span",
     // round 10 third wave: q129's per-lang ordered prefix sum must track
     // the k× doc stream — lang cardinality is construction-constant, so
     // this is the probe that would expose the window degenerating into a

@@ -110,6 +110,54 @@ class CompositionSpec extends SparkSpec {
     }
   }
 
+  // ---- q138 memorization span ------------------------------------------
+
+  test("q138: a contiguous splice is memorized, the same tokens scattered are not") {
+    // ids chosen by their q94 buckets (computed): 4 → train (74) with
+    // its planted copy dropped (bucket(5000004) < 80); 2, 9 → val
+    // (87/88). Doc 2 splices train's first 15 tokens verbatim →
+    // 8-gram hits at positions 1..8, one run. Doc 9 interleaves the
+    // SAME train tokens with novel ones → zero 8-gram hits: the span
+    // metric separates verbatim splice from token-level similarity.
+    val dir = tmpDir("q138docs")
+    val trainText = (1 to 20).map(i => s"w$i").mkString(" ")
+    val splice = ((1 to 15).map(i => s"w$i") ++ (1 to 5).map(i => s"x$i")).mkString(" ")
+    val scattered = (1 to 10).flatMap(i => Seq(s"w$i", s"y$i")).mkString(" ")
+    writeDocs(dir, Seq(
+      (4L, trainText, "en", "web"),
+      (2L, splice, "en", "web"),
+      (9L, scattered, "en", "web")))
+    val rows = Composition.q138MemorizationSpan(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))).toMap
+    assert(rows.keySet == Set(2L, 9L), s"expected exactly the val docs: $rows")
+    assert(rows(2L) == (("val", 13L, 8L, 8L, true)),
+      s"splice doc wrong: ${rows(2L)}")
+    assert(rows(9L) == (("val", 13L, 0L, 0L, false)),
+      s"scattered doc wrong: ${rows(9L)}")
+  }
+
+  test("q138: planted leaks are full-span on the sf corpus and runs never exceed their budget") {
+    val rows = Composition.q138MemorizationSpan(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val planted = rows.filter(_.getLong(0) >= 5000000L)
+    assert(planted.nonEmpty, "the q133 plant must land eval docs")
+    planted.foreach { r =>
+      // full-span always; the memorized flag additionally needs the
+      // span to reach R — a 9-token original leaves only 2 positions
+      assert(r.getLong(4) == r.getLong(2),
+        s"a truncated re-ingest is verbatim end-to-end: $r")
+    }
+    assert(planted.exists(_.getBoolean(5)),
+      "at least one planted leak must clear the memorized threshold")
+    rows.foreach { r =>
+      val (nPos, nHit, maxRun) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(maxRun <= nHit && nHit <= nPos,
+        s"run/hit/budget ordering violated: $r")
+      assert(r.getBoolean(5) == (maxRun >= Composition.MemoRunMin))
+    }
+  }
+
   // ---- q136 importance resampling --------------------------------------
 
   test("q136: a uniform corpus gets uniform weights and the draw total lands on the step arithmetic") {
