@@ -110,6 +110,42 @@ class CompositionSpec extends SparkSpec {
     }
   }
 
+  test("q134: identical documents tie on score and break by doc_id") {
+    val dir = tmpDir("q134ties")
+    val base = (1 to 19).map { i =>
+      (i.toLong, f"t$i%02d z$i%02d c1 c2 c3", "en", "web")
+    }
+    // doc 30 duplicates doc 3's text exactly: t03's df becomes 2 (tie
+    // with t01/t02, broken by term asc -> still rank 6, query 0)
+    writeDocs(dir, base :+ (30L, "t03 z03 c1 c2 c3", "en", "web"))
+    val q0 = Composition.q134Bm25Retrieval(spark, dir).collect()
+      .filter(_.getInt(0) == 0).map(r => (r.getInt(1), r.getLong(2), r.getLong(4)))
+    val three = q0.find(_._2 == 3L).get
+    val thirty = q0.find(_._2 == 30L).get
+    assert(three._3 == thirty._3, s"identical docs must tie: $three vs $thirty")
+    assert(three._1 < thirty._1, "ties must break by doc_id ascending")
+  }
+
+  test("q135: a single-source corpus yields an empty matrix, not a crash") {
+    val dir = tmpDir("q135one")
+    writeDocs(dir, Seq(
+      (1L, "alpha beta gamma delta epsilon", "en", "only"),
+      (2L, "one two three four five", "en", "only")))
+    assert(Composition.q135SourceOverlap(spark, dir).collect().isEmpty)
+  }
+
+  test("q136: when total mass is under the target, step clamps to 1 and every unit draws") {
+    // 5 uniform docs: W = 80 < M = 200, so step = max(W div M, 1) = 1
+    // and systematic sampling degenerates to n_picks = w exactly
+    val dir = tmpDir("q136small")
+    writeDocs(dir, (1L to 5L).map(i => (i, s"tok$i words here", "en", "web")))
+    val rows = Composition.q136ImportanceResample(spark, dir).collect()
+    assert(rows.length == 5)
+    rows.foreach(r => assert(r.getLong(6) == r.getLong(4),
+      s"step=1 must draw every unit of mass: $r"))
+    assert(rows.map(_.getLong(6)).sum == rows.map(_.getLong(4)).sum)
+  }
+
   // ---- q138 memorization span ------------------------------------------
 
   test("q138: a contiguous splice is memorized, the same tokens scattered are not") {
