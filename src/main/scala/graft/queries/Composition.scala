@@ -57,8 +57,14 @@ object Composition {
   val q134Bm25Retrieval: Q = (spark, dir) => {
     val d = t(spark, dir, "documents")
     // toks rides its own projection so the text splits ONCE per row
-    // (size + explode would otherwise each re-split; q135's lesson)
-    val toks = d.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // (size + explode would otherwise each re-split; q135's lesson).
+    // text is coalesced to '' so a NULL body still yields the ['']
+    // token row — without it, explode would DROP null-text docs from
+    // tf and the (N, T) scalars below would diverge from the oracle's
+    // direct-table count (the fixture has no null bodies; real corpora
+    // do)
+    val toks = d
+      .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         explode(col("toks")).as("term"))
     // persisted: tf feeds the df aggregation, the corpus scalars, AND
@@ -74,10 +80,10 @@ object Composition {
       .select(expr("cast((trk - 4) div 3 as int)").as("query_id"),
         col("term"), col("df"))
     // (N, T) from the cached tf, not a second corpus scan: every doc
-    // yields >= 1 explode row (split of even an empty string is ['']),
-    // so countDistinct(doc_id) == count(documents) and sum(tf) == total
-    // tokens — the oracle's gl CTE computes the same two scalars from
-    // the table directly
+    // yields >= 1 explode row (split of even an empty or coalesced-NULL
+    // string is ['']), so countDistinct(doc_id) == count(documents) and
+    // sum(tf) == total tokens — the oracle's gl CTE computes the same
+    // two scalars from the table directly
     val glob = tf.agg(countDistinct(col("doc_id")).as("nn"),
       sum(col("tf")).as("tt"))
     val idf = (lit(2.0) * col("nn") - lit(2.0) * col("df") + lit(1.0)) /
@@ -219,13 +225,11 @@ object Composition {
   val q136ImportanceResample: Q = (spark, dir) => {
     val s = ResampleShards
     val m = ResampleTarget
-    val P = 1000000007L
     val weighted = TokenStats.dsirPerDoc(spark, dir)
       .select(col("doc_id"), col("lang"), col("gain_bits"),
         expr("shiftleft(1L, cast(greatest(-4L, least(10L, gain_bits)) + 4 as int))")
           .as("w"),
-        pmod(pmod(pmod(col("doc_id"), lit(P)) * lit(2654435761L), lit(P)),
-          lit(s.toLong)).as("shard"))
+        knuthBucket(col("doc_id"), s.toLong).as("shard"))
       .scopedPersist
     val wIn = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -269,8 +273,7 @@ object Composition {
     * intermediate state are K·|sources| rows. */
   val q137MinwisePanel: Q = (spark, dir) => {
     val k = graft.streaming.MinwisePanel.K
-    val P = graft.streaming.MinwisePanel.P
-    val prio = pmod(pmod(col("doc_id"), lit(P)) * lit(graft.streaming.MinwisePanel.C), lit(P))
+    val prio = knuthMix(col("doc_id"))
     val w = Window.partitionBy(col("source"))
       .orderBy(col("prio").asc, col("doc_id").asc)
     orderAll(t(spark, dir, "documents")
@@ -312,7 +315,12 @@ object Composition {
     * needs no self-join and no iteration. */
   val q138MemorizationSpan: Q = (spark, dir) => {
     val n = LlmOps.LeakShingleN
-    val corpus = LlmOps.leakSplitCorpus(spark, dir).scopedPersist
+    // cache (doc_id, split, toks) only — the body and bucket columns
+    // the derivation needed would otherwise ride the persist (q133's
+    // pruning note)
+    val corpus = LlmOps.leakSplitCorpus(spark, dir)
+      .select(col("doc_id"), col("split"), col("toks"))
+      .scopedPersist
     val toks = col("toks")
     // positional shingles — deliberately NOT distinct (runs are
     // positional); toks is a materialized attribute, so the lambda
@@ -353,19 +361,15 @@ object Composition {
   private def shingleSql(n: Int): String =
     (0 until n).map(o => s"toks[i + $o]").mkString(" || ' ' || ")
 
-  /** The Knuth multiplicative bucket over a non-negative BIGINT, mod
-    * `m` — q132/q133's oracle spelling (the pmod dance keeps every
-    * intermediate non-negative in both engines). */
-  private def knuthMod(c: String, m: Int): String =
-    s"(((((((($c % 1000000007) + 1000000007) % 1000000007) * 2654435761) " +
-      s"% 1000000007) + 1000000007) % 1000000007) % $m + $m) % $m"
 
   val oracles: Map[String, String] = Map(
     "q134_bm25_retrieval" ->
       """WITH toks AS (
-        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+        |  SELECT doc_id,
+        |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS dl,
         |    t.term
-        |  FROM documents, unnest(string_split(text, ' ')) AS t(term)),
+        |  FROM documents,
+        |    unnest(string_split(coalesce(text, ''), ' ')) AS t(term)),
         |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
         |       FROM toks GROUP BY 1, 2, 3),
         |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
@@ -375,7 +379,7 @@ object Composition {
         |qterms AS (SELECT CAST((trk - 4) // 3 AS INT) AS query_id, term, df
         |           FROM ranked WHERE trk BETWEEN 4 AND 18),
         |gl AS (SELECT CAST(count(*) AS BIGINT) AS nn,
-        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tt
+        |    CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS BIGINT) AS tt
         |  FROM documents),
         |scored AS (
         |  SELECT query_id, doc_id, CAST(count(*) AS INT) AS n_hit,
@@ -426,16 +430,16 @@ object Composition {
          |    array_to_string(
          |      string_split(text, ' ')[1:len(string_split(text, ' ')) - 1],
          |      ' ') AS text
-         |  FROM d0 WHERE ${knuthMod("doc_id", 100)} < 80),
+         |  FROM d0 WHERE ${knuthBucketSql("doc_id", 100L)} < 80),
          |corpus AS (
          |  SELECT * FROM d0
-         |  UNION ALL SELECT * FROM planted WHERE ${knuthMod("doc_id", 100)} >= 80),
+         |  UNION ALL SELECT * FROM planted WHERE ${knuthBucketSql("doc_id", 100L)} >= 80),
          |sp AS (
          |  SELECT doc_id,
          |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
          |         ELSE 'test' END AS split,
          |    string_split(text, ' ') AS toks
-         |  FROM (SELECT doc_id, text, ${knuthMod("doc_id", 100)} AS b FROM corpus)),
+         |  FROM (SELECT doc_id, text, ${knuthBucketSql("doc_id", 100L)} AS b FROM corpus)),
          |pos AS (
          |  SELECT doc_id, i, ${shingleSql(n)} AS sh
          |  FROM sp, unnest(range(1, len(toks) - ${n - 2})) AS t(i)
@@ -468,8 +472,7 @@ object Composition {
       val k = graft.streaming.MinwisePanel.K
       s"""WITH p AS (
          |  SELECT source, doc_id,
-         |    (((((((doc_id % 1000000007) + 1000000007) % 1000000007)
-         |        * 2654435761) % 1000000007) + 1000000007) % 1000000007) AS prio
+         |    ${knuthMixSql("doc_id")} AS prio
          |  FROM documents),
          |r AS (SELECT source,
          |    CAST(row_number() OVER (PARTITION BY source
@@ -488,7 +491,7 @@ object Composition {
          |  SELECT doc_id, lang, gain_bits,
          |    CAST(CAST(1 AS BIGINT) <<
          |      CAST(greatest(-4, least(10, gain_bits)) + 4 AS INT) AS BIGINT) AS w,
-         |    CAST(${knuthMod("doc_id", s)} AS BIGINT) AS shard
+         |    CAST(${knuthBucketSql("doc_id", s)} AS BIGINT) AS shard
          |  FROM dsir),
          |cum AS (
          |  SELECT *, CAST(sum(w) OVER (PARTITION BY shard ORDER BY doc_id

@@ -212,8 +212,7 @@ object CorpusOps {
     * scale shard count scales with the cluster, not 8). No global
     * single-partition window anywhere. */
   val q72ShuffleShard: Q = (spark, dir) => {
-    val P = 1000000007L
-    val mix = pmod(pmod(col("doc_id"), lit(P)) * lit(2654435761L), lit(P))
+    val mix = knuthMix(col("doc_id"))
     val w = Window.partitionBy(col("shard")).orderBy(col("mix"), col("doc_id"))
     // row_number() is IntegerType: a shard holding ≥2^31 docs wraps
     // negative BEFORE the .cast("long") below, silently corrupting every

@@ -75,8 +75,7 @@ object Curation {
       .filter(col("__rk") <= quotaPerLang).drop("__rk", "__q")
 
     // 4. deterministic 80/10/10 split — q94's Knuth bucketing, projection
-    val P = 1000000007L
-    val bucket = pmod(pmod(pmod(col("doc_id"), lit(P)) * lit(2654435761L), lit(P)), lit(100L))
+    val bucket = knuthBucket(col("doc_id"), 100L)
     val split_ = when(bucket < 80, lit("train"))
       .when(bucket < 90, lit("val")).otherwise(lit("test"))
 

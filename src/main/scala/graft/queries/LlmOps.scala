@@ -378,7 +378,14 @@ object LlmOps {
     * reliable checkpoint() to fault-tolerant storage, the 1000-executor
     * posture. CheckpointSpec drives the reliable path with an explicit
     * temp dir and pins both modes to identical results. */
-  private[graft] def q68WithCheckpoint(ckptDir: Option[String]): Q = (spark, dir) => {
+  private[graft] def q68WithCheckpoint(ckptDir: Option[String]): Q =
+    (spark, dir) => orderAll(q68Core(ckptDir)(spark, dir))
+
+  /** q68's unordered core — the label table BEFORE the dump sort, so
+    * consumers that immediately re-key it (q131's doc_id join) don't
+    * pay orderAll's global range exchange only to destroy the order
+    * (the dsirPerDoc/q136 sharing pattern). */
+  private[graft] def q68Core(ckptDir: Option[String]): Q = (spark, dir) => {
     import graft.core.{CacheScope, Checkpoints}
     // both union branches reference `pairs`; q81's INTERNAL persists make
     // the second traversal cheap (measured: an extra persist here only
@@ -442,9 +449,9 @@ object LlmOps {
     }
     require(converged, s"label propagation did not converge in $iter iterations")
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
-    orderAll(labels.join(sizes, Seq("label"))
+    labels.join(sizes, Seq("label"))
       .select(col("node").as("doc_id"), col("label").as("cluster_id"),
-        col("cluster_size")))
+        col("cluster_size"))
   }
 
   /** q131 [EXT]: near-dup cluster canonicalization — the ACTION step
@@ -466,7 +473,9 @@ object LlmOps {
     * collect_list spelling would not. FULLY ORACLED: q68's recursive
     * CTE extended by the same window. */
   val q131DedupCanonical: Q = (spark, dir) => {
-    val labels = q68DedupClusters(spark, dir)
+    // the UNORDERED q68 core: the doc_id join below re-keys the label
+    // table anyway, so q68's dump sort would be pure wasted work here
+    val labels = q68Core(graft.core.Checkpoints.dirFromEnv())(spark, dir)
     // token counts of the SAME planted frame q68/q81 cluster (originals
     // + id-shifted truncated re-crawls); the inner join to labels keeps
     // exactly the cluster members, so no len filter is needed here
@@ -844,8 +853,7 @@ object LlmOps {
     * unlike randomSplit or salted sampling). */
   val q94TrainTestSplit: Q = (spark, dir) => {
     val d = t(spark, dir, "documents")
-    val P = 1000000007L
-    val bucket = pmod(pmod(pmod(col("doc_id"), lit(P)) * lit(2654435761L), lit(P)), lit(100L))
+    val bucket = knuthBucket(col("doc_id"), 100L)
     val split = when(bucket < 80, lit("train"))
       .when(bucket < 90, lit("val"))
       .otherwise(lit("test"))
@@ -863,8 +871,7 @@ object LlmOps {
     * expression, corpus never reshuffled). */
   val q95SampleHash: Q = (spark, dir) => {
     val d = t(spark, dir, "documents")
-    val P = 1000000007L
-    val bucket = pmod(pmod(pmod(col("doc_id"), lit(P)) * lit(2654435761L), lit(P)), lit(1000L))
+    val bucket = knuthBucket(col("doc_id"), 1000L)
     orderAll(d.filter(bucket < 100)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         bucket.as("bucket")))
@@ -902,8 +909,7 @@ object LlmOps {
         floor(lit(1000.0) *
             sqrt(col("n_min").cast("double") / col("n_lang").cast("double")))
           .cast("long").as("rate_permille"))
-    val P = 1000000007L
-    val bucket = pmod(pmod(pmod(col("doc_id"), lit(P)) * lit(2654435761L), lit(P)), lit(1000L))
+    val bucket = knuthBucket(col("doc_id"), 1000L)
     orderAll(d.select(col("doc_id"), col("lang"), bucket.as("bucket"))
       .join(broadcast(rates), Seq("lang"))
       .select(col("doc_id"), col("lang"), col("n_lang"), col("rate_permille"),
@@ -1067,8 +1073,7 @@ object LlmOps {
   val q99DatasetMixture: Q = (spark, dir) => {
     val rates = Seq("src0" -> 100L, "src1" -> 50L, "src2" -> 25L) // % kept
     val defaultRate = 10L
-    val P = 1000000007L
-    val bucket = pmod(pmod(pmod(col("doc_id"), lit(P)) * lit(2654435761L), lit(P)), lit(100L))
+    val bucket = knuthBucket(col("doc_id"), 100L)
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
       when(col("source") === s, lit(r)).otherwise(acc)
     }
@@ -1228,9 +1233,7 @@ object LlmOps {
     * labels, and the materialized token array. Returned UNPERSISTED —
     * each consumer persists its own enriched frame. */
   private[queries] def leakSplitCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val P = 1000000007L
-    def bucketOf(id: org.apache.spark.sql.Column) =
-      pmod(pmod(pmod(id, lit(P)) * lit(2654435761L), lit(P)), lit(100L))
+    def bucketOf(id: org.apache.spark.sql.Column) = knuthBucket(id, 100L)
     val d0 = t(spark, dir, "documents").select(col("doc_id"), col("text"))
     val planted = d0.filter(bucketOf(col("doc_id")) < 80)
       .select((col("doc_id") + 5000000).as("doc_id"),
@@ -1246,9 +1249,14 @@ object LlmOps {
 
   val q133SplitLeakage: Q = (spark, dir) => {
     val n = LeakShingleN
+    // the cache holds exactly what the two consumers read — (doc_id,
+    // split, sha) — not the bodies/token arrays the derivation needed:
+    // an unpruned persist stores ~3x the footprint for nothing (toks is
+    // still an attribute here, so the shingle lambda never re-splits)
     val corpus = leakSplitCorpus(spark, dir)
-      .withColumn("sha",
-        graft.streaming.Decontaminator.shingleFingerprints(col("toks"), n))
+      .select(col("doc_id"), col("split"),
+        graft.streaming.Decontaminator.shingleFingerprints(col("toks"), n)
+          .as("sha"))
       .scopedPersist
     val trainSh = corpus.filter(col("split") === "train")
       .select(explode(col("sha")).as("sh")).distinct()
@@ -1531,9 +1539,7 @@ object LlmOps {
   private[queries] def q133OracleWith(n: Int): String = {
     require(n >= 2, s"decontamination shingle width must be >= 2, got $n")
     val sh = (0 until n).map(o => s"toks[i + $o]").mkString(" || ' ' || ")
-    def bucket(c: String) =
-      s"(((((((($c % 1000000007) + 1000000007) % 1000000007) * 2654435761) " +
-        s"% 1000000007) + 1000000007) % 1000000007) % 100 + 100) % 100"
+    def bucket(c: String) = knuthBucketSql(c, 100L)
     s"""WITH d0 AS (SELECT doc_id, text FROM documents),
        |planted AS (
        |  SELECT doc_id + 5000000 AS doc_id,

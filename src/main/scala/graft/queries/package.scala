@@ -67,4 +67,35 @@ package object queries {
     * LAST — so pin NULLS FIRST explicitly in SQL). */
   def orderAll(df: DataFrame): DataFrame =
     df.orderBy(df.columns.map(c => col(c).asc_nulls_first).toIndexedSeq: _*)
+
+  /** The Knuth multiplicative hash family behind every deterministic
+    * bucket/split/shard/sample/priority in the surface (q72, q94/q95,
+    * q99, q132, q133/q138's split, q136's shard, q137/s94's priority,
+    * the curation pipeline). BOTH spellings live here — the Column
+    * expression and the DuckDB SQL string — because the arithmetic is
+    * parity-critical: engine and oracle must stay bit-identical, and a
+    * hand-copied pmod dance with one wrap typo diverges silently on
+    * negative ids (the class of bug q94's original comment warns
+    * about). `graft.streaming.MinwisePanel.priority` is the JVM-side
+    * twin of [[knuthMix]], pinned equal by CompositionSpec. */
+  val KnuthP = 1000000007L
+  val KnuthC = 2654435761L
+
+  /** (c mod P) · C mod P — the full-range mix. Exact: |c mod P| < 1e9,
+    * ×C < 2^62. */
+  def knuthMix(c: Column): Column =
+    pmod(pmod(c, lit(KnuthP)) * lit(KnuthC), lit(KnuthP))
+
+  /** The mix reduced to [0, m). */
+  def knuthBucket(c: Column, m: Long): Column = pmod(knuthMix(c), lit(m))
+
+  /** SQL twin of [[knuthMix]]: the `(x % k + k) % k` dance reproduces
+    * pmod's non-negative contract for any input sign. */
+  def knuthMixSql(c: String): String =
+    s"((((((($c % 1000000007) + 1000000007) % 1000000007) * 2654435761) " +
+      "% 1000000007) + 1000000007) % 1000000007)"
+
+  /** SQL twin of [[knuthBucket]]. */
+  def knuthBucketSql(c: String, m: Long): String =
+    s"(${knuthMixSql(c)} % $m + $m) % $m"
 }

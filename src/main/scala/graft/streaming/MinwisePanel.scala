@@ -33,8 +33,11 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
   * written identically in q137's DuckDB oracle. */
 object MinwisePanel {
 
-  val P = 1000000007L
-  val C = 2654435761L
+  /** The shared Knuth constants (`graft.queries.KnuthP`/`KnuthC`) —
+    * referenced, not re-typed, so the kernel-side [[priority]] cannot
+    * drift from the Column/SQL spellings in the queries package. */
+  val P: Long = graft.queries.KnuthP
+  val C: Long = graft.queries.KnuthC
 
   /** Panel capacity per source. Env-dialed; q137's batch twin and the
     * DuckDB oracle interpolate the same value. State is K·|sources|

@@ -34,10 +34,22 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode,
   * eviction argument, now with the map sized by the session's own
   * language mix instead of a fixed tuple).
   *
-  * Ordering contract: the newest-event register (`maxTs`) is stored
-  * monotone-max, so out-of-order rows above the watermark can only
-  * EXTEND a session, never shorten it — the same guarantee
-  * `RunningCounters.updateGroupTtl` documents for s80. */
+  * Ordering contract and the attribution boundary: the newest-event
+  * register (`maxTs`) is stored monotone-max, so out-of-order rows
+  * above the watermark can only EXTEND the open session, never shorten
+  * it (s80's guarantee). ATTRIBUTION is weaker, and deliberately so: a
+  * data-path close emits the old session BEFORE the watermark has
+  * proved it quiet, so a later batch can still legally deliver a row
+  * whose event time belonged to the closed session (above the lagging
+  * GLOBAL watermark — other sources hold it back — but below the old
+  * expiry edge). That row folds into the successor session: with the
+  * summary already emitted and Append mode unable to retract, the
+  * successor is the only owner left (pinned as a tested contract by
+  * StreamingSpec s90d). A pipeline that needs exact late-row
+  * attribution should hold sessions until the watermark passes them —
+  * that is precisely Spark's built-in `session_window` aggregation
+  * (s72), which buffers un-finalized sessions in the state store; this
+  * kernel trades that buffering for strict early emission. */
 object SourceSessions {
 
   /** Summary row: (source, n_docs, n_langs, session_end). */
@@ -75,17 +87,21 @@ object SourceSessions {
       if (delta.isEmpty) return Iterator.empty
       // same-batch gap close (strict sessionization, not just the timer
       // path): when every row of this batch sits at or past the open
-      // session's expiry edge (m0 + gap), the old session is already
-      // over — its rows can never arrive again (they would be below
-      // these, and input rows are processed against the batch-start
-      // watermark BEFORE the pending timer fires). Emit its summary from
-      // the data path, delete the now-moot timer, and restart state so
-      // the batch opens a fresh session. Without this, rows landing in
-      // the same micro-batch that advances the watermark past expiry
-      // would merge two sessions separated by more than the gap.
-      // (Splits WITHIN one batch's own rows still merge — the batch is
-      // one poll of the source, and its internal span is bounded by the
-      // micro-batch interval, orders below any real session gap.)
+      // session's expiry edge (m0 + gap), the old session is over by
+      // the gap definition — emit its summary from the data path,
+      // delete the now-moot timer, and restart state so the batch opens
+      // a fresh session. Without this, rows landing in the same
+      // micro-batch that advances the watermark past expiry would merge
+      // two sessions separated by more than the gap (input rows are
+      // processed against the batch-START watermark, before the pending
+      // timer fires). Two documented boundaries of this early emission:
+      // splits WITHIN one batch's own rows still merge (the batch is
+      // one poll, span bounded by the micro-batch interval); and a row
+      // of the CLOSED session arriving in a LATER batch — legal while
+      // the global watermark lags behind the old expiry edge — folds
+      // into the successor session, because the summary is already out
+      // (the attribution boundary in the class scaladoc, pinned by
+      // s90d).
       val closedEarly: Option[Out] =
         if (known && lo >= m0 + gapMs) {
           val counts = langCounts.values().toArray

@@ -1407,6 +1407,63 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset(key)
   }
 
+  test("s90d: a late old-session row after a data-path close folds into the successor (the attribution boundary)") {
+    // the documented limit of strict early emission: the data-path
+    // close emits the old session BEFORE the watermark proves it
+    // quiet, so a later batch can legally deliver a row whose event
+    // time belonged to the CLOSED session (above the lagging global
+    // watermark, below the old expiry edge). With the summary already
+    // out and Append unable to retract, the row's only owner is the
+    // successor session — this pins that behavior as a contract, so a
+    // change to it is a deliberate decision, not drift. (Exact
+    // attribution is s72's built-in session_window, which buffers
+    // sessions until the watermark — the scaladoc's pointer.)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key, graft.core.GraftSession.RocksDBProviderClass)
+    try {
+      val in = MemoryStream[(String, Long, Timestamp, String)](spark)
+      // 30-minute delay keeps the global watermark (max event − 30 min)
+      // BELOW the old session's expiry edge when the ts(40) batch
+      // early-closes it — the window in which a late row is legal
+      val wm = in.toDF().toDF("source", "doc_id", "ts", "lang")
+        .withWatermark("ts", "30 minutes")
+        .as[(String, Long, Timestamp, String)]
+      val q = SourceSessions.summarize(wm, gapMs = 10 * 60 * 1000)
+        .toDF("source", "n_docs", "n_langs", "session_end")
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("s90d_out").start()
+      try {
+        def rows() = spark.table("s90d_out").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getTimestamp(3))).toSet
+        in.addData(("crawlA", 1L, ts(0), "en"), ("crawlA", 2L, ts(2), "de"))
+        q.processAllAvailable()
+        in.addData(("crawlA", 3L, ts(40), "es"))
+        q.processAllAvailable()
+        assert(rows() == Set(("crawlA", 2L, 2L, ts(2))),
+          s"data-path close must emit the old session: ${rows()}")
+        // ts(11): above the watermark (40 − 30 = 10), below the old
+        // expiry edge (2 + 10 = 12) — an old-session row by event time,
+        // but the old summary is out; it must fold into the successor
+        in.addData(("crawlA", 4L, ts(11), "en"))
+        q.processAllAvailable()
+        assert(rows() == Set(("crawlA", 2L, 2L, ts(2))),
+          s"the late row may not re-emit or retract anything: ${rows()}")
+        // advance the watermark past the successor's edge (40 + 10):
+        // the successor closes with BOTH docs and ends at ts(40) — the
+        // late row extended its language mix, not its end
+        in.addData(("crawlB", 90L, ts(100), "zh"))
+        q.processAllAvailable()
+        val deadline = System.currentTimeMillis + 10000
+        while (!rows().exists(r => r._4 == ts(40)) &&
+            System.currentTimeMillis < deadline) Thread.sleep(100)
+        assert(rows() == Set(("crawlA", 2L, 2L, ts(2)),
+          ("crawlA", 2L, 2L, ts(40))),
+          s"successor must own the late row (2 docs, en+es): ${rows()}")
+      } finally q.stop()
+    } finally spark.conf.unset(key)
+  }
+
   test("s89b: the left-outer join's watermark-timed NULL row survives a restart") {
     // s88b pins value-state recovery and s90b timer recovery; this pins
     // the subtlest recovery surface in the streaming set — an UNMATCHED
