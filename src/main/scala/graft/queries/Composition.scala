@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 
 /** [EXT] Corpus-composition toolkit, round 11 of the LLM-pipeline
   * surface (SURVEY.md §2.2): BM25 ranked retrieval (q134), the
-  * cross-source overlap matrix (q135), and DSIR importance RESAMPLING
+  * cross-source overlap matrix (q135), DSIR importance RESAMPLING
   * (q136) — the stage that turns q125's importance weights into an
-  * actual training mixture. The reference (`app.py`, a producer loop)
+  * actual training mixture — plus the deterministic MLM masking
+  * schedule (q139) and curriculum ordering (q140). The reference (`app.py`, a producer loop)
   * has no analytics; these are the corpus-assembly decisions a
   * training-data pipeline makes over the same document stream the
   * dedup/curation family cleans: what to retrieve for inspection, which
@@ -350,12 +351,134 @@ object Composition {
       .withColumn("memorized", col("max_run") >= MemoRunMin))
   }
 
+  /** q139's masking geometry: rate in permille (the standard MLM 15%)
+    * and the epoch counter — both env-dialed, both interpolated into
+    * the oracle. Bumping the epoch re-draws every mask (the per-epoch
+    * re-masking real MLM training does) while keeping any single epoch
+    * exactly reproducible. */
+  private[graft] val MaskPermille: Long = {
+    val r = sys.env.getOrElse("GRAFT_MASK_PERMILLE", "150").toLong
+    require(r >= 0 && r <= 1000, s"GRAFT_MASK_PERMILLE=$r — need 0..1000")
+    r
+  }
+  private[graft] val MaskEpoch: Long = {
+    val e = sys.env.getOrElse("GRAFT_MASK_EPOCH", "0").toLong
+    require(e >= 0, s"GRAFT_MASK_EPOCH=$e — need a non-negative epoch")
+    e
+  }
+
+  /** q139 [EXT]: deterministic MLM masking schedule — which token
+    * positions a masked-language-model pass corrupts, decided by hash
+    * instead of an RNG so the corpus build is REPRODUCIBLE: the same
+    * (doc, position, epoch) always masks the same way, any shard can be
+    * rebuilt bit-identically, and bumping the epoch dial re-draws every
+    * mask the way per-epoch re-masking does in real MLM training.
+    * Position i of doc d masks iff
+    * `knuthBucket(d·100003 + i·7 + epoch, 1000) < rate` — the shared
+    * Knuth family (q94's splits, q137's priorities) applied per
+    * POSITION rather than per doc. This is a schedule, not a
+    * cryptographic draw: the mix only needs to decorrelate neighboring
+    * positions and documents, which the multiplicative scramble does.
+    *
+    * The dump carries the schedule's exact integer projection per doc —
+    * count and position-sum (an order-free checksum of the masked-
+    * position set); the production writer materializes the positions
+    * array itself, which never needs to leave the row.
+    *
+    * 100 TB: the q130 map-only shape — everything is row-local
+    * higher-order arithmetic over a `sequence(1, n_toks)` the row
+    * builds and folds itself (no Generate, no join, no exchange before
+    * the dump sort). Bodies are read once and reduced to three BIGINTs
+    * in the same codegen stage as the scan. possum is bounded by
+    * n·(n+1)/2 — inside BIGINT to 4-billion-token documents. */
+  /** q139's core over any (doc_id, lang, text) frame with explicit
+    * geometry — factored (q48's `oovReport` pattern) so the spec can
+    * drive the rate extremes and the epoch re-draw directly (the
+    * declared query binds the env dials, which are fixed at load). */
+  private[graft] def mlmMaskReport(docs: DataFrame, rate: Long,
+      epoch: Long): DataFrame = {
+    val d = docs.select(col("doc_id"), col("lang"),
+      split(coalesce(col("text"), lit("")), " ").as("toks"))
+    val masked = filter(
+      sequence(lit(1L), size(col("toks")).cast("long")),
+      i => knuthBucket(col("doc_id") * lit(100003L) + i * lit(7L) +
+        lit(epoch), 1000L) < lit(rate))
+    d.select(col("doc_id"), col("lang"),
+        size(col("toks")).cast("long").as("n_toks"), masked.as("mpos"))
+      .select(col("doc_id"), col("lang"), col("n_toks"),
+        size(col("mpos")).cast("long").as("n_masked"),
+        coalesce(aggregate(col("mpos"), lit(0L), (acc, i) => acc + i),
+          lit(0L)).as("mask_possum"))
+  }
+
+  val q139MlmMask: Q = (spark, dir) =>
+    orderAll(mlmMaskReport(t(spark, dir, "documents"), MaskPermille, MaskEpoch))
+
+  /** q140's length ceiling for phase assignment: token counts clamp to
+    * this before the per-language histogram, bounding the broadcast
+    * phase map at |langs|·cap rows no matter how long the longest
+    * document grows (docs at or past the cap are all "hard" — the
+    * clamp cannot move a tercile boundary upward past it). */
+  private[graft] val CurriculumLenCap: Long = {
+    val c = sys.env.getOrElse("GRAFT_CURRICULUM_LEN_CAP", "100000").toLong
+    require(c >= 1, s"GRAFT_CURRICULUM_LEN_CAP=$c — need a positive ceiling")
+    c
+  }
+
+  /** q140 [EXT]: curriculum ordering — the easy→hard training schedule
+    * (Bengio et al. 2009's curriculum learning, as data pipelines apply
+    * it): each document gets a difficulty phase (0 = easy, 2 = hard) by
+    * EXACT per-language length terciles, plus a deterministic
+    * within-phase shuffle priority (the shared Knuth mix — q137's audit
+    * panel and this query order by the same family). The curriculum IS
+    * the lexicographic (phase, prio) order; the query deliberately
+    * emits the sort KEY rather than a materialized global rank — a
+    * trainer's writer sorts shards by it, and materializing the rank
+    * here would be exactly the global range exchange the surface
+    * avoids everywhere else.
+    *
+    * Exact terciles at 100 TB without per-doc windows: the per-language
+    * length HISTOGRAM (one corpus-sized exchange, map-side combined,
+    * key space |langs|·cap — value-domain bounded, never corpus-bound)
+    * carries a cumulative window over its own bounded rows; a doc of
+    * length d lands in phase ⌊3·(docs strictly shorter)/n_lang⌋, so
+    * ties share a phase by construction. The (lang, dl)→phase map
+    * BROADCASTS back — corpus rows are touched map-side only. Compare
+    * q127's `percentile()` (exact but buffers per-group values): the
+    * histogram spelling is the same exactness with bounded state, the
+    * right trade when the value domain is small and the groups are
+    * corpus-sized. */
+  val q140CurriculumOrder: Q = (spark, dir) => {
+    val cap = CurriculumLenCap
+    val d = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        least(size(split(coalesce(col("text"), lit("")), " ")).cast("long"),
+          lit(cap)).as("dl"))
+      .scopedPersist // two consumers: the histogram and the final join
+    val hist = d.groupBy(col("lang"), col("dl")).agg(count(lit(1)).as("cnt"))
+    // both windows run over the HISTOGRAM (≤ |langs|·cap rows), one
+    // exchange on lang — bounded frames, the q136 offset-window argument
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("dl"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("lang"))
+    val phases = hist
+      .withColumn("cum_le", sum(col("cnt")).over(wCum))
+      .withColumn("n_lang", sum(col("cnt")).over(wTot))
+      .select(col("lang"), col("dl"),
+        expr("(3 * (cum_le - cnt)) div n_lang").as("phase"))
+    orderAll(d.join(broadcast(phases), Seq("lang", "dl"))
+      .select(col("doc_id"), col("lang"), col("dl"), col("phase"),
+        knuthMix(col("doc_id")).as("prio")))
+  }
+
   val defs: Map[String, Q] = Map(
     "q134_bm25_retrieval" -> q134Bm25Retrieval,
     "q135_source_overlap" -> q135SourceOverlap,
     "q136_importance_resample" -> q136ImportanceResample,
     "q137_minwise_panel" -> q137MinwisePanel,
-    "q138_memorization_span" -> q138MemorizationSpan)
+    "q138_memorization_span" -> q138MemorizationSpan,
+    "q139_mlm_mask" -> q139MlmMask,
+    "q140_curriculum_order" -> q140CurriculumOrder)
 
   /** q135's oracle shingle expression over 1-based `toks[i]`. */
   private def shingleSql(n: Int): String =
@@ -512,5 +635,49 @@ object Composition {
          |FROM fin
          |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
          |  5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST""".stripMargin
+    },
+    "q139_mlm_mask" -> {
+      val rate = MaskPermille
+      val epoch = MaskEpoch
+      val key = s"(doc_id * 100003 + t.pos * 7 + $epoch)"
+      s"""WITH tk AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+         |      AS n_toks
+         |  FROM documents),
+         |pos AS (
+         |  SELECT doc_id, lang, n_toks, CAST(t.pos AS BIGINT) AS pos,
+         |    CASE WHEN ${knuthBucketSql(key, 1000L)} < $rate
+         |         THEN 1 ELSE 0 END AS m
+         |  FROM tk, unnest(range(1, n_toks + 1)) AS t(pos))
+         |SELECT doc_id, lang, n_toks,
+         |  CAST(sum(m) AS BIGINT) AS n_masked,
+         |  CAST(sum(m * pos) AS BIGINT) AS mask_possum
+         |FROM pos
+         |GROUP BY 1, 2, 3
+         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+         |  5 NULLS FIRST""".stripMargin
+    },
+    "q140_curriculum_order" -> {
+      val cap = CurriculumLenCap
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |    least(CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT),
+         |      $cap) AS dl
+         |  FROM documents),
+         |hist AS (
+         |  SELECT lang, dl, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM d GROUP BY 1, 2),
+         |ph AS (
+         |  SELECT lang, dl,
+         |    CAST((3 * (sum(cnt) OVER (PARTITION BY lang ORDER BY dl
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt))
+         |      // sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS phase
+         |  FROM hist)
+         |SELECT d.doc_id, d.lang, d.dl, ph.phase,
+         |  CAST(${knuthMixSql("d.doc_id")} AS BIGINT) AS prio
+         |FROM d JOIN ph ON d.lang = ph.lang AND d.dl = ph.dl
+         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+         |  5 NULLS FIRST""".stripMargin
     })
 }

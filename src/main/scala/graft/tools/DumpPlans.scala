@@ -75,7 +75,9 @@ object DumpPlans {
       "q135_source_overlap" -> "source overlap: ONE corpus-sized exchange (shingle-keyed collect_set, partial-agg-deduped), sizes re-exploded from the grouped sets, matrix an S-row broadcast inequality join",
       "q136_importance_resample" -> "importance resample: dsir weight frame persisted, corpus windows per SHARD (hash exchange on shard), S-row offset cumulation the only funnel, offsets + W broadcast back, draw arithmetic row-local BIGINT",
       "q137_minwise_panel" -> "minwise panel: one source-keyed exchange, rank<=K as map-side WindowGroupLimit — K·sources rows forwarded from the k× scan",
-      "q138_memorization_span" -> "memorization span: positional eval explode + distinct train side (ids + 8-byte fps on the wire), islands via pos−rank inside a per-DOC window, doc-keyed re-aggs — no self-join, no iteration")
+      "q138_memorization_span" -> "memorization span: positional eval explode + distinct train side (ids + 8-byte fps on the wire), islands via pos−rank inside a per-DOC window, doc-keyed re-aggs — no self-join, no iteration",
+      "q139_mlm_mask" -> "mlm mask schedule: row-local sequence/filter/aggregate fold in the scan's codegen stage — no Generate, no join, no exchange before the dump sort (q130's map-only class)",
+      "q140_curriculum_order" -> "curriculum order: per-lang length HISTOGRAM aggregated two-phase, tercile windows over the bounded histogram only, (lang, dl)->phase map broadcast back — corpus rows touched map-side only")
 
     val sb = new StringBuilder
     sb.append("# PLANS — finalized physical plans for headline queries\n\n")

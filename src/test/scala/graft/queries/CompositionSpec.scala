@@ -266,4 +266,86 @@ class CompositionSpec extends SparkSpec {
     // all weights and every shard's first cum is its offset + first w
     assert(rows.map(_._4).max == rows.map(_._3).sum)
   }
+
+  // ---- q139 MLM mask ---------------------------------------------------
+
+  private def maskDocs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("q139: the schedule is reproducible, rate extremes mask nothing/everything, and the checksum is the position sum") {
+    val once = Composition.mlmMaskReport(maskDocs, 150L, 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).sortBy(_._1)
+    val again = Composition.mlmMaskReport(maskDocs, 150L, 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(once.sameElements(again), "same (rate, epoch) must re-draw identically")
+    val none = Composition.mlmMaskReport(maskDocs, 0L, 0L).collect()
+    assert(none.forall(r => r.getLong(3) == 0L && r.getLong(4) == 0L))
+    val all = Composition.mlmMaskReport(maskDocs, 1000L, 0L).collect()
+    all.foreach { r =>
+      val n = r.getLong(2)
+      assert(r.getLong(3) == n, "rate 1000 must mask every position")
+      assert(r.getLong(4) == n * (n + 1) / 2,
+        "possum of a full mask is the triangular number — the checksum really is the position sum")
+    }
+    // the corpus-wide realized rate lands near the dial (hash uniformity)
+    val tot = once.map(_._2).sum.toDouble
+    val msk = once.map(_._3).sum.toDouble
+    assert(math.abs(msk / tot - 0.15) < 0.01, s"realized rate ${msk / tot}")
+  }
+
+  test("q139: bumping the epoch re-draws the mask without moving the realized rate") {
+    val e0 = Composition.mlmMaskReport(maskDocs, 150L, 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val e1 = Composition.mlmMaskReport(maskDocs, 150L, 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // re-draw: many docs' masked-position sets move (checksum differs)
+    val moved = e1.count { case (id, _, _, ps) => e0(id) != ps }
+    assert(moved > e1.length / 2, s"epoch bump moved only $moved/${e1.length} docs")
+    val tot = e1.map(_._2).sum.toDouble
+    assert(math.abs(e1.map(_._3).sum / tot - 0.15) < 0.01,
+      "the re-drawn epoch keeps the dialed rate")
+  }
+
+  // ---- q140 curriculum order -------------------------------------------
+
+  test("q140: nine distinct lengths split into exact terciles and ties share a phase") {
+    val dir = tmpDir("q140docs")
+    writeDocs(dir, (1 to 9).map(i =>
+      (i.toLong, Seq.fill(i)("w").mkString(" "), "en", "web")) ++
+      // a second language where ALL docs tie on length: everyone is
+      // "easy" (zero docs strictly shorter => phase 0)
+      (11 to 14).map(i => (i.toLong, "a b c", "de", "web")))
+    val rows = Composition.q140CurriculumOrder(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val en = rows.filter(_._2 == "en").sortBy(_._3).map(_._4).toSeq
+    assert(en == Seq(0L, 0L, 0L, 1L, 1L, 1L, 2L, 2L, 2L),
+      s"9 distinct lengths must tile phases 0/1/2 evenly: $en")
+    assert(rows.filter(_._2 == "de").forall(_._4 == 0L),
+      "an all-tied language has no one strictly shorter — all phase 0")
+    rows.foreach { case (id, _, _, _, prio) =>
+      assert(prio == graft.streaming.MinwisePanel.priority(id),
+        "prio must be the shared Knuth mix (q137's kernel spelling)")
+    }
+  }
+
+  test("q140: on the sf corpus phases are per-lang balanced and monotone in length") {
+    val rows = Composition.q140CurriculumOrder(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (lang, docs) =>
+      val n = docs.length
+      val byPhase = docs.groupBy(_._3).view.mapValues(_.length).toMap
+      assert(byPhase.keySet.subsetOf(Set(0L, 1L, 2L)))
+      // each phase holds n/3 up to tie-granularity: no phase may exceed
+      // a tercile by more than the largest tied length class
+      val maxTie = docs.groupBy(_._2).values.map(_.length).max
+      byPhase.foreach { case (p, c) =>
+        assert(c <= n / 3 + maxTie, s"$lang phase $p holds $c of $n (maxTie $maxTie)")
+      }
+      // monotone: a longer doc never lands in an earlier phase
+      val sorted = docs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 <= b._3, s"$lang: phase must be monotone in dl")
+        case _           =>
+      }
+    }
+  }
 }

@@ -483,6 +483,36 @@ class PlanSpec extends SparkSpec {
       s"shard offsets not attached by broadcast:\n$p")
   }
 
+  test("q139: the mask fold is map-only — no Generate, no join, the result sort is the only exchange") {
+    // the scaladoc's q130-class claim, pinned: the schedule is a
+    // row-local sequence/filter/aggregate fold in the scan's own
+    // codegen stage; any Generate or extra exchange means the fold
+    // stopped being row-local
+    val p = plan("q139_mlm_mask")
+    assert(!p.contains("Generate"), s"explode in a map-only plan:\n$p")
+    assert(!p.contains("Join"), s"join in a map-only plan:\n$p")
+    assert("Exchange ".r.findAllIn(p).size == 1 &&
+      p.contains("Exchange rangepartitioning"),
+      s"expected the result sort's range exchange to be the only one:\n$p")
+  }
+
+  test("q140: tercile windows run over the histogram and the phase map attaches by broadcast") {
+    // exact per-lang terciles without per-doc windows: the cumulative
+    // and total windows must partition on lang ABOVE the (lang, dl)
+    // count aggregate (bounded rows), the (lang, dl)->phase map must
+    // come back as a broadcast join, and no corpus-sized key (doc_id)
+    // may ever hash-shuffle
+    val p = plan("q140_curriculum_order")
+    assert("windowspecdefinition\\(lang".r.findAllIn(p).size >= 2,
+      s"tercile windows do not partition on lang:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"phase map not attached by broadcast:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition funnel in the curriculum plan:\n$p")
+    assert(!"Exchange hashpartitioning\\(doc_id".r.findAllIn(p).hasNext,
+      s"corpus-keyed hash exchange in the curriculum plan:\n$p")
+  }
+
   test("q74/q75/q137: per-group top-k plans as a map-side WindowGroupLimit") {
     // same rewrite as q96/q67: each map task forwards at most k rows per
     // cluster (q74) / query vector (q75) / source (q137) before the
