@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   * cross-source overlap matrix (q135), DSIR importance RESAMPLING
   * (q136) — the stage that turns q125's importance weights into an
   * actual training mixture — plus the deterministic MLM masking
-  * schedule (q139) and curriculum ordering (q140). The reference (`app.py`, a producer loop)
+  * schedule (q139), curriculum ordering (q140), and the span-corruption
+  * schedule (q141). The reference (`app.py`, a producer loop)
   * has no analytics; these are the corpus-assembly decisions a
   * training-data pipeline makes over the same document stream the
   * dedup/curation family cleans: what to retrieve for inspection, which
@@ -374,11 +375,16 @@ object Composition {
     * rebuilt bit-identically, and bumping the epoch dial re-draws every
     * mask the way per-epoch re-masking does in real MLM training.
     * Position i of doc d masks iff
-    * `knuthBucket(d·100003 + i·7 + epoch, 1000) < rate` — the shared
+    * `knuthBucket2(d·100003 + i·7 + epoch, 1000) < rate` — the shared
     * Knuth family (q94's splits, q137's priorities) applied per
-    * POSITION rather than per doc. This is a schedule, not a
-    * cryptographic draw: the mix only needs to decorrelate neighboring
-    * positions and documents, which the multiplicative scramble does.
+    * POSITION rather than per doc, through the QUADRATIC scramble:
+    * per-position keys step by a constant, and the linear mix would
+    * turn that into a constant bucket stride whose orbit can trap the
+    * mask mass in a residue coset (see [[graft.queries.knuthMix2]] —
+    * measured on q141 before the fix). This is a schedule, not a
+    * cryptographic draw: the scramble only needs to decorrelate
+    * neighboring positions and documents, which the quadratic term
+    * guarantees structurally.
     *
     * The dump carries the schedule's exact integer projection per doc —
     * count and position-sum (an order-free checksum of the masked-
@@ -401,7 +407,7 @@ object Composition {
       split(coalesce(col("text"), lit("")), " ").as("toks"))
     val masked = filter(
       sequence(lit(1L), size(col("toks")).cast("long")),
-      i => knuthBucket(col("doc_id") * lit(100003L) + i * lit(7L) +
+      i => knuthBucket2(col("doc_id") * lit(100003L) + i * lit(7L) +
         lit(epoch), 1000L) < lit(rate))
     d.select(col("doc_id"), col("lang"),
         size(col("toks")).cast("long").as("n_toks"), masked.as("mpos"))
@@ -413,6 +419,72 @@ object Composition {
 
   val q139MlmMask: Q = (spark, dir) =>
     orderAll(mlmMaskReport(t(spark, dir, "documents"), MaskPermille, MaskEpoch))
+
+  /** q141's span geometry: density of span STARTS in permille and the
+    * maximum span length (span length at a start is uniform in
+    * [1, max] by a second hash draw). The defaults (30‰ starts,
+    * max 8) land the corruption mass near T5's ~15% at mean span
+    * length 4.5. q141 shares q139's epoch dial — one training epoch
+    * re-draws both schedules. */
+  private[graft] val SpanStartPermille: Long = {
+    val r = sys.env.getOrElse("GRAFT_SPAN_START_PERMILLE", "30").toLong
+    require(r >= 0 && r <= 1000, s"GRAFT_SPAN_START_PERMILLE=$r — need 0..1000")
+    r
+  }
+  private[graft] val SpanLenMax: Long = {
+    val m = sys.env.getOrElse("GRAFT_SPAN_LEN_MAX", "8").toLong
+    require(m >= 1, s"GRAFT_SPAN_LEN_MAX=$m — need a positive span cap")
+    m
+  }
+
+  /** q141 [EXT]: deterministic SPAN-corruption schedule — q139's idea at
+    * T5/UL2 granularity: instead of independent token masks, position i
+    * STARTS a corruption span iff
+    * `knuthBucket2(d·100003 + i·11 + epoch, 1000) < startRate`, and
+    * that span runs `1 + knuthBucket2(d·100003 + i·13 + epoch, lenMax)`
+    * tokens (uniform in [1, lenMax] by an independent draw — the ·11/·13
+    * position multipliers give the three schedules distinct hash
+    * streams; the QUADRATIC scramble is load-bearing here, see
+    * [[graft.queries.knuthMix2]]: under the linear mix this exact draw
+    * measured 391/500 zero-span docs against ~120 expected), clipped at
+    * the document end. Spans may overlap; the
+    * corrupted set is their UNION (the corruption-mass semantics a
+    * denoiser's data loader needs — non-overlap re-spacing is a
+    * row-local writer concern downstream). The dump carries each doc's
+    * exact integer projection: span-start count, corrupted-token count,
+    * and the position-sum checksum of the corrupted set (q139's
+    * contract). The report is TOTAL: a doc the hash never touches still
+    * gets its (0, 0, 0) row.
+    *
+    * 100 TB: q139/q130's map-only class — starts are a row-local filter
+    * over `sequence(1, n)`, spans a nested `transform`→`sequence`,
+    * the union an `array_distinct(flatten(...))`, all inside the scan's
+    * codegen stage; no Generate, no join, no exchange before the dump
+    * sort. Per-row work is O(n + starts·lenMax) = O(n·(1 + rate·len)).
+    */
+  private[graft] def spanMaskReport(docs: DataFrame, startRate: Long,
+      lenMax: Long, epoch: Long): DataFrame = {
+    val d = docs.select(col("doc_id"), col("lang"),
+      split(coalesce(col("text"), lit("")), " ").as("toks"))
+    val n = size(col("toks")).cast("long")
+    def key(i: Column, mult: Long) =
+      col("doc_id") * lit(100003L) + i * lit(mult) + lit(epoch)
+    val starts = filter(sequence(lit(1L), n),
+      i => knuthBucket2(key(i, 11L), 1000L) < lit(startRate))
+    val spans = transform(starts,
+      s => sequence(s, least(s + knuthBucket2(key(s, 13L), lenMax), n)))
+    d.select(col("doc_id"), col("lang"), n.as("n_toks"),
+        size(starts).cast("long").as("n_spans"),
+        array_distinct(flatten(spans)).as("cpos"))
+      .select(col("doc_id"), col("lang"), col("n_toks"), col("n_spans"),
+        size(col("cpos")).cast("long").as("n_corrupt"),
+        coalesce(aggregate(col("cpos"), lit(0L), (acc, i) => acc + i),
+          lit(0L)).as("span_possum"))
+  }
+
+  val q141SpanCorruption: Q = (spark, dir) =>
+    orderAll(spanMaskReport(t(spark, dir, "documents"), SpanStartPermille,
+      SpanLenMax, MaskEpoch))
 
   /** q140's length ceiling for phase assignment: token counts clamp to
     * this before the per-language histogram, bounding the broadcast
@@ -478,7 +550,8 @@ object Composition {
     "q137_minwise_panel" -> q137MinwisePanel,
     "q138_memorization_span" -> q138MemorizationSpan,
     "q139_mlm_mask" -> q139MlmMask,
-    "q140_curriculum_order" -> q140CurriculumOrder)
+    "q140_curriculum_order" -> q140CurriculumOrder,
+    "q141_span_corruption" -> q141SpanCorruption)
 
   /** q135's oracle shingle expression over 1-based `toks[i]`. */
   private def shingleSql(n: Int): String =
@@ -647,7 +720,7 @@ object Composition {
          |  FROM documents),
          |pos AS (
          |  SELECT doc_id, lang, n_toks, CAST(t.pos AS BIGINT) AS pos,
-         |    CASE WHEN ${knuthBucketSql(key, 1000L)} < $rate
+         |    CASE WHEN ${knuthBucket2Sql(key, 1000L)} < $rate
          |         THEN 1 ELSE 0 END AS m
          |  FROM tk, unnest(range(1, n_toks + 1)) AS t(pos))
          |SELECT doc_id, lang, n_toks,
@@ -657,6 +730,42 @@ object Composition {
          |GROUP BY 1, 2, 3
          |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
          |  5 NULLS FIRST""".stripMargin
+    },
+    "q141_span_corruption" -> {
+      val rate = SpanStartPermille
+      val lenMax = SpanLenMax
+      val epoch = MaskEpoch
+      val startKey = s"(doc_id * 100003 + t.pos * 11 + $epoch)"
+      val lenKey = s"(doc_id * 100003 + s * 13 + $epoch)"
+      s"""WITH tk AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+         |      AS n_toks
+         |  FROM documents),
+         |st AS (
+         |  SELECT doc_id, lang, n_toks, CAST(t.pos AS BIGINT) AS s
+         |  FROM tk, unnest(range(1, n_toks + 1)) AS t(pos)
+         |  WHERE ${knuthBucket2Sql(startKey, 1000L)} < $rate),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, CAST(p.pos AS BIGINT) AS pos
+         |  FROM st,
+         |    unnest(range(s,
+         |      least(s + ${knuthBucket2Sql(lenKey, lenMax)} + 1, n_toks + 1)))
+         |      AS p(pos)),
+         |spans AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+         |          FROM st GROUP BY 1),
+         |mass AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_corrupt,
+         |           CAST(sum(pos) AS BIGINT) AS span_possum
+         |         FROM cov GROUP BY 1)
+         |SELECT tk.doc_id, tk.lang, tk.n_toks,
+         |  CAST(coalesce(sp.n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(m.n_corrupt, 0) AS BIGINT) AS n_corrupt,
+         |  CAST(coalesce(m.span_possum, 0) AS BIGINT) AS span_possum
+         |FROM tk
+         |LEFT JOIN spans sp ON tk.doc_id = sp.doc_id
+         |LEFT JOIN mass m ON tk.doc_id = m.doc_id
+         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+         |  5 NULLS FIRST, 6 NULLS FIRST""".stripMargin
     },
     "q140_curriculum_order" -> {
       val cap = CurriculumLenCap

@@ -98,4 +98,46 @@ package object queries {
   /** SQL twin of [[knuthBucket]]. */
   def knuthBucketSql(c: String, m: Long): String =
     s"(${knuthMixSql(c)} % $m + $m) % $m"
+
+  /** The QUADRATIC scramble for PER-POSITION draws (q139's mask,
+    * q141's span starts and lengths): ((c² + c) mod P) · C mod P.
+    *
+    * Why the linear [[knuthMix]] is not enough here: mix is linear in
+    * its argument, so a key that steps by a constant per position
+    * (d·A + i·m) maps to buckets stepping by the CONSTANT stride
+    * (m·C mod P) mod B — each document's bucket sequence is an
+    * arithmetic orbit that only visits the gcd(stride, B)-coset of its
+    * start. q141's original start draw (m = 11, B = 1000) had stride
+    * 168, gcd 8: mask mass landed in the ~1/8 of documents whose orbit
+    * passes under the threshold (measured: 391/500 docs with zero
+    * spans vs ~120 expected). Per-DOC draws (splits, shards, samples)
+    * keep the linear mix — doc_ids are not consecutive per key and the
+    * coset artifact needs a constant stride to appear. The quadratic
+    * term breaks linearity, so consecutive positions take
+    * value-dependent strides (re-measured under this scramble: q139
+    * 14.96% realized at 150‰ with 6 zero-mask docs, q141 120/500
+    * no-span docs, length draw uniform mod 8 within ±1%).
+    *
+    * Exactness: cm = c mod P < 2³⁰·…(1e9), cm² < 1e18 and q·C <
+    * 2.66e18 — inside BIGINT in both engines; both spellings below are
+    * the same arithmetic. */
+  def knuthMix2(c: Column): Column = {
+    val cm = pmod(c, lit(KnuthP))
+    pmod(pmod(pmod(cm * cm, lit(KnuthP)) + cm, lit(KnuthP)) * lit(KnuthC),
+      lit(KnuthP))
+  }
+
+  /** The quadratic scramble reduced to [0, m). */
+  def knuthBucket2(c: Column, m: Long): Column = pmod(knuthMix2(c), lit(m))
+
+  /** SQL twin of [[knuthMix2]]. */
+  def knuthMix2Sql(c: String): String = {
+    val cm = s"((($c % 1000000007) + 1000000007) % 1000000007)"
+    s"(((($cm * $cm % 1000000007 + $cm) % 1000000007) * 2654435761) " +
+      "% 1000000007)"
+  }
+
+  /** SQL twin of [[knuthBucket2]]. */
+  def knuthBucket2Sql(c: String, m: Long): String =
+    s"(${knuthMix2Sql(c)} % $m + $m) % $m"
 }

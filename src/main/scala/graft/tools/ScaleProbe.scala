@@ -108,13 +108,13 @@ object ScaleProbe {
     // is NOT distinct and the per-doc islands window must stay bounded
     // by document length as docs multiply k×
     "q138_memorization_span",
-    // q139's masking fold is the q130 map-only class (row-local HOFs,
-    // no exchange) — superlinearity here means the sequence/filter fold
-    // stopped being row-local; q140's per-lang length histogram +
-    // broadcast phase map must track the scan while the histogram
-    // window stays value-domain-bounded (salted copies multiply counts
-    // per (lang, dl) cell, not cells)
-    "q139_mlm_mask", "q140_curriculum_order",
+    // q139/q141's schedule folds are the q130 map-only class (row-local
+    // HOFs, no exchange) — superlinearity here means a fold stopped
+    // being row-local; q140's per-lang length histogram + broadcast
+    // phase map must track the scan while the histogram window stays
+    // value-domain-bounded (salted copies multiply counts per
+    // (lang, dl) cell, not cells)
+    "q139_mlm_mask", "q140_curriculum_order", "q141_span_corruption",
     // round 10 third wave: q129's per-lang ordered prefix sum must track
     // the k× doc stream — lang cardinality is construction-constant, so
     // this is the probe that would expose the window degenerating into a

@@ -305,6 +305,40 @@ class CompositionSpec extends SparkSpec {
       "the re-drawn epoch keeps the dialed rate")
   }
 
+  // ---- q141 span corruption --------------------------------------------
+
+  test("q141: span bounds hold, extremes degenerate correctly, and the epoch re-draws") {
+    val lenMax = Composition.SpanLenMax
+    val rows = Composition.spanMaskReport(maskDocs, 30L, lenMax, 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    rows.foreach { case (id, n, spans, corrupt, psum) =>
+      // each span covers >= 1 token; the union never exceeds the doc or
+      // spans x lenMax
+      assert(corrupt >= spans && corrupt <= math.min(n, spans * lenMax),
+        s"doc $id: $spans spans, $corrupt corrupted of $n")
+      assert((spans == 0) == (corrupt == 0 && psum == 0L))
+    }
+    // rate 0 -> untouched corpus; rate 1000 -> every position starts a
+    // span, so the union is the whole doc and possum is triangular
+    assert(Composition.spanMaskReport(maskDocs, 0L, lenMax, 0L).collect()
+      .forall(r => r.getLong(3) == 0L && r.getLong(4) == 0L))
+    Composition.spanMaskReport(maskDocs, 1000L, lenMax, 0L).collect().foreach { r =>
+      val n = r.getLong(2)
+      assert(r.getLong(3) == n && r.getLong(4) == n &&
+        r.getLong(5) == n * (n + 1) / 2)
+    }
+    // the quadratic scramble's distribution contract (the linear mix
+    // failed exactly this: 391/500 zero-span docs from the stride-168
+    // orbit): zero-span docs stay near the independent-draw expectation
+    val none = rows.count(_._3 == 0L)
+    assert(none < rows.length / 2, s"$none/${rows.length} docs drew no span")
+    val e1 = Composition.spanMaskReport(maskDocs, 30L, lenMax, 1L).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    val moved = rows.count { case (id, _, _, _, ps) => e1(id) != ps }
+    assert(moved > rows.count(_._3 > 0L) / 2,
+      s"epoch bump moved only $moved schedules")
+  }
+
   // ---- q140 curriculum order -------------------------------------------
 
   test("q140: nine distinct lengths split into exact terciles and ties share a phase") {

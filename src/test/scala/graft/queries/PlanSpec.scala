@@ -483,17 +483,20 @@ class PlanSpec extends SparkSpec {
       s"shard offsets not attached by broadcast:\n$p")
   }
 
-  test("q139: the mask fold is map-only — no Generate, no join, the result sort is the only exchange") {
-    // the scaladoc's q130-class claim, pinned: the schedule is a
-    // row-local sequence/filter/aggregate fold in the scan's own
-    // codegen stage; any Generate or extra exchange means the fold
-    // stopped being row-local
-    val p = plan("q139_mlm_mask")
-    assert(!p.contains("Generate"), s"explode in a map-only plan:\n$p")
-    assert(!p.contains("Join"), s"join in a map-only plan:\n$p")
-    assert("Exchange ".r.findAllIn(p).size == 1 &&
-      p.contains("Exchange rangepartitioning"),
-      s"expected the result sort's range exchange to be the only one:\n$p")
+  test("q139/q141: the schedule folds are map-only — no Generate, no join, the result sort is the only exchange") {
+    // the scaladocs' q130-class claim, pinned for both schedules: each
+    // is a row-local sequence/filter/aggregate (q141: + nested
+    // transform/flatten union) fold in the scan's own codegen stage;
+    // any Generate or extra exchange means the fold stopped being
+    // row-local
+    Seq("q139_mlm_mask", "q141_span_corruption").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Generate"), s"$q: explode in a map-only plan:\n$p")
+      assert(!p.contains("Join"), s"$q: join in a map-only plan:\n$p")
+      assert("Exchange ".r.findAllIn(p).size == 1 &&
+        p.contains("Exchange rangepartitioning"),
+        s"$q: expected the result sort's range exchange to be the only one:\n$p")
+    }
   }
 
   test("q140: tercile windows run over the histogram and the phase map attaches by broadcast") {
