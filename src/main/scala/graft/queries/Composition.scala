@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * cross-source overlap matrix (q135), DSIR importance RESAMPLING
   * (q136) — the stage that turns q125's importance weights into an
   * actual training mixture — plus the deterministic MLM masking
-  * schedule (q139), curriculum ordering (q140), and the span-corruption
-  * schedule (q141). The reference (`app.py`, a producer loop)
+  * schedule (q139), curriculum ordering (q140), the span-corruption
+  * schedule (q141), and within-source distribution drift (q142).
+  * The reference (`app.py`, a producer loop)
   * has no analytics; these are the corpus-assembly decisions a
   * training-data pipeline makes over the same document stream the
   * dedup/curation family cleans: what to retrieve for inspection, which
@@ -497,6 +498,55 @@ object Composition {
     c
   }
 
+  /** q142 [EXT]: within-source distribution drift — the crawl-snapshot
+    * monitoring question: has a source's CONTENT shifted between two
+    * samples of its history? Each source's documents split into two
+    * deterministic halves (the linear Knuth bucket over doc_id — a
+    * per-DOC draw, so the linear mix is the right tool); the drift
+    * score is the total-variation-style L1 distance between the two
+    * halves' term RATE vectors, in ppm: Σ_term |rate₀ − rate₁| with
+    * rate_h = (count_h · 10⁶) div total_h. A stable source scores near
+    * the sampling-noise floor; a re-targeted crawl, format change, or
+    * spam infusion moves whole rate mass. Rates quantize to ppm BIGINT
+    * BEFORE the |·| and the sum (q117's quantize-then-sum: integer
+    * sums are order-free, so parallel aggregation cannot drift an ulp
+    * from the oracle; both engines floor the same division). The
+    * count·10⁶ product rides DECIMAL(38,0)/HUGEINT — exact past
+    * 9·10¹² tokens per half where BIGINT would wrap.
+    *
+    * 100 TB: ONE corpus-sized exchange — the (source, term) aggregate
+    * (map-side combined; both halves' counts come out of the SAME
+    * aggregation as conditional sums, so there is no per-term join and
+    * missing-in-one-half terms are present by construction). Per-source
+    * totals re-aggregate from that vocab-shaped frame and BROADCAST
+    * back; the ppm arithmetic is row-local; the final per-source rollup
+    * is a second two-phase aggregate over vocab-sized input. Bodies
+    * never cross the wire. A half with no tokens yields NULL drift
+    * (undefined rates), kept as a row — the report is TOTAL over
+    * sources. */
+  val q142SourceDrift: Q = (spark, dir) => {
+    val half = knuthBucket(col("doc_id"), 2L)
+    val toks = t(spark, dir, "documents")
+      .select(col("source"), half.as("h"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("term"))
+    val counts = toks.groupBy(col("source"), col("term"))
+      .agg(sum(when(col("h") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("h") === 1, 1L).otherwise(0L)).as("c1"))
+      .scopedPersist // feeds the totals agg AND the rate projection
+    val totals = counts.groupBy(col("source"))
+      .agg(sum(col("c0")).as("t0"), sum(col("c1")).as("t1"))
+    val rated = counts.join(broadcast(totals), Seq("source"))
+      .select(col("source"),
+        expr("CAST(c0 AS DECIMAL(38,0)) * 1000000 div nullif(t0, 0)").as("p0"),
+        expr("CAST(c1 AS DECIMAL(38,0)) * 1000000 div nullif(t1, 0)").as("p1"))
+    orderAll(rated.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(abs(col("p0") - col("p1"))).as("l1_ppm"))
+      .join(broadcast(totals), Seq("source"))
+      .select(col("source"), col("n_terms"), col("t0"), col("t1"),
+        col("l1_ppm")))
+  }
+
   /** q140 [EXT]: curriculum ordering — the easy→hard training schedule
     * (Bengio et al. 2009's curriculum learning, as data pipelines apply
     * it): each document gets a difficulty phase (0 = easy, 2 = hard) by
@@ -551,7 +601,8 @@ object Composition {
     "q138_memorization_span" -> q138MemorizationSpan,
     "q139_mlm_mask" -> q139MlmMask,
     "q140_curriculum_order" -> q140CurriculumOrder,
-    "q141_span_corruption" -> q141SpanCorruption)
+    "q141_span_corruption" -> q141SpanCorruption,
+    "q142_source_drift" -> q142SourceDrift)
 
   /** q135's oracle shingle expression over 1-based `toks[i]`. */
   private def shingleSql(n: Int): String =
@@ -766,6 +817,34 @@ object Composition {
          |LEFT JOIN mass m ON tk.doc_id = m.doc_id
          |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
          |  5 NULLS FIRST, 6 NULLS FIRST""".stripMargin
+    },
+    "q142_source_drift" -> {
+      s"""WITH tok AS (
+         |  SELECT source, ${knuthBucketSql("doc_id", 2L)} AS h, t.term
+         |  FROM documents,
+         |    unnest(string_split(coalesce(text, ''), ' ')) AS t(term)),
+         |cnt AS (
+         |  SELECT source, term,
+         |    CAST(sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         |    CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+         |  FROM tok GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT source, CAST(sum(c0) AS BIGINT) AS t0,
+         |    CAST(sum(c1) AS BIGINT) AS t1
+         |  FROM cnt GROUP BY 1),
+         |rated AS (
+         |  SELECT c.source,
+         |    CAST(CAST(c0 AS HUGEINT) * 1000000 // nullif(t0, 0) AS BIGINT)
+         |      AS p0,
+         |    CAST(CAST(c1 AS HUGEINT) * 1000000 // nullif(t1, 0) AS BIGINT)
+         |      AS p1
+         |  FROM cnt c JOIN tot USING (source))
+         |SELECT r.source, CAST(count(*) AS BIGINT) AS n_terms, t.t0, t.t1,
+         |  CAST(sum(abs(p0 - p1)) AS BIGINT) AS l1_ppm
+         |FROM rated r JOIN tot t USING (source)
+         |GROUP BY 1, 3, 4
+         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+         |  5 NULLS FIRST""".stripMargin
     },
     "q140_curriculum_order" -> {
       val cap = CurriculumLenCap

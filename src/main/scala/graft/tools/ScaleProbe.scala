@@ -115,6 +115,10 @@ object ScaleProbe {
     // value-domain-bounded (salted copies multiply counts per
     // (lang, dl) cell, not cells)
     "q139_mlm_mask", "q140_curriculum_order", "q141_span_corruption",
+    // q142's (source, term) aggregate must track the k× token stream
+    // while the per-source rollup stays vocab-shaped (salted copies
+    // multiply counts per cell, not cells — the q140 argument)
+    "q142_source_drift",
     // round 10 third wave: q129's per-lang ordered prefix sum must track
     // the k× doc stream — lang cardinality is construction-constant, so
     // this is the probe that would expose the window degenerating into a

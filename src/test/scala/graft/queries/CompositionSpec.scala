@@ -339,6 +339,57 @@ class CompositionSpec extends SparkSpec {
       s"epoch bump moved only $moved schedules")
   }
 
+  // ---- q142 source drift -----------------------------------------------
+
+  test("q142: identical content scores zero, half-correlated content scores maximal, a one-half source is NULL") {
+    // the test drives the half assignment through the JVM twin of the
+    // engine's bucket (KnuthSpec pins them equal), so it can craft
+    // content ON each half
+    def half(id: Long): Long =
+      math.floorMod(graft.streaming.MinwisePanel.priority(id), 2L)
+    val ids = (1L to 60L)
+    val drifted = (101L to 160L)
+    val d0 = drifted.filter(half(_) == 0L)
+    val d1 = drifted.filter(half(_) == 1L)
+    val lop = (201L to 260L).filter(half(_) == 0L)
+    assert(d0.nonEmpty && d1.nonEmpty && lop.nonEmpty, "fixture needs both halves")
+    val dir = tmpDir("q142docs")
+    writeDocs(dir,
+      // stable: every doc identical -> rate vectors equal -> drift 0
+      ids.map(id => (id, "a a b", "en", "stable")) ++
+        // drifted: vocabulary follows the half -> maximal L1 (2e6 ppm)
+        d0.map(id => (id, "x x x", "en", "drifted")) ++
+        d1.map(id => (id, "y y y", "en", "drifted")) ++
+        // lopsided: docs only in half 0 -> t1 = 0 -> NULL drift
+        lop.map(id => (id, "z z", "en", "lopsided")))
+    val rows = Composition.q142SourceDrift(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(rows("stable")._4 == Some(0L),
+      s"identical halves must score zero drift: ${rows("stable")}")
+    assert(rows("drifted")._4 == Some(2000000L),
+      s"disjoint half vocabularies must score maximal drift: ${rows("drifted")}")
+    val (nt, t0, t1, l1) = rows("lopsided")
+    assert(t1 == 0L && l1.isEmpty,
+      s"an empty half has undefined rates — NULL, not a number: ${rows("lopsided")}")
+    assert(nt == 1L && t0 > 0L)
+  }
+
+  test("q142: the sf corpus sits at the sampling-noise floor, TOTAL over sources") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val nSources = d.select("source").distinct().count()
+    val rows = Composition.q142SourceDrift(spark, sf).collect()
+    assert(rows.length == nSources, "report must be total over sources")
+    rows.foreach { r =>
+      val l1 = r.getLong(4)
+      // bounds: L1 of two prob vectors in ppm is [0, 2e6]; the uniform
+      // synthetic corpus has no injected drift, so scores stay well
+      // under half the ceiling (they sit near the sqrt(1/n) noise floor)
+      assert(l1 >= 0L && l1 < 1000000L, s"${r.getString(0)} drift $l1")
+    }
+  }
+
   // ---- q140 curriculum order -------------------------------------------
 
   test("q140: nine distinct lengths split into exact terciles and ties share a phase") {

@@ -516,6 +516,20 @@ class PlanSpec extends SparkSpec {
       s"corpus-keyed hash exchange in the curriculum plan:\n$p")
   }
 
+  test("q142: one token exchange, cache-served totals, broadcast rate join — no funnel") {
+    // the (source, term) aggregate is the only corpus-sized exchange;
+    // totals re-aggregate from the CACHED vocab-shaped counts (not a
+    // second corpus scan) and come back by broadcast; nothing may
+    // single-partition
+    val p = plan("q142_source_drift")
+    assert(p.contains("InMemoryTableScan"),
+      s"counts not cache-served to both consumers:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"totals not attached by broadcast:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition funnel in the drift plan:\n$p")
+  }
+
   test("q74/q75/q137: per-group top-k plans as a map-side WindowGroupLimit") {
     // same rewrite as q96/q67: each map task forwards at most k rows per
     // cluster (q74) / query vector (q75) / source (q137) before the
