@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * (q136) — the stage that turns q125's importance weights into an
   * actual training mixture — plus the deterministic MLM masking
   * schedule (q139), curriculum ordering (q140), the span-corruption
-  * schedule (q141), and within-source distribution drift (q142).
+  * schedule (q141), within-source distribution drift (q142), and
+  * budget-constrained epoch allocation (q143).
   * The reference (`app.py`, a producer loop)
   * has no analytics; these are the corpus-assembly decisions a
   * training-data pipeline makes over the same document stream the
@@ -547,6 +548,91 @@ object Composition {
         col("l1_ppm")))
   }
 
+  /** q143's allocation geometry: the token budget as permille of the
+    * corpus (default 2500 = 2.5 epochs' worth of tokens spread over the
+    * sources) and the per-source repeat ceiling (default 4 epochs — the
+    * data-constrained-scaling regime where repeating past ~4 epochs
+    * stops paying). Both interpolated into the oracle. */
+  private[graft] val EpochBudgetPermille: Long = {
+    val b = sys.env.getOrElse("GRAFT_EPOCH_BUDGET_PERMILLE", "2500").toLong
+    require(b >= 0, s"GRAFT_EPOCH_BUDGET_PERMILLE=$b — need a non-negative budget")
+    b
+  }
+  private[graft] val EpochCap: Long = {
+    val c = sys.env.getOrElse("GRAFT_EPOCH_CAP", "4").toLong
+    require(c >= 1, s"GRAFT_EPOCH_CAP=$c — need at least one epoch")
+    c
+  }
+
+  /** q143 [EXT]: epoch allocation under a token budget — the
+    * data-constrained-scaling decision (Muennighoff et al. 2023): given
+    * a total training-token budget B and a repeat ceiling of `cap`
+    * epochs per source, how many tokens does each source contribute?
+    * The fair answer is WATERFILLING: every source gets an equal token
+    * share λ except sources whose whole capped mass cap·Tₛ fits under
+    * λ, which contribute everything; λ solves Σ min(cap·Tₛ, λ) = B.
+    *
+    * Exact integer spelling (nothing floats, so both engines agree to
+    * the token): sources sorted ascending by capped mass; the capped
+    * set is a PREFIX of that order (once a source's mass exceeds the
+    * waterline, every larger one does too), and row k is capped iff
+    * capTₖ·(S−k+1) ≤ B − cum_{k−1} — an exact integer comparison that
+    * avoids computing λ at all for the capped side. The uncapped rows
+    * then share the remainder: λ = (B − Σ_capped capT) div n_uncapped,
+    * with the div's sub-λ remainder (< n_uncapped tokens) documented
+    * as undistributed — the writer's final partial batch. Budget
+    * B = (permille·T_total) div 1000.
+    *
+    * 100 TB: one corpus-sized (source) aggregation (map-side combined)
+    * collapses everything to the S-row source frame; the sort, the
+    * prefix window, and the capped/uncapped split all run on those S
+    * rows (q136's offset-window argument — bounded by SOURCE COUNT,
+    * never corpus size); the two boundary scalars come back as a 1-row
+    * broadcast. The corpus is touched exactly once. */
+  val q143EpochAllocation: Q = (spark, dir) =>
+    orderAll(epochAllocation(t(spark, dir, "documents"),
+      EpochBudgetPermille, EpochCap))
+
+  /** q143's core over any (source, text) frame with explicit geometry —
+    * factored (q139's pattern) so the spec can drive the capped cut,
+    * the all-capped and zero-budget extremes, and a hand-computed
+    * waterline directly. */
+  private[graft] def epochAllocation(docs: DataFrame, bPm: Long,
+      cap: Long): DataFrame = {
+    val masses = docs
+      .select(col("source"),
+        size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_toks"))
+      .withColumn("cap_toks", col("n_toks") * cap)
+      .scopedPersist // S rows: feeds the total, the prefix walk, the dump
+    val wAsc = Window.orderBy(col("cap_toks").asc, col("source").asc)
+    val wPrev = wAsc.rowsBetween(Window.unboundedPreceding, -1)
+    // S-row unpartitioned windows — bounded by source count (q136's
+    // S-row offset cumulation, same argument)
+    val walk = masses
+      .crossJoin(broadcast(masses.agg(
+        sum(col("n_toks")).as("t_total"), count(lit(1)).as("s_count"))))
+      .withColumn("budget",
+        expr(s"CAST(t_total AS DECIMAL(38,0)) * $bPm div 1000"))
+      .withColumn("rk", row_number().over(wAsc))
+      .withColumn("cum_prev", coalesce(sum(col("cap_toks")).over(wPrev), lit(0L)))
+      .withColumn("capped",
+        col("cap_toks") * (col("s_count") - col("rk") + 1) <=
+          col("budget") - col("cum_prev"))
+      .scopedPersist
+    val boundary = walk.agg(
+      sum(when(col("capped"), col("cap_toks")).otherwise(0L)).as("cum_capped"),
+      sum(when(col("capped"), 1L).otherwise(0L)).as("n_capped"))
+    walk.crossJoin(broadcast(boundary))
+      .withColumn("alloc_toks",
+        when(col("capped"), col("cap_toks")).otherwise(
+          expr("(budget - cum_capped) div nullif(s_count - n_capped, 0)")))
+      .select(col("source"), col("n_toks"), col("cap_toks"),
+        col("alloc_toks"),
+        expr("CAST(alloc_toks AS DECIMAL(38,0)) * 1000 div n_toks")
+          .as("epochs_permille"))
+  }
+
   /** q140 [EXT]: curriculum ordering — the easy→hard training schedule
     * (Bengio et al. 2009's curriculum learning, as data pipelines apply
     * it): each document gets a difficulty phase (0 = easy, 2 = hard) by
@@ -602,7 +688,8 @@ object Composition {
     "q139_mlm_mask" -> q139MlmMask,
     "q140_curriculum_order" -> q140CurriculumOrder,
     "q141_span_corruption" -> q141SpanCorruption,
-    "q142_source_drift" -> q142SourceDrift)
+    "q142_source_drift" -> q142SourceDrift,
+    "q143_epoch_allocation" -> q143EpochAllocation)
 
   /** q135's oracle shingle expression over 1-based `toks[i]`. */
   private def shingleSql(n: Int): String =
@@ -843,6 +930,52 @@ object Composition {
          |  CAST(sum(abs(p0 - p1)) AS BIGINT) AS l1_ppm
          |FROM rated r JOIN tot t USING (source)
          |GROUP BY 1, 3, 4
+         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+         |  5 NULLS FIRST""".stripMargin
+    },
+    "q143_epoch_allocation" -> {
+      val cap = EpochCap
+      val bPm = EpochBudgetPermille
+      s"""WITH m AS (
+         |  SELECT source,
+         |    CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS BIGINT)
+         |      AS n_toks
+         |  FROM documents GROUP BY 1),
+         |mm AS (SELECT source, n_toks,
+         |    CAST(n_toks * $cap AS BIGINT) AS cap_toks FROM m),
+         |g AS (SELECT CAST(sum(n_toks) AS BIGINT) AS t_total,
+         |    CAST(count(*) AS BIGINT) AS s_count FROM mm),
+         |walk AS (
+         |  SELECT mm.*, g.s_count,
+         |    CAST(CAST(g.t_total AS HUGEINT) * $bPm // 1000 AS BIGINT)
+         |      AS budget,
+         |    CAST(row_number() OVER w AS BIGINT) AS rk,
+         |    CAST(coalesce(sum(cap_toks) OVER
+         |      (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum_prev
+         |  FROM mm CROSS JOIN g
+         |  WINDOW w AS (ORDER BY cap_toks ASC, source ASC)),
+         |flagged AS (
+         |  SELECT *,
+         |    cap_toks * (s_count - rk + 1) <= budget - cum_prev AS capped
+         |  FROM walk),
+         |b AS (
+         |  SELECT CAST(sum(CASE WHEN capped THEN cap_toks ELSE 0 END)
+         |      AS BIGINT) AS cum_capped,
+         |    CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_capped
+         |  FROM flagged),
+         |alloc AS (
+         |  SELECT f.source, f.n_toks, f.cap_toks,
+         |    CASE WHEN f.capped THEN f.cap_toks
+         |         ELSE CAST((f.budget - b.cum_capped)
+         |           // nullif(f.s_count - b.n_capped, 0) AS BIGINT)
+         |    END AS alloc_toks
+         |  FROM flagged f CROSS JOIN b)
+         |SELECT source, n_toks, cap_toks, alloc_toks,
+         |  CAST(CAST(alloc_toks AS HUGEINT) * 1000 // n_toks AS BIGINT)
+         |    AS epochs_permille
+         |FROM alloc
          |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
          |  5 NULLS FIRST""".stripMargin
     },

@@ -79,6 +79,7 @@ object DumpPlans {
       "q139_mlm_mask" -> "mlm mask schedule: row-local sequence/filter/aggregate fold in the scan's codegen stage — no Generate, no join, no exchange before the dump sort (q130's map-only class)",
       "q141_span_corruption" -> "span corruption schedule: q139's class with a nested transform->sequence span build and array_distinct/flatten union, all row-local — the result sort is the only exchange",
       "q142_source_drift" -> "source drift: ONE (source, term) token exchange with both halves as conditional sums (no per-term join), cached counts serve the totals agg and the rate projection, totals broadcast back, ppm arithmetic row-local",
+      "q143_epoch_allocation" -> "epoch allocation: corpus collapses two-phase to the S-row source frame; the waterfilling walk (sort, prefix window, boundary scalars) runs on those S rows only, scalars broadcast back",
       "q140_curriculum_order" -> "curriculum order: per-lang length HISTOGRAM aggregated two-phase, tercile windows over the bounded histogram only, (lang, dl)->phase map broadcast back — corpus rows touched map-side only")
 
     val sb = new StringBuilder

@@ -119,6 +119,9 @@ object ScaleProbe {
     // while the per-source rollup stays vocab-shaped (salted copies
     // multiply counts per cell, not cells — the q140 argument)
     "q142_source_drift",
+    // q143's cost is the per-source mass aggregate — the S-row walk is
+    // constant-size, so the wall must track the scan alone
+    "q143_epoch_allocation",
     // round 10 third wave: q129's per-lang ordered prefix sum must track
     // the k× doc stream — lang cardinality is construction-constant, so
     // this is the probe that would expose the window degenerating into a

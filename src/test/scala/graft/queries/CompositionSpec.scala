@@ -390,6 +390,58 @@ class CompositionSpec extends SparkSpec {
     }
   }
 
+  // ---- q143 epoch allocation -------------------------------------------
+
+  test("q143: the hand-computed waterline — capped prefix, shared waterline, bounded remainder") {
+    // tiny capT=8, mid capT=40, big capT=400; cap=4, budget 2500permille
+    // of T_total=112 -> B=280. Walk: tiny capped (24<=280), mid capped
+    // (80<=272), big uncapped -> waterline (280-48) div 1 = 232
+    val dir = tmpDir("q143docs")
+    writeDocs(dir, Seq(
+      (1L, "a b", "en", "tiny"),
+      (2L, Seq.fill(10)("w").mkString(" "), "en", "mid"),
+      (3L, Seq.fill(100)("w").mkString(" "), "en", "big")))
+    val rows = Composition.epochAllocation(
+        spark.read.parquet(s"$dir/documents.parquet"), 2500L, 4L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows("tiny") == ((2L, 8L, 8L, 4000L)), s"${rows("tiny")}")
+    assert(rows("mid") == ((10L, 40L, 40L, 4000L)), s"${rows("mid")}")
+    assert(rows("big") == ((100L, 400L, 232L, 2320L)), s"${rows("big")}")
+  }
+
+  test("q143: all-capped and zero-budget extremes, and the sf corpus invariants") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // budget >= cap x corpus: every source contributes its whole capped
+    // mass (10000permille = 10 epochs' worth, cap 4)
+    val full = Composition.epochAllocation(docs, 10000L, 4L).collect()
+    full.foreach(r => assert(r.getLong(3) == r.getLong(2) &&
+      r.getLong(4) == 4000L, s"all-capped violated: $r"))
+    // zero budget: nothing allocated, no crash
+    Composition.epochAllocation(docs, 0L, 4L).collect()
+      .foreach(r => assert(r.getLong(3) == 0L && r.getLong(4) == 0L))
+    // default geometry on the sf corpus: allocation never exceeds the
+    // cap or the budget; the undistributed remainder is < the number of
+    // uncapped sources (the waterline div's floor loss)
+    val rows = Composition.epochAllocation(docs, 2500L, 4L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val tTotal = rows.map(_._2).sum
+    val budget = tTotal * 2500L / 1000L
+    val spent = rows.map(_._4).sum
+    val nUncapped = rows.count(r => r._4 < r._3)
+    rows.foreach { case (s, _, capT, alloc) =>
+      assert(alloc <= capT, s"$s over its cap") }
+    assert(spent <= budget && (nUncapped == 0 || budget - spent < nUncapped),
+      s"spent $spent of $budget with $nUncapped uncapped")
+    // capped-prefix property under the walk's order (capT asc, source asc)
+    val sorted = rows.sortBy(r => (r._3, r._1))
+    val firstUncapped = sorted.indexWhere(r => r._4 < r._3)
+    if (firstUncapped >= 0)
+      sorted.drop(firstUncapped).foreach(r =>
+        assert(r._4 < r._3 || r._3 == sorted(firstUncapped)._3,
+          s"capped row after the cut: $r"))
+  }
+
   // ---- q140 curriculum order -------------------------------------------
 
   test("q140: nine distinct lengths split into exact terciles and ties share a phase") {

@@ -65,6 +65,10 @@ class PlanSpec extends SparkSpec {
     // never the corpus (the corpus join is equi on lang, broadcast)
     // q134/q136 attach their 1-row corpus-scalar aggregates (N,T / W)
     // by the same broadcast scalar pattern as q118/q124/q125
+    // q143 attaches its 1-row (t_total, s_count) and (cum_capped,
+    // n_capped) boundary scalars onto the S-ROW source frame the same
+    // way — both nested-loop probe sides are aggregate-sized (q132's
+    // class); the corpus-sized work is one two-phase source agg
     // q135's matrix assembly is an inequality join of two
     // SOURCE-COUNT-sized aggregates (~hundreds of rows at any corpus
     // scale) — the one place a BroadcastNestedLoopJoin is the right
@@ -74,7 +78,7 @@ class PlanSpec extends SparkSpec {
       "q108_kmeans_refine", "q110_semantic_dedup", "q118_collocations",
       "q123_rfm_segments", "q124_heavy_hitters", "q125_dsir_weights",
       "q132_temperature_mix", "q134_bm25_retrieval", "q135_source_overlap",
-      "q136_importance_resample")
+      "q136_importance_resample", "q143_epoch_allocation")
     val offenders = (graft.SparkEntry.queries.keySet -- exempt).toSeq.sorted.filter { name =>
       val p = plan(name)
       p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
@@ -514,6 +518,24 @@ class PlanSpec extends SparkSpec {
       s"single-partition funnel in the curriculum plan:\n$p")
     assert(!"Exchange hashpartitioning\\(doc_id".r.findAllIn(p).hasNext,
       s"corpus-keyed hash exchange in the curriculum plan:\n$p")
+  }
+
+  test("q143: the corpus collapses two-phase to the S-row frame before any funnel") {
+    // the waterfilling walk legitimately single-partitions — but only
+    // the S-row source frame (q136's argument for its offsets
+    // cumulation). The pin: the per-source mass aggregate is two-phase
+    // (partial_sum below its exchange), the boundary scalars come back
+    // by broadcast, and no single-partition exchange feeds from
+    // anything but aggregate/broadcast-shaped input (the plan has no
+    // corpus-keyed exchange at all — `doc_id` never appears in an
+    // Exchange)
+    val p = plan("q143_epoch_allocation")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"per-source masses not aggregated two-phase:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"boundary scalars not attached by broadcast:\n$p")
+    assert(!"Exchange hashpartitioning\\(doc_id".r.findAllIn(p).hasNext,
+      s"corpus-keyed exchange in the allocation plan:\n$p")
   }
 
   test("q142: one token exchange, cache-served totals, broadcast rate join — no funnel") {
