@@ -407,10 +407,14 @@ object Composition {
       epoch: Long): DataFrame = {
     val d = docs.select(col("doc_id"), col("lang"),
       split(coalesce(col("text"), lit("")), " ").as("toks"))
+    // doc_id wraps mod P BEFORE the ·100003 so the key product stays
+    // under ~10¹⁴ for EVERY BIGINT doc_id (congruent mod P, so every
+    // bucket — and thus the schedule — is unchanged on the
+    // sub-overflow domain the unwrapped spelling covered)
     val masked = filter(
       sequence(lit(1L), size(col("toks")).cast("long")),
-      i => knuthBucket2(col("doc_id") * lit(100003L) + i * lit(7L) +
-        lit(epoch), 1000L) < lit(rate))
+      i => knuthBucket2(pmod(col("doc_id"), lit(KnuthP)) * lit(100003L) +
+        i * lit(7L) + lit(epoch), 1000L) < lit(rate))
     d.select(col("doc_id"), col("lang"),
         size(col("toks")).cast("long").as("n_toks"), masked.as("mpos"))
       .select(col("doc_id"), col("lang"), col("n_toks"),
@@ -469,8 +473,11 @@ object Composition {
     val d = docs.select(col("doc_id"), col("lang"),
       split(coalesce(col("text"), lit("")), " ").as("toks"))
     val n = size(col("toks")).cast("long")
+    // q139's pre-wrap: doc_id mod P before the multiply keeps the key
+    // inside BIGINT for every doc_id, without moving a single bucket
     def key(i: Column, mult: Long) =
-      col("doc_id") * lit(100003L) + i * lit(mult) + lit(epoch)
+      pmod(col("doc_id"), lit(KnuthP)) * lit(100003L) + i * lit(mult) +
+        lit(epoch)
     val starts = filter(sequence(lit(1L), n),
       i => knuthBucket2(key(i, 11L), 1000L) < lit(startRate))
     val spans = transform(starts,
@@ -616,8 +623,13 @@ object Composition {
         expr(s"CAST(t_total AS DECIMAL(38,0)) * $bPm div 1000"))
       .withColumn("rk", row_number().over(wAsc))
       .withColumn("cum_prev", coalesce(sum(col("cap_toks")).over(wPrev), lit(0L)))
+      // cap_toks rides DECIMAL(38,0) through the capped test so the
+      // cap·Tₛ·S product cannot wrap BIGINT at extreme source masses
+      // (q142's DECIMAL convention; budget is already DECIMAL(38,0)) —
+      // cap_toks ITSELF (n_toks·cap) still needs cap·Tₛ < 2⁶³, the
+      // documented headroom for a single source
       .withColumn("capped",
-        col("cap_toks") * (col("s_count") - col("rk") + 1) <=
+        expr("CAST(cap_toks AS DECIMAL(38,0)) * (s_count - rk + 1)") <=
           col("budget") - col("cum_prev"))
       .scopedPersist
     val boundary = walk.agg(
@@ -850,7 +862,8 @@ object Composition {
     "q139_mlm_mask" -> {
       val rate = MaskPermille
       val epoch = MaskEpoch
-      val key = s"(doc_id * 100003 + t.pos * 7 + $epoch)"
+      val key = s"(((doc_id % 1000000007) + 1000000007) % 1000000007 " +
+        s"* 100003 + t.pos * 7 + $epoch)"
       s"""WITH tk AS (
          |  SELECT doc_id, lang,
          |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
@@ -873,8 +886,10 @@ object Composition {
       val rate = SpanStartPermille
       val lenMax = SpanLenMax
       val epoch = MaskEpoch
-      val startKey = s"(doc_id * 100003 + t.pos * 11 + $epoch)"
-      val lenKey = s"(doc_id * 100003 + s * 13 + $epoch)"
+      val startKey = s"(((doc_id % 1000000007) + 1000000007) % 1000000007 " +
+        s"* 100003 + t.pos * 11 + $epoch)"
+      val lenKey = s"(((doc_id % 1000000007) + 1000000007) % 1000000007 " +
+        s"* 100003 + s * 13 + $epoch)"
       s"""WITH tk AS (
          |  SELECT doc_id, lang,
          |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
@@ -957,7 +972,8 @@ object Composition {
          |  WINDOW w AS (ORDER BY cap_toks ASC, source ASC)),
          |flagged AS (
          |  SELECT *,
-         |    cap_toks * (s_count - rk + 1) <= budget - cum_prev AS capped
+         |    CAST(cap_toks AS HUGEINT) * (s_count - rk + 1)
+         |      <= CAST(budget AS HUGEINT) - cum_prev AS capped
          |  FROM walk),
          |b AS (
          |  SELECT CAST(sum(CASE WHEN capped THEN cap_toks ELSE 0 END)

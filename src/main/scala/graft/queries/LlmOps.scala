@@ -473,6 +473,13 @@ object LlmOps {
     * collect_list spelling would not. FULLY ORACLED: q68's recursive
     * CTE extended by the same window. */
   val q131DedupCanonical: Q = (spark, dir) => {
+    // SELF-CONTAINED under the driver's one-query-one-oracle contract,
+    // so the labels are recomputed here (essentially q131's whole
+    // cost); a production pipeline materializes q68's label table once
+    // per corpus build and runs ONLY the selection step below — that
+    // entry point is [[q131WithLabels]], which CurationSpec drives
+    // against a hand-built label table.
+    //
     // the UNORDERED q68 core: the doc_id join below re-keys the label
     // table anyway, so q68's dump sort would be pure wasted work here
     val labels = q68Core(graft.core.Checkpoints.dirFromEnv())(spark, dir)
@@ -484,12 +491,24 @@ object LlmOps {
     val nt = d.select(col("doc_id"), nTok.as("n_toks"))
       .unionByName(d.select((col("doc_id") + 1000000).as("doc_id"),
         (nTok - 1).as("n_toks")))
+    orderAll(q131WithLabels(labels, nt))
+  }
+
+  /** q131's selection step over a PRE-MATERIALIZED label table — the
+    * spelling a production pipeline actually runs nightly (labels come
+    * off disk, not out of a fresh connected-components pass). `labels`
+    * carries (doc_id, cluster_id, cluster_size), `nToks`
+    * (doc_id, n_toks); output is q131's TOTAL keep/drop audit. One
+    * doc_id-keyed join plus a per-CLUSTER window — partitions bounded
+    * by duplicate multiplicity, never corpus-sized. */
+  private[graft] def q131WithLabels(labels: DataFrame,
+      nToks: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("n_toks").desc, col("doc_id").asc)
-    orderAll(labels.join(nt, Seq("doc_id"))
+    labels.join(nToks, Seq("doc_id"))
       .withColumn("keep", row_number().over(w) === 1)
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
-        col("n_toks"), col("keep")))
+        col("n_toks"), col("keep"))
   }
 
   /** Shingles with document frequency above this carry no near-dup signal
@@ -900,20 +919,31 @@ object LlmOps {
     * 100 TB: per-language counts are an aggregate (langs ≪ corpus) that
     * BROADCASTS back onto the scan; the keep decision is row-local —
     * the corpus is read once and never shuffled. */
-  val q132TemperatureMix: Q = (spark, dir) => {
-    val d = t(spark, dir, "documents")
-    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+  val q132TemperatureMix: Q = (spark, dir) =>
+    orderAll(temperatureMix(t(spark, dir, "documents")))
+
+  /** q132's core over any (doc_id, lang) frame — factored (q139's
+    * pattern) so the spec can drive the NULL-lang verdict directly. */
+  private[graft] def temperatureMix(d: DataFrame): DataFrame = {
+    // NULL lang coalesces to a sentinel language so an unscorable doc
+    // still receives a kept/dropped verdict (the TOTAL-gate contract —
+    // an equi-join on raw lang would silently drop it, the exact
+    // failure mode the Decontaminator warns against); the output keeps
+    // the ORIGINAL lang column, the sentinel only keys the rate
+    val lk = coalesce(col("lang"), lit("__und__"))
+    val counts = d.groupBy(lk.as("lang_key")).agg(count(lit(1)).as("n_lang"))
     val minN = counts.agg(min(col("n_lang")).as("n_min"))
     val rates = counts.crossJoin(broadcast(minN))
-      .select(col("lang"), col("n_lang"),
+      .select(col("lang_key"), col("n_lang"),
         floor(lit(1000.0) *
             sqrt(col("n_min").cast("double") / col("n_lang").cast("double")))
           .cast("long").as("rate_permille"))
     val bucket = knuthBucket(col("doc_id"), 1000L)
-    orderAll(d.select(col("doc_id"), col("lang"), bucket.as("bucket"))
-      .join(broadcast(rates), Seq("lang"))
+    d.select(col("doc_id"), col("lang"), lk.as("lang_key"),
+        bucket.as("bucket"))
+      .join(broadcast(rates), Seq("lang_key"))
       .select(col("doc_id"), col("lang"), col("n_lang"), col("rate_permille"),
-        col("bucket"), (col("bucket") < col("rate_permille")).as("kept")))
+        col("bucket"), (col("bucket") < col("rate_permille")).as("kept"))
   }
 
   /** q96: per-language quota cap — corpus curation caps each language at
@@ -1848,22 +1878,23 @@ object LlmOps {
       // same α=1/2 arithmetic: sqrt and the double division are IEEE
       // correctly rounded on both engines, floor is exact, and the
       // bucket is q94's pmod-parity spelling
-      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+      """WITH c AS (SELECT coalesce(lang, '__und__') AS lang_key,
+        |             CAST(count(*) AS BIGINT) AS n_lang
         |           FROM documents GROUP BY 1),
         |m AS (SELECT min(n_lang) AS n_min FROM c),
-        |r AS (SELECT lang, n_lang,
+        |r AS (SELECT lang_key, n_lang,
         |        CAST(floor(1000.0 * sqrt(
         |          CAST((SELECT n_min FROM m) AS DOUBLE) / CAST(n_lang AS DOUBLE)))
         |          AS BIGINT) AS rate_permille
         |      FROM c),
-        |b AS (SELECT doc_id, lang,
+        |b AS (SELECT doc_id, lang, coalesce(lang, '__und__') AS lang_key,
         |        CAST(((((((((doc_id % 1000000007) + 1000000007) % 1000000007)
         |              * 2654435761) % 1000000007) + 1000000007) % 1000000007) % 1000
         |         + 1000) % 1000 AS BIGINT) AS bucket
         |      FROM documents)
         |SELECT b.doc_id, b.lang, r.n_lang, r.rate_permille, b.bucket,
         |  b.bucket < r.rate_permille AS kept
-        |FROM b JOIN r USING (lang)
+        |FROM b JOIN r USING (lang_key)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
         |  5 NULLS FIRST, 6 NULLS FIRST""".stripMargin,
     "q99_dataset_mixture" ->
@@ -1914,7 +1945,8 @@ object LlmOps {
       // len(toks); list slicing toks[a:b] is 1-based inclusive, the
       // mirror of Spark's slice(arr, start, length)
       s"""WITH base AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+        |  FROM documents)
         |SELECT doc_id,
         |  CAST((i - 1) // $ChunkStride + 1 AS BIGINT) AS chunk_idx,
         |  CAST(i AS BIGINT) AS start_tok,

@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   * Geometry contract (mirrored in q130's oracle SQL): chunks start at
   * token 1, 1+stride, … ≤ n, so every token lands in ≥ 1 chunk for any
   * stride ≤ window; the tail chunk truncates to the document edge and
-  * `n_chunk_toks` carries the truth. */
+  * `n_chunk_toks` carries the truth. NULL text coalesces to '' (the
+  * q139–q143 convention — real corpora carry null bodies), so a
+  * NULL-body document still yields its one empty chunk row rather than
+  * silently vanishing from the chunk report. */
 object Chunker {
 
   /** Chunk a (doc_id, text, …) frame: one row per (doc, window start).
@@ -29,7 +32,7 @@ object Chunker {
       s"stride $stride must sit in [1, window=$window] — a stride past " +
         "the window leaves token gaps no chunk covers")
     docs
-      .withColumn("toks", split(col("text"), " "))
+      .withColumn("toks", split(coalesce(col("text"), lit("")), " "))
       .select(col("doc_id"), col("toks"),
         posexplode(sequence(lit(1), size(col("toks")), lit(stride)))
           .as(Seq("pos", "start")))

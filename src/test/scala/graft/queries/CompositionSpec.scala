@@ -339,6 +339,29 @@ class CompositionSpec extends SparkSpec {
       s"epoch bump moved only $moved schedules")
   }
 
+  test("q139/q141 keys: doc_ids congruent mod P draw identical schedules — the pre-wrap keeps any BIGINT id exact") {
+    // the schedule key wraps doc_id mod P BEFORE the ·100003 multiply,
+    // so a near-Long.MaxValue id draws the same mask as its mod-P twin
+    // (congruence) instead of riding a silently-wrapped product the
+    // oracle engine would reject
+    val p = 1000000007L
+    val big = Long.MaxValue - 1234567L
+    val twin = ((big % p) + p) % p
+    val body = Seq.fill(200)("w").mkString(" ")
+    val docs = Seq((twin, "en", body), (big, "en", body))
+      .toDF("doc_id", "lang", "text")
+    val m = Composition.mlmMaskReport(docs, 150L, 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(m(0)._2 == m(1)._2 && m(0)._3 == m(1)._3,
+      s"q139 congruence broken: ${m.toSeq}")
+    assert(m(0)._2 > 0L, "the fixture must actually mask something")
+    val s = Composition.spanMaskReport(docs, 30L, 8L, 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    assert((s(0)._2, s(0)._3, s(0)._4) == ((s(1)._2, s(1)._3, s(1)._4)),
+      s"q141 congruence broken: ${s.toSeq}")
+  }
+
   // ---- q142 source drift -----------------------------------------------
 
   test("q142: identical content scores zero, half-correlated content scores maximal, a one-half source is NULL") {

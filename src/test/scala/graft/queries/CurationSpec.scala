@@ -59,4 +59,24 @@ class CurationSpec extends SparkSpec {
       .filter(col("tok") >= lit(256) + col("biggest"))
     assert(packs.count() == 0, "a pack overran the budget by more than one document")
   }
+
+  test("q131WithLabels: the production entry point picks canonicals off a materialized label table") {
+    // the nightly-pipeline spelling: labels come off disk, NOT out of a
+    // fresh connected-components pass — the selection step alone must
+    // honor the keep-the-longest / smallest-id rule and stay TOTAL
+    import spark.implicits._
+    val labels = Seq(
+      (1L, 10L, 3L), (2L, 10L, 3L), (3L, 10L, 3L), // 3-cluster
+      (4L, 40L, 2L), (5L, 40L, 2L),                // tie on length
+      (6L, 60L, 1L)                                 // singleton
+    ).toDF("doc_id", "cluster_id", "cluster_size")
+    val nToks = Seq(1L -> 5L, 2L -> 9L, 3L -> 7L, 4L -> 4L, 5L -> 4L,
+      6L -> 2L).toDF("doc_id", "n_toks")
+    val got = LlmOps.q131WithLabels(labels, nToks).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(got == Map(1L -> false, 2L -> true, 3L -> false, // longest: doc 2
+      4L -> true, 5L -> false,                              // tie: smaller id
+      6L -> true),                                          // singleton keeps
+      s"canonical picks wrong: $got")
+  }
 }

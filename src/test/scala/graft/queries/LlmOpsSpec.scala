@@ -193,6 +193,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.exists(!_._6), "no document was ever downsampled")
   }
 
+  test("q132 gate is TOTAL: a NULL-lang doc still receives a kept/dropped verdict") {
+    import spark.implicits._
+    // 4 en, 1 pt, 2 NULL — an equi-join on raw lang would silently drop
+    // the two unscorable docs; the sentinel key must give them a verdict
+    // while the OUTPUT lang stays NULL (not the sentinel)
+    val docs = Seq(1L -> Option("en"), 2L -> Option("en"), 3L -> Option("en"),
+        4L -> Option("en"), 5L -> Option("pt"), 6L -> Option.empty[String],
+        7L -> Option.empty[String])
+      .toDF("doc_id", "lang")
+    val rows = LlmOps.temperatureMix(docs).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2),
+        r.getLong(3), r.getBoolean(5)))
+    assert(rows.length == 7, s"gate must be total, got ${rows.length}/7 verdicts")
+    val und = rows.filter(_._2.isEmpty)
+    assert(und.map(_._1).toSet == Set(6L, 7L), "NULL-lang docs missing a verdict")
+    // the sentinel group competes like a real language: n=2, rate
+    // floor(1000*sqrt(1/2)) = 707 against pt's n_min = 1
+    assert(und.forall(u => u._3 == 2L && u._4 == 707L),
+      s"sentinel group must carry its own (n_lang, rate): ${und.toSeq}")
+  }
+
+  test("q130/Chunker: a NULL-text doc yields its one empty chunk instead of vanishing") {
+    import spark.implicits._
+    val docs = Seq(1L -> "a b c", 2L -> (null: String)).toDF("doc_id", "text")
+    val rows = graft.streaming.Chunker.chunk(docs, 4, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(rows.filter(_._1 == 1L).length == 1, "3 toks, window 4: one chunk")
+    assert(rows.filter(_._1 == 2L).toSeq == Seq((2L, 1L, 1L, 1L, "")),
+      s"NULL text must coalesce to one empty chunk: ${rows.toSeq}")
+  }
+
   test("q133 flags every planted train-to-eval leak and not the clean majority") {
     val rows = LlmOps.q133SplitLeakage(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3),

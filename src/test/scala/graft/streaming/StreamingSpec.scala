@@ -696,6 +696,85 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s86b: the anomaly ring survives a query restart from its checkpoint") {
+    // the last v1-API recovery surface: s88b-s94b pin every
+    // transformWithState primitive; this pins flatMapGroupsWithState
+    // VALUE state through the same parquet-sink recipe. A post-restart
+    // event must be judged against the PRE-restart ring: 12 identical
+    // readings fill past MinFill=10 with zero variance, so the first
+    // post-restart outlier flags IFF the ring carried — a reset ring
+    // sits at n=1 < MinFill and stays silent.
+    val ckpt = tmpDir("s86b_ckpt")
+    val out = tmpDir("s86b_out")
+    val in = MemoryStream[(String, Long, Long, Long)](spark)
+    def start() = in.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Vector[Long], (String, Long, Long, Long, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        AnomalyGate.updateGroup _
+      ).toDF("event_type", "event_id", "epoch_s", "cents", "is_anomaly")
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out).start()
+    def rows() = spark.read.parquet(out).collect()
+      .map(r => r.getLong(1) -> r.getBoolean(4)).toMap
+    val q1 = start()
+    try {
+      in.addData((1L to 12L).map(i => ("m", i, i, 1000L)))
+      q1.processAllAvailable()
+      assert(rows() == (1L to 12L).map(_ -> false).toMap,
+        s"flat pre-restart readings must not flag: ${rows()}")
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      in.addData(("m", 13L, 13L, 5000L), ("m", 14L, 14L, 1000L))
+      q2.processAllAvailable()
+      val got = rows()
+      assert(got(13L),
+        s"outlier after restart must flag against the recovered ring: $got")
+      assert(!got(14L), s"post-outlier normal reading must not flag: $got")
+      assert(got.size == 14, s"one verdict per event: $got")
+    } finally q2.stop()
+  }
+
+  test("s87b: the Misra-Gries slots survive a query restart from its checkpoint") {
+    // s86b's twin for the MAP-shaped v1 state: the slot weights and the
+    // bucket counter must carry — a post-restart occurrence of the
+    // pre-restart hitter reads weight 21, not a fresh slot at 1.
+    val ckpt = tmpDir("s87b_ckpt")
+    val out = tmpDir("s87b_out")
+    val in = MemoryStream[(Int, Long, String)](spark)
+    def start() = in.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Map[String, Long]), (Int, String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        HeavyHitterGate.updateGroup _
+      ).toDF("bucket", "tok", "weight_lb", "n_bucket")
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out).start()
+    val b = HeavyHitterGate.bucketOf("hot")
+    def latest() = {
+      val all = spark.read.parquet(out).collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+      val nMax = all.map(_._3).max
+      (nMax, all.filter(_._3 == nMax).map(r => r._1 -> r._2).toMap)
+    }
+    val q1 = start()
+    try {
+      in.addData((0L until 20L).map(i => (b, i, "hot")))
+      q1.processAllAvailable()
+      assert(latest() == ((20L, Map("hot" -> 20L))), s"pre-restart: ${latest()}")
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      in.addData((b, 20L, "hot"))
+      q2.processAllAvailable()
+      assert(latest() == ((21L, Map("hot" -> 21L))),
+        s"slots did not recover across restart: ${latest()}")
+    } finally q2.stop()
+  }
+
   test("s77: foreachBatch sink receives batch ids and every row exactly once") {
     val in = MemoryStream[Long](spark)
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Long])]()
