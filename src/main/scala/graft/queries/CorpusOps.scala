@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -583,6 +583,218 @@ object CorpusOps {
       .limit(50))
   }
 
+  /** q144's loop geometry: merge rounds and candidate-table depth per
+    * round. Rounds are driver-unrolled — each round is its own CTE
+    * block in the oracle (the q108/q111 oracled-iteration recipe) — so
+    * the dial is require-capped to keep the mirror readable. */
+  private[graft] val BpeRounds: Int = {
+    val r = sys.env.getOrElse("GRAFT_BPE_ROUNDS", "2").toInt
+    require(r >= 1 && r <= 6,
+      s"GRAFT_BPE_ROUNDS=$r — the unrolled oracle supports 1..6 rounds")
+    r
+  }
+  private[graft] val BpeTopK: Int = {
+    val k = sys.env.getOrElse("GRAFT_BPE_TOPK", "10").toInt
+    require(k >= 1, s"GRAFT_BPE_TOPK=$k — need a positive candidate depth")
+    k
+  }
+
+  /** q144's merge joiner: base tokens come from splitting on ' ', so a
+    * merged symbol joins its parts with the 0x01 byte — one no natural
+    * token carries — making merged symbols collision-free and
+    * self-describing (the symbol IS its merge history). The oracle
+    * spells the same byte as chr(1). */
+  private[graft] val BpeSep = "\u0001"
+
+  /** Apply one BPE merge (p1,p2) → p1⊕p2 to a token array: greedy
+    * leftmost non-overlapping, the standard BPE application rule,
+    * spelled POSITIONALLY so per-row work is O(n + n·|matches|), not
+    * the O(n²) a naive append-fold costs (measured: the fold spelling
+    * doubled q144's solo floor — every step copies the accumulator):
+    * (1) candidate start positions by a row-local filter; (2) greedy
+    * selection drops a candidate whose predecessor position was itself
+    * selected — only possible in p1==p2 runs, where skip-after-take IS
+    * the leftmost parity rule (the oracle's islands-odd spelling);
+    * (3) rebuild by flattening per-position cells: merged symbol at a
+    * selected position, nothing at its consumed successor, the
+    * original token elsewhere. Pure codegen'd higher-order functions —
+    * no shuffle, bodies never move. */
+  private[graft] def applyMerge(toks: Column, p1: String, p2: String): Column = {
+    val n = size(toks)
+    val cands = filter(sequence(lit(1), n - 1),
+      i => element_at(toks, i) === lit(p1) &&
+        element_at(toks, i + 1) === lit(p2))
+    val sel = aggregate(cands, array().cast("array<int>"),
+      (acc, i) => when(size(acc) > 0 && element_at(acc, -1) === i - 1, acc)
+        .otherwise(concat(acc, array(i))))
+    // `sel` must be BOUND, not inlined: higher-order functions evaluate
+    // interpreted, with no common-subexpression elimination — two bare
+    // array_contains(sel, _) references per position re-run the whole
+    // candidate scan n times (measured: 2× the solo floor). Wrapping
+    // the rebuild in transform(array(sel), ...) evaluates sel once per
+    // row and hands the lambda a bound variable.
+    val rebuilt = element_at(transform(array(sel), selv =>
+      flatten(transform(sequence(lit(1), n),
+        i => when(array_contains(selv, i), array(lit(p1 + BpeSep + p2)))
+          .when(array_contains(selv, i - 1), array().cast("array<string>"))
+          .otherwise(array(element_at(toks, i)))))), 1)
+    // one-token docs (possible after an earlier merge) have no pairs —
+    // and sequence(1, 0) would DESCEND, so the guard is load-bearing
+    when(n >= 2, rebuilt).otherwise(toks)
+  }
+
+  /** q144 [EXT]: iterative BPE merge loop — the step q78 stops short
+    * of: q78 mines merge CANDIDATES once; real BPE vocabulary induction
+    * APPLIES the top-ranked merge, re-counts adjacent pairs over the
+    * rewritten token stream, and repeats (Sennrich et al. 2016). Each
+    * round emits its top-K candidate table (count desc, pair asc — a
+    * total order, so the cut is deterministic on both engines) with the
+    * rk=1 row flagged `merged`; the rk=1 rows across rounds ARE the
+    * ordered merge list a tokenizer trainer materializes.
+    *
+    * Driver-unrolled like q68/q108/q111: the loop lives in plain Scala,
+    * the driver holds exactly two strings per round (the winning pair —
+    * q68's bounded-scalar convention), and the DuckDB mirror unrolls
+    * the same rounds as CTE blocks. The merge application in SQL uses
+    * gaps-and-islands parity (q138's recipe) to express the greedy
+    * fold: islands of consecutive candidate positions take their odd
+    * members — exactly the fold's picks, since consecutive candidates
+    * only arise for p1==p2 runs.
+    *
+    * 100 TB: per-round work is two-phase pair counting — row-local pair
+    * extraction (transform, no explode-then-self-join), map-side-
+    * combined hash aggregate keyed on the pair, and a WindowGroupLimit-
+    * prefiltered top-K (per-partition heaps forward ≤K rows; the
+    * "window" never sees more than partitions·K rows) — then a map-only
+    * rewrite. NEVER a corpus-wide window, never a sort of the pair
+    * table (PlanSpec pins both). Rounds scale as O(R · corpus). */
+  val q144BpeMergeLoop: Q = (spark, dir) =>
+    orderAll(bpeMergeLoop(t(spark, dir, "documents"), BpeRounds, BpeTopK))
+
+  /** q144's core with explicit geometry (q139's factoring pattern) so
+    * the spec can drive hand-countable corpora and self-pair runs. */
+  private[graft] def bpeMergeLoop(docs: DataFrame, rounds: Int,
+      topK: Int): DataFrame = {
+    var toks = docs
+      .select(col("doc_id"),
+        filter(split(coalesce(col("text"), lit("")), " "),
+          x => x =!= "").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      // persisted: round 1's pair count and the first rewrite both read
+      // it (measured: recomputing the split instead costs ~2.5× solo)
+      .scopedPersist
+    var out: Option[DataFrame] = None
+    for (r <- 1 to rounds) {
+      val top = bpeRoundCandidates(toks, topK, r).scopedPersist
+      val winner = top.filter(col("rk") === 1L)
+        .select(col("t1"), col("t2")).collect()
+      require(winner.nonEmpty, s"q144 round $r: no adjacent pair left to merge")
+      val (p1, p2) = (winner(0).getString(0), winner(0).getString(1))
+      if (r < rounds) {
+        val next = toks.select(col("doc_id"),
+          applyMerge(col("toks"), p1, p2).as("toks"))
+        // the FINAL round reads its stream once (pair count only) — a
+        // persist there is a pure materialization tax; intermediate
+        // rounds read theirs twice (pairs + next rewrite)
+        toks = if (r + 1 < rounds) next.scopedPersist else next
+      }
+      out = Some(out.fold(top)(_.unionByName(top)))
+    }
+    out.get
+  }
+
+  /** One q144 round's candidate table over a (doc_id, toks) stream:
+    * row-local pair extraction (transform — no explode-then-self-join),
+    * two-phase hash aggregate on the pair, and the rank cut Catalyst
+    * rewrites into a map-side WindowGroupLimit (per-partition heaps
+    * forward ≤ topK rows — the pair table is never globally sorted).
+    * PlanSpec pins exactly that shape. Docs can shrink to one token
+    * after a merge — they hold no pairs (mirrors the oracle's
+    * `lead(tok) IS NOT NULL`). */
+  private[graft] def bpeRoundCandidates(toks: DataFrame, topK: Int,
+      round: Int): DataFrame = {
+    val wTop = Window.orderBy(col("cnt").desc, col("t1").asc, col("t2").asc)
+    toks.filter(size(col("toks")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("t1"),
+          element_at(col("toks"), i + 1).as("t2")))).as("bg"))
+      .select(col("bg.t1").as("t1"), col("bg.t2").as("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(lit(round.toLong).as("round"), col("rk"), col("t1"), col("t2"),
+        col("cnt"), (col("rk") === 1L).as("merged"))
+  }
+
+  /** q144's unrolled DuckDB mirror for `rounds` rounds at depth `topK`
+    * — one CTE block per round: pair count (lead over the positional
+    * stream), ranked top-K, and — between rounds — the winning pair's
+    * greedy application via gaps-and-islands parity over candidate
+    * positions. */
+  private[graft] def q144Oracle(rounds: Int, topK: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH s1 AS (
+        |  SELECT doc_id, i AS pos, toks[i] AS tok
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(coalesce(text, ''), ' '),
+        |                      x -> x <> '') AS toks
+        |        FROM documents),
+        |    unnest(range(1, len(toks) + 1)) AS t(i)
+        |  WHERE len(toks) >= 2)""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+        |p$r AS (
+        |  SELECT t1, t2, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT tok AS t1,
+        |      lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+        |    FROM s$r)
+        |  WHERE t2 IS NOT NULL GROUP BY 1, 2),
+        |k$r AS (
+        |  SELECT * FROM (
+        |    SELECT CAST($r AS BIGINT) AS round,
+        |      CAST(row_number() OVER (ORDER BY cnt DESC, t1 ASC, t2 ASC)
+        |        AS BIGINT) AS rk,
+        |      t1, t2, cnt
+        |    FROM p$r)
+        |  WHERE rk <= $topK)""".stripMargin)
+      if (r < rounds) sb.append(s""",
+        |w$r AS (SELECT t1, t2 FROM k$r WHERE rk = 1),
+        |m$r AS (
+        |  SELECT s.doc_id, s.pos, s.tok, w.t1, w.t2,
+        |    row_number() OVER (PARTITION BY s.doc_id ORDER BY s.pos) AS seq,
+        |    (s.tok = w.t1 AND
+        |     lead(s.tok) OVER (PARTITION BY s.doc_id ORDER BY s.pos) = w.t2)
+        |      AS cand
+        |  FROM s$r s CROSS JOIN w$r w),
+        |i$r AS (
+        |  SELECT doc_id, seq,
+        |    row_number() OVER (PARTITION BY doc_id, grp ORDER BY seq) AS k
+        |  FROM (SELECT doc_id, seq,
+        |          seq - row_number() OVER (PARTITION BY doc_id ORDER BY seq)
+        |            AS grp
+        |        FROM m$r WHERE cand)),
+        |sel$r AS (SELECT doc_id, seq FROM i$r WHERE k % 2 = 1),
+        |s${r + 1} AS (
+        |  SELECT m.doc_id, m.pos,
+        |    CASE WHEN sel.seq IS NOT NULL THEN m.t1 || chr(1) || m.t2
+        |         ELSE m.tok END AS tok
+        |  FROM m$r m
+        |  LEFT JOIN sel$r sel ON sel.doc_id = m.doc_id AND sel.seq = m.seq
+        |  LEFT JOIN sel$r drp ON drp.doc_id = m.doc_id AND drp.seq = m.seq - 1
+        |  WHERE drp.seq IS NULL)""".stripMargin)
+    }
+    val union = (1 to rounds).map(r => s"SELECT * FROM k$r")
+      .mkString(" UNION ALL ")
+    sb.append(s"""
+        |SELECT round, rk, t1, t2, cnt, rk = 1 AS merged
+        |FROM ($union)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+        |  5 NULLS FIRST, 6 NULLS FIRST""".stripMargin)
+    sb.toString
+  }
+
   /** The planted boilerplate tail — a 12-token footer shared across the
     * plant (every `% 7` doc gets it appended; every `% 11` doc spawns an
     * almost-pure-boilerplate page). Interpolated into the q105 oracle so
@@ -924,6 +1136,7 @@ object CorpusOps {
     "q74_cluster_balanced_sample" -> q74ClusterBalancedSample,
     "q75_knn_join" -> q75KnnJoin,
     "q78_bpe_bigrams" -> q78BpeBigrams,
+    "q144_bpe_merge_loop" -> q144BpeMergeLoop,
     "q100_knn_ivf" -> q100KnnIvf,
     "q101_knn_pq" -> q101KnnPq)
 
@@ -1243,6 +1456,7 @@ object CorpusOps {
         |top AS (SELECT t1, t2, cnt FROM c ORDER BY cnt DESC, t1, t2 LIMIT 50)
         |SELECT t1, t2, cnt FROM top
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    "q144_bpe_merge_loop" -> q144Oracle(BpeRounds, BpeTopK),
     "q100_knn_ivf" ->
       // the coarse quantizer, cell assignment, nProbe=2 probe lists, and
       // exact re-rank are all deterministic arithmetic — round-6 cosine,

@@ -419,4 +419,38 @@ class CorpusOpsSpec extends SparkSpec {
         s"reported bigram ($t1, $t2) never occurs adjacently")
     }
   }
+
+  test("q144: three merge rounds on a hand-countable corpus — tie-break, greedy self-pair runs, merged-symbol recursion") {
+    // doc 1 exercises repeated-pair application, doc 2 a self-pair run
+    // (where greedy leftmost parity bites: 5 c's -> [cc, cc, c], not 4
+    // overlapping merges), doc 3 ties round 1 at cnt 4 where the pair
+    // tie-break must pick (a,b) over (c,c)
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, "c c c c c"),
+      (3L, "a b c")).toDF("doc_id", "text")
+    val S = "\u0001"
+    val got = CorpusOps.bpeMergeLoop(docs, rounds = 3, topK = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getBoolean(5)))
+      .sortBy(x => (x._1, x._2))
+    val ab = s"a${S}b"
+    val cc = s"c${S}c"
+    assert(got.toSeq == Seq(
+      // round 1: (a,b)=4 (3 in doc1 + doc3) ties (c,c)=4 — pair asc wins
+      (1L, 1L, "a", "b", 4L, true),
+      (1L, 2L, "c", "c", 4L, false),
+      (1L, 3L, "b", "a", 2L, false),
+      (1L, 4L, "b", "c", 1L, false),
+      // round 2: doc1 is [ab ab ab], doc3 [ab c]; (c,c) still 4, wins
+      (2L, 1L, "c", "c", 4L, true),
+      (2L, 2L, ab, ab, 2L, false),
+      (2L, 3L, ab, "c", 1L, false),
+      // round 3: doc2 collapsed greedily to [cc cc c]
+      (3L, 1L, ab, ab, 2L, true),
+      (3L, 2L, ab, "c", 1L, false),
+      (3L, 3L, cc, "c", 1L, false),
+      (3L, 4L, cc, cc, 1L, false)),
+      s"merge loop diverged:\n${got.mkString("\n")}")
+  }
 }

@@ -321,6 +321,33 @@ class PlanSpec extends SparkSpec {
       s"no map-side partial group limit:\n$p")
   }
 
+  test("q144: a merge round is two-phase pair counting + map-side group limit, never a corpus-wide window") {
+    // the per-round shape the 100 TB story rests on: pair extraction is
+    // row-local (Generate inside the scan stage, no self-join), the
+    // count is a partial+final hash aggregate, and the rank cut is a
+    // WindowGroupLimit Partial — the pair table is never globally
+    // sorted and document token arrays never cross an exchange
+    import org.apache.spark.sql.functions.{coalesce, col, lit, split, filter => afilter}
+    val toks = t(spark, sf, "documents").select(col("doc_id"),
+      afilter(split(coalesce(col("text"), lit("")), " "),
+        (x: org.apache.spark.sql.Column) => x =!= "").as("toks"))
+    val p = CorpusOps.bpeRoundCandidates(toks, 10, 1)
+      .queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"pair count is not two-phase:\n$p")
+    // the unpartitioned rank-filter must collapse to a bounded cut:
+    // Catalyst plans it as TakeOrderedAndProject (per-partition heaps,
+    // the rank window then sees <= topK rows) — WindowGroupLimit
+    // Partial is the acceptable per-group equivalent; a bare global
+    // Sort+Window over the full pair table is the regression this pins
+    assert(p.contains("TakeOrderedAndProject") ||
+      p.linesIterator.exists(l =>
+        l.contains("WindowGroupLimit") && l.contains("Partial")),
+      s"pair table is globally sorted before the cut:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"unexpected join in a map-only round:\n$p")
+  }
+
   test("q69: shingle-keyed candidate joins move ids, never document bodies") {
     // substring dedup's scale contract: the inverted-index probe and the
     // df-cap join shuffle (id, 8-byte shingle hash) rows; bodies enter
