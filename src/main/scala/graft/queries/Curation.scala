@@ -98,10 +98,209 @@ object Curation {
   val q76CurationPipeline: Q = (spark, dir) =>
     orderAll(curate(spark, dir))
 
+  /** q145 [EXT]: the heavy rewrite pipeline as ONE oracled DAG — q76's
+    * composition pattern applied to the near-dup family: canonical
+    * collapse (q131's keep verdicts over q68's cluster labels) → line
+    * dedup (q109's boilerplate rewrite over the SURVIVORS) → decon gate
+    * (q103's benchmark probe over the REBUILT text). This is the
+    * nightly job a 100 TB pipeline actually runs, and the composition
+    * itself — stage order included: the line-df head is computed over
+    * the deduped corpus, the decon verdict over boilerplate-free text —
+    * carries the CORRECTNESS row, not just its stages.
+    *
+    * Output is the TOTAL audit frame (q103's gate convention): every
+    * corpus doc (originals + the planted re-crawls) carries its cluster
+    * (NULL if unclustered), the stage-A drop verdict, stage-B line
+    * stats (NULL for dropped docs — they never reach the rewrite),
+    * stage-C decon stats over its rebuilt text, and the composed
+    * `final_keep`. The production rewrite is `filter(final_keep)` plus
+    * the rebuilt text column; the audit is the same frame.
+    *
+    * 100 TB: the label stage dominates (q68's own scale story — band-
+    * bucketed candidates, checkpoint-truncated propagation). Document
+    * bodies cross exactly ONE exchange: the doc_id join that attaches
+    * the keep verdicts to the corpus (broadcast instead when the
+    * cluster-member table is small — AQE decides); every other stage
+    * moves fingerprints and metadata — the line-df aggregate ships
+    * 8-byte hashes, the chrome head and the eval shingle set ride as
+    * broadcast-sized probe arrays inside row-local rewrites, and the
+    * final audit joins are doc_id-keyed metadata. PlanSpec pins the
+    * composed plan's distinct-shuffle budget so a regression can't
+    * silently add a corpus-wide exchange. */
+  val q145CorpusRewrite: Q = (spark, dir) => {
+    import graft.streaming.{Decontaminator, LineDeduper}
+    val n = LlmOps.geom.deconShingleN
+    val d = t(spark, dir, "documents")
+    val toks = split(col("text"), " ")
+    // q68/q131's planted frame WITH text: originals + truncated re-crawls
+    val corpus = d.select(col("doc_id"), col("text")).unionByName(
+        d.select((col("doc_id") + 1000000).as("doc_id"),
+          array_join(slice(toks, lit(1), size(toks) - 1), " ").as("text")))
+      .scopedPersist
+    // stage A — canonical collapse off the MATERIALIZED label table
+    // (LlmOps.LabelTable: first consumer in the JVM builds it, later
+    // consumers read it — the nightly-pipeline posture, still
+    // self-contained)
+    val labels = LlmOps.LabelTable.of(spark, dir)
+    val verdicts = LlmOps.q131WithLabels(labels,
+      corpus.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks")))
+    val staged = corpus.join(
+        verdicts.select(col("doc_id"), col("cluster_id"), col("keep")),
+        Seq("doc_id"), "left")
+      .withColumn("dup_drop", !coalesce(col("keep"), lit(true)))
+      .scopedPersist
+    // stage B — line dedup over survivors (q109's nav plant, grid, and
+    // df cap; the chrome head reflects the DEDUPED corpus)
+    val survivors = staged.filter(!col("dup_drop"))
+      .select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 5 === 0, lit(CorpusOps.NavLine5 + " "))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit(CorpusOps.NavLine7 + " "))
+            .otherwise(lit("")),
+          col("text")).as("text"))
+    val lined = LineDeduper.withLines(survivors, CorpusOps.lineWidth)
+      .scopedPersist
+    val head = LineDeduper.commonHead(lined, CorpusOps.lineDfCap)
+    val rewritten = LineDeduper.rewrite(lined, head).scopedPersist
+    // stage C — decon gate over the REBUILT text against the external
+    // benchmark set (q103's %97 eval convention and broadcast probe)
+    val evalSh = d.withColumn("toks", split(col("text"), " "))
+      .filter(col("doc_id") % 97 === 0)
+      .select(explode(Decontaminator.shingleFingerprints(col("toks"), n))
+        .as("sh"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    val gated = Decontaminator.flag(
+      rewritten.select(col("doc_id"), col("text")), evalSh, n)
+    orderAll(staged.select(col("doc_id"), col("cluster_id"), col("dup_drop"))
+      .join(rewritten.select(col("doc_id"), col("n_lines"), col("n_removed")),
+        Seq("doc_id"), "left")
+      .join(gated, Seq("doc_id"), "left")
+      .withColumn("final_keep",
+        !col("dup_drop") && !coalesce(col("contaminated"), lit(false)))
+      .select(col("doc_id"), col("cluster_id"), col("dup_drop"),
+        col("n_lines"), col("n_removed"), col("n_sh"), col("n_hit"),
+        col("overlap"), col("contaminated"), col("final_keep")))
+  }
+
   val defs: Map[String, Q] = Map(
-    "q76_curation_pipeline" -> q76CurationPipeline)
+    "q76_curation_pipeline" -> q76CurationPipeline,
+    "q145_corpus_rewrite" -> q145CorpusRewrite)
+
+  /** q145's DuckDB mirror: q68's recursive-CTE labels + q131's
+    * canonical window + q109's line grid/df head/string_agg rebuild +
+    * q103's shingle probe, composed in the SAME stage order the engine
+    * runs (head over survivors, decon over rebuilt text). String
+    * shingles and raw lines stand in for the engine's xxhash64
+    * fingerprints — membership-invariant, q88's argument. */
+  private[queries] def q145Oracle(n: Int): String = {
+    require(n >= 2, s"decontamination shingle width must be >= 2, got $n")
+    val sh = (0 until n).map(o => s"toks[i + $o]").mkString(" || ' ' || ")
+    val w = CorpusOps.lineWidth
+    val cap = CorpusOps.lineDfCap
+    s"""WITH RECURSIVE dd AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000,
+       |    array_to_string(
+       |      string_split(text, ' ')[1:len(string_split(text, ' ')) - 1], ' '),
+       |    string_split(text, ' ')[1:len(string_split(text, ' ')) - 1]
+       |  FROM documents),
+       |docs AS (SELECT doc_id, toks FROM dd WHERE len(toks) >= 3),
+       |shg AS (
+       |  SELECT DISTINCT doc_id,
+       |    toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS sh
+       |  FROM docs, unnest(range(1, len(toks) - 1)) AS t(i)),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shg GROUP BY doc_id),
+       |prs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+       |  FROM shg a JOIN shg b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |vp AS (
+       |  SELECT d1, d2 FROM prs
+       |  JOIN sizes s1 ON s1.doc_id = d1
+       |  JOIN sizes s2 ON s2.doc_id = d2
+       |  WHERE CAST(common AS DOUBLE) / (s1.n_sh + s2.n_sh - common) >= 0.5),
+       |edges AS (SELECT d1 AS a, d2 AS b FROM vp
+       |          UNION ALL SELECT d2, d1 FROM vp),
+       |reach(nn, m) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+       |  UNION
+       |  SELECT r.nn, e.b FROM reach r JOIN edges e ON e.a = r.m),
+       |lbl AS (SELECT nn AS doc_id, min(m) AS cluster_id FROM reach GROUP BY nn),
+       |nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM dd),
+       |verd AS (
+       |  SELECT doc_id, cluster_id,
+       |    (row_number() OVER (PARTITION BY cluster_id
+       |                        ORDER BY n_toks DESC, doc_id ASC) = 1) AS keep
+       |  FROM lbl JOIN nt USING (doc_id)),
+       |stagea AS (
+       |  SELECT d.doc_id, d.text, v.cluster_id,
+       |    NOT coalesce(v.keep, TRUE) AS dup_drop
+       |  FROM dd d LEFT JOIN verd v USING (doc_id)),
+       |surv AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN doc_id % 5 = 0 THEN '${CorpusOps.NavLine5} ' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 7 = 0 THEN '${CorpusOps.NavLine7} ' ELSE '' END) ||
+       |    text AS text
+       |  FROM stagea WHERE NOT dup_drop),
+       |stoks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM surv),
+       |ln AS (
+       |  SELECT doc_id, CAST(t.i AS INT) AS pos,
+       |    array_to_string(
+       |      toks[CAST(t.i * $w + 1 AS INT):CAST((t.i + 1) * $w AS INT)],
+       |      ' ') AS line
+       |  FROM stoks,
+       |    unnest(range(0, CAST(ceil(len(toks) / $w.0) AS BIGINT))) AS t(i)),
+       |chrome AS (
+       |  SELECT line FROM ln GROUP BY line
+       |  HAVING count(DISTINCT doc_id) >= $cap),
+       |rebuilt AS (
+       |  SELECT l.doc_id,
+       |    CAST(count(*) AS INT) AS n_lines,
+       |    CAST(count(c.line) AS INT) AS n_removed,
+       |    coalesce(string_agg(CASE WHEN c.line IS NULL THEN l.line END,
+       |                        ' ' ORDER BY l.pos), '') AS text
+       |  FROM ln l LEFT JOIN chrome c ON l.line = c.line
+       |  GROUP BY l.doc_id),
+       |ev AS (SELECT string_split(text, ' ') AS toks FROM documents
+       |       WHERE doc_id % 97 = 0),
+       |esh AS (SELECT DISTINCT $sh AS sh
+       |        FROM ev, unnest(range(1, len(toks) - ${n - 2})) AS t(i)),
+       |rt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM rebuilt),
+       |csh AS (SELECT DISTINCT doc_id, $sh AS sh
+       |        FROM rt, unnest(range(1, len(toks) - ${n - 2})) AS t(i)),
+       |dsz AS (SELECT doc_id, CAST(count(*) AS INT) AS n_sh FROM csh GROUP BY 1),
+       |hits AS (SELECT c.doc_id, CAST(count(*) AS INT) AS n_hit
+       |         FROM csh c JOIN esh e USING (sh) GROUP BY 1),
+       |decon AS (
+       |  SELECT r.doc_id,
+       |    coalesce(z.n_sh, 0) AS n_sh, coalesce(h.n_hit, 0) AS n_hit
+       |  FROM rebuilt r
+       |  LEFT JOIN dsz z USING (doc_id) LEFT JOIN hits h USING (doc_id))
+       |SELECT s.doc_id, s.cluster_id, s.dup_drop,
+       |  r.n_lines, r.n_removed, g.n_sh, g.n_hit,
+       |  CASE WHEN g.n_sh > 0
+       |    THEN round(CAST(g.n_hit AS DOUBLE) / g.n_sh, 6) END AS overlap,
+       |  CASE WHEN r.n_lines IS NOT NULL THEN
+       |    coalesce(CASE WHEN g.n_sh > 0
+       |      THEN round(CAST(g.n_hit AS DOUBLE) / g.n_sh, 6) END >= 0.5, FALSE)
+       |  END AS contaminated,
+       |  (NOT s.dup_drop AND NOT coalesce(
+       |    CASE WHEN g.n_sh > 0
+       |      THEN round(CAST(g.n_hit AS DOUBLE) / g.n_sh, 6) END >= 0.5, FALSE))
+       |    AS final_keep
+       |FROM stagea s
+       |LEFT JOIN rebuilt r USING (doc_id)
+       |LEFT JOIN decon g USING (doc_id)
+       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+       |  5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST, 8 NULLS FIRST,
+       |  9 NULLS FIRST, 10 NULLS FIRST""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
+    "q145_corpus_rewrite" -> q145Oracle(LlmOps.geom.deconShingleN),
     "q76_curation_pipeline" ->
       """WITH q AS (
         |  SELECT doc_id, lang, source, text,

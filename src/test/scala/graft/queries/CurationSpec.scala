@@ -60,6 +60,19 @@ class CurationSpec extends SparkSpec {
     assert(packs.count() == 0, "a pack overran the budget by more than one document")
   }
 
+  test("LabelTable: the materialized label table is row-identical to a fresh connected-components run") {
+    // the memo's entire legitimacy rests on q68Core being a pure
+    // function of the corpus: the parquet round-trip must hand every
+    // consumer exactly the labels a fresh propagation computes
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val fresh = rows(LlmOps.q68Core(graft.core.Checkpoints.dirFromEnv())(spark, sf))
+    val memo1 = rows(LlmOps.LabelTable.of(spark, sf))
+    val memo2 = rows(LlmOps.LabelTable.of(spark, sf))
+    assert(memo1 == fresh, "materialized labels diverge from a fresh run")
+    assert(memo2 == fresh, "second read diverges — the memo is not stable")
+  }
+
   test("q131WithLabels: the production entry point picks canonicals off a materialized label table") {
     // the nightly-pipeline spelling: labels come off disk, NOT out of a
     // fresh connected-components pass — the selection step alone must

@@ -348,6 +348,27 @@ class PlanSpec extends SparkSpec {
       s"unexpected join in a map-only round:\n$p")
   }
 
+  test("q145: the composed rewrite's final plan stays inside its shuffle budget") {
+    // the composition's 100 TB contract: the whole DAG shuffles on
+    // exactly TWO key families — doc_id (verdict attach + audit
+    // assembly) and label (the q68 core's own CC exchanges) — plus the
+    // dump's range sort. Lines are normalized (expr ids and plan_ids
+    // stripped; persisted lineages re-print under every
+    // InMemoryTableScan) so the pin counts key families, not plan
+    // copies; a third family means some stage started re-partitioning
+    // the corpus on a new key.
+    val p = plan("q145_corpus_rewrite")
+    val keys = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .map(l => l.substring(l.indexOf("Exchange"))
+        .replaceAll("#\\d+", "#").replaceAll("plan_id=\\d+", "")
+        .replaceAll(", \\d+\\)", ")"))
+      .toSeq.distinct
+    assert(keys.size <= 2,
+      s"shuffle key families exceeded (${keys.size}):\n${keys.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"), "cartesian in the rewrite DAG")
+  }
+
   test("q69: shingle-keyed candidate joins move ids, never document bodies") {
     // substring dedup's scale contract: the inverted-index probe and the
     // df-cap join shuffle (id, 8-byte shingle hash) rows; bodies enter
