@@ -1017,7 +1017,14 @@ object CorpusOps {
     * verify (q92's fingerprints-first posture); the verdict agg is a
     * two-phase min. Deeper Lloyd refinement of the codebook before
     * dedup is exactly q108 composed in front of this operator. */
-  val q110SemanticDedup: Q = (spark, dir) => {
+  val q110SemanticDedup: Q = (spark, dir) => q110WithCodebook(8)(spark, dir)
+
+  /** q110 with an explicit codebook size — the declared query binds
+    * k = 8; ScaleProbe grows k with the corpus (q100's dial: per-cell
+    * occupancy n/k held constant, so the Σ occupancy² pairwise stage
+    * stays linear — the "k grows with n" operating procedure the
+    * SemDeDup scaladoc promises). */
+  private[graft] def q110WithCodebook(kCells: Int): Q = (spark, dir) => {
     graft.functions.CosineSimilarity.register(spark)
     val dim = LlmOps.geom.embeddingDim
     val v = t(spark, dir, "embeddings")
@@ -1028,7 +1035,7 @@ object CorpusOps {
     // persisted: the assignment fan-out and both cosine-verify sides
     // read it
     val all = v.unionByName(plantedCopies).scopedPersist
-    val cent = v.filter(col("vec_id") < 8)
+    val cent = v.filter(col("vec_id") < kCells)
       .select(col("vec_id").as("c_id"), col("e").as("ce"))
     val asg = all.crossJoin(broadcast(cent))
       .select(col("vec_id"),

@@ -126,7 +126,22 @@ object ScaleProbe {
     // the k× doc stream — lang cardinality is construction-constant, so
     // this is the probe that would expose the window degenerating into a
     // single-partition funnel (the plan pin's scale complement)
-    "q129_token_budget")
+    "q129_token_budget",
+    // round 12 (VERDICT r11 item 5): q123's RFM quantile-cut rides the
+    // k× customer population (orders scaled per copy) — the per-customer
+    // aggregate must track customers while the quartile boundaries stay
+    // a 1-row broadcast scalar at every k
+    "q123_rfm_segments",
+    // round 12 additions: q144's per-round pair count must track the k×
+    // token stream (salted copies keep cross-copy pairs disjoint; the
+    // round-1 winner is the BASE corpus's top pair by the pair-asc
+    // tie-break, so the rewrite touches copy 0 and the recount stays
+    // corpus-linear); q131/q145 run the production label path here —
+    // the memoized label table is built once per (JVM, corpus) by the
+    // first consumer's warm rep, so their rows certify the ACTION
+    // steps (canonical window / line-rewrite / decon gate) track k×
+    // while q68's own row carries the fresh-CC linearity
+    "q144_bpe_merge_loop", "q145_corpus_rewrite")
   private val Ks = Seq(1, 4, 8)
   private val Shift = 9700000L // lcm(97, 10) × 10,000 — residue-preserving
   private val GrowthFactor = 1.5
@@ -392,6 +407,65 @@ object ScaleProbe {
       "superlinear ingredient, which is exactly why production uses k ~ √n " +
       "(k·n = n^1.5 spread over the cluster) or a two-level coarse quantizer; " +
       "at these scales it stays far below the join/shuffle floor.\n")
+
+    // ---- q101 IVF-PQ under the same codebook dial ---------------------
+    // q101 shares q100's coarse stage (k = 8·dataK holds cell occupancy
+    // constant); the PQ layer on top is corpus-LINEAR by construction —
+    // sub-vector encode is m lookups per vector, ADC scoring is a
+    // shortlist-bounded probe — so the whole pipeline must track k.
+    // This is the probe VERDICT r11 item 5 asked for: the PQ
+    // encode/ADC stage's linearity measured, not argued.
+    val q101Cells = dirs.map { case (dk, dir) =>
+      val kCells = 8 * dk
+      val fn = graft.queries.CorpusOps.q101WithPq(kCells, 2, 8, 8, 10)
+      timeFn(fn, dir) // warm, untimed
+      val best = Seq(timeFn(fn, dir), timeFn(fn, dir)).minBy(_._1)
+      System.err.println(f"[scaleprobe] q101 k=$dk cells=$kCells: ${best._1}%.2f s (${best._2} rows)")
+      (dk, kCells, best._1, best._2)
+    }
+    val w101_1 = q101Cells(0)._3
+    val q101Pass = q101Cells(1)._3 / w101_1 <= GrowthFactor * 4 &&
+      q101Cells(2)._3 / w101_1 <= GrowthFactor * 8
+    allPass &&= q101Pass
+    sb.append("\n## q101 IVF-PQ under the codebook dial\n\n")
+    sb.append("q101 shares q100's coarse quantizer (k = 8·dataK holds cell ")
+    sb.append("occupancy constant); the PQ layer — per-vector sub-space encode, ")
+    sb.append("shortlist-bounded ADC re-rank — is corpus-linear by construction, ")
+    sb.append("and this row measures it:\n\n")
+    sb.append("| k | cells | wall | ratio | rows |\n|---|---|---|---|---|\n")
+    q101Cells.foreach { case (dk, kCells, w, n) =>
+      sb.append(f"| $dk | $kCells | $w%.2f s | ${w / w101_1}%.2f× | $n%d |\n")
+    }
+    sb.append(f"\nGate (≤1.5k): ${if (q101Pass) "PASS" else "FAIL"}.\n")
+
+    // ---- q110 SemDeDup under the same codebook dial -------------------
+    // the pairwise stage is Σ occupancy² over clusters, so the "k grows
+    // with n" operating procedure the SemDeDup scaladoc promises is
+    // measured here: k = 8·dataK holds occupancy — and per-cluster
+    // pair work — constant. (VERDICT r11 item 5's third row.)
+    val q110Cells = dirs.map { case (dk, dir) =>
+      val kCells = 8 * dk
+      val fn = graft.queries.CorpusOps.q110WithCodebook(kCells)
+      timeFn(fn, dir) // warm, untimed
+      val best = Seq(timeFn(fn, dir), timeFn(fn, dir)).minBy(_._1)
+      System.err.println(f"[scaleprobe] q110 k=$dk cells=$kCells: ${best._1}%.2f s (${best._2} rows)")
+      (dk, kCells, best._1, best._2)
+    }
+    val w110_1 = q110Cells(0)._3
+    val q110Pass = q110Cells(1)._3 / w110_1 <= GrowthFactor * 4 &&
+      q110Cells(2)._3 / w110_1 <= GrowthFactor * 8
+    allPass &&= q110Pass
+    sb.append("\n## q110 SemDeDup under the codebook dial\n\n")
+    sb.append("Cluster-scoped pairwise verification is Σ occupancy²; growing the ")
+    sb.append("codebook with the corpus (k = 8·dataK) holds occupancy constant — ")
+    sb.append("the operating procedure the operator's scaladoc promises, measured:\n\n")
+    sb.append("| k | cells | wall | ratio | rows |\n|---|---|---|---|---|\n")
+    q110Cells.foreach { case (dk, kCells, w, n) =>
+      sb.append(f"| $dk | $kCells | $w%.2f s | ${w / w110_1}%.2f× | $n%d |\n")
+    }
+    sb.append(f"\nGate (≤1.5k): ${if (q110Pass) "PASS" else "FAIL"}. Kept/cut ")
+    sb.append("verdicts track k× vectors; copy-0 centroids partition the ")
+    sb.append("decorrelated copies near-uniformly, so occupancy stays ~n/k.\n")
 
     // ---- q116 fuzzy dedup under the band-width dial -------------------
     // the blocking analog of the srpBits/codebook dials: block occupancy
