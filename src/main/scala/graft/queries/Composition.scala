@@ -622,18 +622,22 @@ object Composition {
       .withColumn("budget",
         expr(s"CAST(t_total AS DECIMAL(38,0)) * $bPm div 1000"))
       .withColumn("rk", row_number().over(wAsc))
-      .withColumn("cum_prev", coalesce(sum(col("cap_toks")).over(wPrev), lit(0L)))
-      // cap_toks rides DECIMAL(38,0) through the capped test so the
-      // cap·Tₛ·S product cannot wrap BIGINT at extreme source masses
-      // (q142's DECIMAL convention; budget is already DECIMAL(38,0)) —
-      // cap_toks ITSELF (n_toks·cap) still needs cap·Tₛ < 2⁶³, the
-      // documented headroom for a single source
+      // the whole capped-side ledger — the prefix sum, the product test,
+      // and the boundary mass — rides DECIMAL(38,0) so no CROSS-source
+      // accumulation can wrap BIGINT (q142's DECIMAL convention; budget
+      // is already DECIMAL(38,0)); the remaining BIGINT headroom is
+      // per-ROW only — cap_toks = cap·Tₛ < 2⁶³ for a single source, and
+      // the output columns clamp to the BIGINT domain, both documented
+      .withColumn("cum_prev", coalesce(
+        sum(col("cap_toks").cast("decimal(38,0)")).over(wPrev),
+        lit(0).cast("decimal(38,0)")))
       .withColumn("capped",
         expr("CAST(cap_toks AS DECIMAL(38,0)) * (s_count - rk + 1)") <=
           col("budget") - col("cum_prev"))
       .scopedPersist
     val boundary = walk.agg(
-      sum(when(col("capped"), col("cap_toks")).otherwise(0L)).as("cum_capped"),
+      sum(when(col("capped"), col("cap_toks").cast("decimal(38,0)"))
+        .otherwise(lit(0).cast("decimal(38,0)"))).as("cum_capped"),
       sum(when(col("capped"), 1L).otherwise(0L)).as("n_capped"))
     walk.crossJoin(broadcast(boundary))
       .withColumn("alloc_toks",
@@ -965,9 +969,9 @@ object Composition {
          |    CAST(CAST(g.t_total AS HUGEINT) * $bPm // 1000 AS BIGINT)
          |      AS budget,
          |    CAST(row_number() OVER w AS BIGINT) AS rk,
-         |    CAST(coalesce(sum(cap_toks) OVER
+         |    CAST(coalesce(sum(CAST(cap_toks AS HUGEINT)) OVER
          |      (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |      AS BIGINT) AS cum_prev
+         |      AS HUGEINT) AS cum_prev
          |  FROM mm CROSS JOIN g
          |  WINDOW w AS (ORDER BY cap_toks ASC, source ASC)),
          |flagged AS (
@@ -976,8 +980,9 @@ object Composition {
          |      <= CAST(budget AS HUGEINT) - cum_prev AS capped
          |  FROM walk),
          |b AS (
-         |  SELECT CAST(sum(CASE WHEN capped THEN cap_toks ELSE 0 END)
-         |      AS BIGINT) AS cum_capped,
+         |  SELECT CAST(sum(CASE WHEN capped
+         |        THEN CAST(cap_toks AS HUGEINT) ELSE 0 END)
+         |      AS HUGEINT) AS cum_capped,
          |    CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT)
          |      AS n_capped
          |  FROM flagged),

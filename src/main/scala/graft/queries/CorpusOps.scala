@@ -684,21 +684,32 @@ object CorpusOps {
       // it (measured: recomputing the split instead costs ~2.5× solo)
       .scopedPersist
     var out: Option[DataFrame] = None
-    for (r <- 1 to rounds) {
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
       val top = bpeRoundCandidates(toks, topK, r).scopedPersist
       val winner = top.filter(col("rk") === 1L)
         .select(col("t1"), col("t2")).collect()
-      require(winner.nonEmpty, s"q144 round $r: no adjacent pair left to merge")
-      val (p1, p2) = (winner(0).getString(0), winner(0).getString(1))
-      if (r < rounds) {
-        val next = toks.select(col("doc_id"),
-          applyMerge(col("toks"), p1, p2).as("toks"))
-        // the FINAL round reads its stream once (pair count only) — a
-        // persist there is a pure materialization tax; intermediate
-        // rounds read theirs twice (pairs + next rewrite)
-        toks = if (r + 1 < rounds) next.scopedPersist else next
-      }
       out = Some(out.fold(top)(_.unionByName(top)))
+      if (winner.isEmpty) {
+        // no adjacent pair anywhere: this round's table is empty and —
+        // with no merge to apply — every later round's would be too, so
+        // stop here; the unrolled oracle's remaining k_r CTEs are
+        // equally empty and the answers agree (no loud abort: a corpus
+        // of one-token docs is a degenerate input, not a bug)
+        exhausted = true
+      } else {
+        val (p1, p2) = (winner(0).getString(0), winner(0).getString(1))
+        if (r < rounds) {
+          val next = toks.select(col("doc_id"),
+            applyMerge(col("toks"), p1, p2).as("toks"))
+          // the FINAL round reads its stream once (pair count only) — a
+          // persist there is a pure materialization tax; intermediate
+          // rounds read theirs twice (pairs + next rewrite)
+          toks = if (r + 1 < rounds) next.scopedPersist else next
+        }
+      }
+      r += 1
     }
     out.get
   }

@@ -131,9 +131,15 @@ object Curation {
     import graft.streaming.{Decontaminator, LineDeduper}
     val n = LlmOps.geom.deconShingleN
     val d = t(spark, dir, "documents")
-    val toks = split(col("text"), " ")
+    // NULL text coalesces to '' at the corpus build (the q139–q143
+    // convention — real corpora carry null bodies), so a null-body doc
+    // flows through every stage with a verdict instead of silently
+    // diverging between the engine's total gate and the oracle's
+    // vanishing-row arithmetic
+    val toks = split(coalesce(col("text"), lit("")), " ")
     // q68/q131's planted frame WITH text: originals + truncated re-crawls
-    val corpus = d.select(col("doc_id"), col("text")).unionByName(
+    val corpus = d.select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("text")).unionByName(
         d.select((col("doc_id") + 1000000).as("doc_id"),
           array_join(slice(toks, lit(1), size(toks) - 1), " ").as("text")))
       .scopedPersist
@@ -166,7 +172,7 @@ object Curation {
     val rewritten = LineDeduper.rewrite(lined, head).scopedPersist
     // stage C — decon gate over the REBUILT text against the external
     // benchmark set (q103's %97 eval convention and broadcast probe)
-    val evalSh = d.withColumn("toks", split(col("text"), " "))
+    val evalSh = d.withColumn("toks", split(coalesce(col("text"), lit("")), " "))
       .filter(col("doc_id") % 97 === 0)
       .select(explode(Decontaminator.shingleFingerprints(col("toks"), n))
         .as("sh"))
@@ -200,12 +206,14 @@ object Curation {
     val w = CorpusOps.lineWidth
     val cap = CorpusOps.lineDfCap
     s"""WITH RECURSIVE dd AS (
-       |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+       |  SELECT doc_id, coalesce(text, '') AS text,
+       |    string_split(coalesce(text, ''), ' ') AS toks FROM documents
        |  UNION ALL
        |  SELECT doc_id + 1000000,
-       |    array_to_string(
-       |      string_split(text, ' ')[1:len(string_split(text, ' ')) - 1], ' '),
-       |    string_split(text, ' ')[1:len(string_split(text, ' ')) - 1]
+       |    array_to_string(string_split(coalesce(text, ''), ' ')
+       |      [1:len(string_split(coalesce(text, ''), ' ')) - 1], ' '),
+       |    string_split(coalesce(text, ''), ' ')
+       |      [1:len(string_split(coalesce(text, ''), ' ')) - 1]
        |  FROM documents),
        |docs AS (SELECT doc_id, toks FROM dd WHERE len(toks) >= 3),
        |shg AS (
@@ -264,8 +272,8 @@ object Curation {
        |                        ' ' ORDER BY l.pos), '') AS text
        |  FROM ln l LEFT JOIN chrome c ON l.line = c.line
        |  GROUP BY l.doc_id),
-       |ev AS (SELECT string_split(text, ' ') AS toks FROM documents
-       |       WHERE doc_id % 97 = 0),
+       |ev AS (SELECT string_split(coalesce(text, ''), ' ') AS toks
+       |       FROM documents WHERE doc_id % 97 = 0),
        |esh AS (SELECT DISTINCT $sh AS sh
        |        FROM ev, unnest(range(1, len(toks) - ${n - 2})) AS t(i)),
        |rt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM rebuilt),

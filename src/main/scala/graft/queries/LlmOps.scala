@@ -467,18 +467,31 @@ object LlmOps {
     * CurationSpec pins the equality). q68 itself NEVER uses the memo:
     * the label computation is its declared benchmark and stays a fresh
     * full run every time. `GRAFT_LABEL_MEMO=0` restores
-    * recompute-always for the consumers too. */
+    * recompute-always for the consumers too.
+    *
+    * Scope honestly stated: the memo key carries the corpus parquet's
+    * LAST-MODIFIED time, so regenerating the data at the same path
+    * invalidates it (a stale-label hazard a bare path key would hide);
+    * the table lands under java.io.tmpdir, which is driver-local — the
+    * right answer in this single-JVM harness, where ONE location (a
+    * warehouse/job-scoped table path) replaces `createTempDirectory`
+    * on a real cluster; and per-(JVM, corpus) temp tables are left for
+    * tmp reaping, the same lifecycle as the fixture cache. */
   private[graft] object LabelTable {
     private val memo = scala.collection.concurrent.TrieMap.empty[String, String]
     def of(spark: SparkSession, dir: String): DataFrame = {
       def fresh = q68Core(graft.core.Checkpoints.dirFromEnv())(spark, dir)
       if (sys.env.get("GRAFT_LABEL_MEMO").contains("0")) fresh
-      else spark.read.parquet(memo.getOrElseUpdate(dir, {
-        val p = java.nio.file.Files
-          .createTempDirectory("graft_labels_").toString
-        fresh.write.mode("overwrite").parquet(p)
-        p
-      }))
+      else {
+        val src = java.nio.file.Paths.get(dir, "documents.parquet")
+        val key = s"$dir@${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
+        spark.read.parquet(memo.getOrElseUpdate(key, {
+          val p = java.nio.file.Files
+            .createTempDirectory("graft_labels_").toString
+          fresh.write.mode("overwrite").parquet(p)
+          p
+        }))
+      }
     }
   }
 

@@ -453,4 +453,20 @@ class CorpusOpsSpec extends SparkSpec {
       (3L, 4L, cc, cc, 1L, false)),
       s"merge loop diverged:\n${got.mkString("\n")}")
   }
+
+  test("q144: pair exhaustion ends the loop gracefully, matching the oracle's empty rounds") {
+    // two 2-token docs: round 1 merges the only pair, every doc
+    // collapses to one token, and round 2 finds nothing — the engine
+    // must emit round 1's table and stop (the unrolled oracle's k2/k3
+    // CTEs are empty), not abort
+    val docs = Seq(1L -> "a b", 2L -> "a b").toDF("doc_id", "text")
+    val got = CorpusOps.bpeMergeLoop(docs, rounds = 3, topK = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getBoolean(5))).toSeq
+    assert(got == Seq((1L, 1L, "a", "b", 2L, true)), s"got $got")
+    // fully degenerate corpus: no pairs in round 1 either — empty
+    // answer with the right schema, still no abort
+    val solo = Seq(1L -> "x").toDF("doc_id", "text")
+    assert(CorpusOps.bpeMergeLoop(solo, rounds = 2, topK = 5).collect().isEmpty)
+  }
 }
