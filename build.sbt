@@ -32,4 +32,38 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // code change — pure heap pressure). 32g of the 128 GiB box keeps the
   // unified memory region ≥ executor-sized per task at shuffle peaks.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-)
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+) ++ {
+  // GC choice, by same-boot full-bench A/B (round 12, 2026-08-15, four
+  // 145-query runs back-to-back on one degraded boot — BENCH_HISTORY
+  // carries all four):
+  //   G1 (JDK-17 default)                      82.2 s
+  //   ParallelGC, adaptive sizing              73.7 s  (q115 10.9 s: young
+  //     gen adapted small by 110 sub-second queries, then q115's 32-thread
+  //     allocation storm promoted straight into repeated full GCs)
+  //   ParallelGC -Xms=Xmx -Xmn3/8              69.9 s  (q115 back to 5.7 s,
+  //     but one 47 s rep: a 29 s YOUNG pause first-touch page-faulting the
+  //     never-yet-touched 12 g young gen mid-query)
+  //   ParallelGC -Xms=Xmx -Xmn3/8 +AlwaysPreTouch  67.1 s, q115 3.4 s —
+  //     beats its own G1 solo floor; pages fault at JVM start (untimed
+  //     scaffolding), never inside a timed rep.
+  // ParallelGC wins ~15 s on the throughput-bound 32-thread batch profile
+  // (no pause-time target to honor, no concurrent-mark CPU tax, no region
+  // evacuation of Tungsten's page-sized buffers). The pinned young gen is
+  // what makes it safe: Tungsten execution pages + per-query caches churn
+  // 5-10 g/query, and adaptive sizing reads the 120 sub-second queries
+  // between the heavy heads as "young can shrink".
+  // SPARK_GRAFT_GC=G1GC restores the default collector (pause-sensitive
+  // deployments); the Xmn/PreTouch pair only applies to ParallelGC with a
+  // parseable heap size, so an override is never mis-sized.
+  val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")
+  sys.env.getOrElse("SPARK_GRAFT_GC", "ParallelGC") match {
+    case "ParallelGC" =>
+      Seq("-XX:+UseParallelGC") ++ ("""(\d+)g""".r.findPrefixMatchOf(mem) match {
+        case Some(m) if mem == m.group(1) + "g" =>
+          Seq(s"-Xmn${math.max(1L, m.group(1).toLong * 3 / 8)}g", "-XX:+AlwaysPreTouch")
+        case _ => Seq.empty
+      })
+    case other => Seq(s"-XX:+Use$other")
+  }
+}
