@@ -548,6 +548,42 @@ object LlmOps {
         col("n_toks"), col("keep"))
   }
 
+  /** q146 [EXT]: the corpus-level deduplication audit — the REPORT a
+    * nightly dedup job publishes next to its rewrite: for each cluster
+    * multiplicity k, how many near-dup clusters have exactly k members,
+    * how many documents that is, how much token mass those members
+    * carry, and how much of it the canonical collapse (q131's
+    * keep-the-longest verdicts) deletes. One glance answers "how
+    * duplicated is this corpus and what does collapsing cost" — the
+    * number that decides whether a 100 TB crawl re-runs dedup at all.
+    * Only documents with at least one near-dup pair appear (q68's label
+    * table is over the pair graph), so k ≥ 2 by construction.
+    *
+    * 100 TB: reads the MATERIALIZED label table ([[LabelTable]] — the
+    * production posture q131/q145 established; the first consumer in a
+    * JVM builds it, everyone else reads parquet); the verdict step is
+    * q131's bounded per-cluster window; the histogram then aggregates
+    * CLUSTER-count-sized data down to multiplicity-count-sized output —
+    * a two-level rollup whose every exchange shrinks. Nothing here
+    * touches bodies: token counts ride as BIGINTs from the one
+    * documents scan. FULLY ORACLED: q131's recursive CTE + the same
+    * GROUP BY cluster_size rollup. */
+  val q146DedupAudit: Q = (spark, dir) => {
+    val labels = LabelTable.of(spark, dir)
+    val d = t(spark, dir, "documents")
+    val nTok = size(split(col("text"), " ")).cast("long")
+    val nt = d.select(col("doc_id"), nTok.as("n_toks"))
+      .unionByName(d.select((col("doc_id") + 1000000).as("doc_id"),
+        (nTok - 1).as("n_toks")))
+    val verdicts = q131WithLabels(labels, nt)
+    orderAll(verdicts.groupBy(col("cluster_size"))
+      .agg(countDistinct(col("cluster_id")).as("n_clusters"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_toks_total"),
+        sum(when(col("keep"), lit(0L)).otherwise(col("n_toks")))
+          .as("n_toks_dropped")))
+  }
+
   /** Shingles with document frequency above this carry no near-dup signal
     * (they're corpus boilerplate) but dominate the inverted-index
     * self-join, whose work is Σ df² over shingles — at sf0.1 the uncapped
@@ -1503,6 +1539,7 @@ object LlmOps {
     "q67_tfidf_terms" -> q67TfidfTerms,
     "q68_dedup_clusters" -> q68DedupClusters,
     "q131_dedup_canonical" -> q131DedupCanonical,
+    "q146_dedup_audit" -> q146DedupAudit,
     "q132_temperature_mix" -> q132TemperatureMix,
     "q80_dedup_exact" -> q80DedupExact,
     "q95_sample_hash" -> q95SampleHash,
@@ -1909,6 +1946,55 @@ object LlmOps {
         |  (row_number() OVER (PARTITION BY cluster_id
         |                      ORDER BY n_toks DESC, doc_id ASC) = 1) AS keep
         |FROM lbl JOIN sz USING (cluster_id) JOIN nt USING (doc_id)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+        |  5 NULLS FIRST""".stripMargin,
+    "q146_dedup_audit" ->
+      // q131's recursive-CTE labels + keep verdicts verbatim, rolled up
+      // by cluster multiplicity; sums CAST to BIGINT (DuckDB widens to
+      // HUGEINT), n_docs = cluster_size · n_clusters by construction
+      """WITH RECURSIVE dd AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    string_split(text, ' ')[1:len(string_split(text, ' ')) - 1]
+        |  FROM documents),
+        |docs AS (SELECT * FROM dd WHERE len(toks) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS sh
+        |  FROM docs, unnest(range(1, len(toks) - 1)) AS t(i)),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |prs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |vp AS (
+        |  SELECT d1, d2 FROM prs
+        |  JOIN sizes s1 ON s1.doc_id = d1
+        |  JOIN sizes s2 ON s2.doc_id = d2
+        |  WHERE CAST(common AS DOUBLE) / (s1.n_sh + s2.n_sh - common) >= 0.5),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM vp
+        |          UNION ALL SELECT d2, d1 FROM vp),
+        |reach(n, m) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        |  UNION
+        |  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m),
+        |lbl AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+        |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        |       FROM lbl GROUP BY 1),
+        |nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM dd),
+        |v AS (
+        |  SELECT doc_id, cluster_id, cluster_size, n_toks,
+        |    (row_number() OVER (PARTITION BY cluster_id
+        |                        ORDER BY n_toks DESC, doc_id ASC) = 1) AS keep
+        |  FROM lbl JOIN sz USING (cluster_id) JOIN nt USING (doc_id))
+        |SELECT cluster_size,
+        |  CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_toks_total,
+        |  CAST(sum(CASE WHEN keep THEN 0 ELSE n_toks END) AS BIGINT)
+        |    AS n_toks_dropped
+        |FROM v GROUP BY 1
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
         |  5 NULLS FIRST""".stripMargin,
     "q132_temperature_mix" ->

@@ -82,7 +82,8 @@ object DumpPlans {
       "q143_epoch_allocation" -> "epoch allocation: corpus collapses two-phase to the S-row source frame; the waterfilling walk (sort, prefix window, boundary scalars) runs on those S rows only, scalars broadcast back",
       "q140_curriculum_order" -> "curriculum order: per-lang length HISTOGRAM aggregated two-phase, tercile windows over the bounded histogram only, (lang, dl)->phase map broadcast back — corpus rows touched map-side only",
       "q144_bpe_merge_loop" -> "bpe merge loop: per round a row-local pair Generate, two-phase pair count, TakeOrderedAndProject bounded cut (rank window sees <= topK rows); merge rewrite a row-local HOF projection; rounds stitched from persisted candidate tables",
-      "q145_corpus_rewrite" -> "corpus rewrite: materialized label table joined doc_id-keyed, canonical window per cluster, line rebuild + decon gate pure row-local probe projections (chrome head + eval set ride as probe arrays), audit assembly doc_id-keyed — two shuffle key families total")
+      "q145_corpus_rewrite" -> "corpus rewrite: materialized label table joined doc_id-keyed, canonical window per cluster, line rebuild + decon gate pure row-local probe projections (chrome head + eval set ride as probe arrays), audit assembly doc_id-keyed — two shuffle key families total",
+      "q146_dedup_audit" -> "dedup audit: materialized label table joined doc_id-keyed, q131's per-cluster verdict window, then two SHRINKING rollups (cluster-count-sized, multiplicity-count-sized) — every exchange smaller than the last")
 
     val sb = new StringBuilder
     sb.append("# PLANS — finalized physical plans for headline queries\n\n")

@@ -141,7 +141,11 @@ object ScaleProbe {
     // first consumer's warm rep, so their rows certify the ACTION
     // steps (canonical window / line-rewrite / decon gate) track k×
     // while q68's own row carries the fresh-CC linearity
-    "q144_bpe_merge_loop", "q145_corpus_rewrite")
+    "q144_bpe_merge_loop", "q145_corpus_rewrite",
+    // q146 reads the same memoized label table and rolls it up twice
+    // (cluster, then multiplicity) — both exchanges SHRINK, so its wall
+    // must track the verdict join's doc stream and nothing else
+    "q146_dedup_audit")
   private val Ks = Seq(1, 4, 8)
   private val Shift = 9700000L // lcm(97, 10) × 10,000 — residue-preserving
   private val GrowthFactor = 1.5

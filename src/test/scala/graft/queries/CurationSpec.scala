@@ -92,4 +92,33 @@ class CurationSpec extends SparkSpec {
       6L -> true),                                          // singleton keeps
       s"canonical picks wrong: $got")
   }
+
+  test("q146: the dedup audit histogram rolls verdicts up by multiplicity with exact token mass") {
+    // hand-checkable: two 2-clusters (one with a length tie) and one
+    // 3-cluster; n_docs = k·n_clusters, dropped = total − kept mass
+    import spark.implicits._
+    val labels = Seq(
+      (1L, 10L, 3L), (2L, 10L, 3L), (3L, 10L, 3L),
+      (4L, 40L, 2L), (5L, 40L, 2L),
+      (7L, 70L, 2L), (8L, 70L, 2L)
+    ).toDF("doc_id", "cluster_id", "cluster_size")
+    val nToks = Seq(1L -> 5L, 2L -> 9L, 3L -> 7L, 4L -> 4L, 5L -> 4L,
+      7L -> 10L, 8L -> 6L).toDF("doc_id", "n_toks")
+    val v = LlmOps.q131WithLabels(labels, nToks)
+    val got = v.groupBy(col("cluster_size"))
+      .agg(countDistinct(col("cluster_id")).as("n_clusters"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_toks_total"),
+        sum(when(col("keep"), lit(0L)).otherwise(col("n_toks")))
+          .as("n_toks_dropped"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      // k=2: clusters {4,5} (8 toks, keep 4 → drop 4) and {7,8}
+      // (16 toks, keep 10 → drop 6)
+      2L -> ((2L, 4L, 24L, 10L)),
+      // k=3: cluster {1,2,3} — 21 toks, keep doc 2 (9) → drop 12
+      3L -> ((1L, 3L, 21L, 12L))),
+      s"audit histogram wrong: $got")
+  }
 }

@@ -474,6 +474,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("row_number"), s"no rank window in the plan:\n$p")
   }
 
+  test("q146: the audit rollup shrinks every exchange and never funnels") {
+    // the 100 TB contract: after the doc_id verdict join, everything
+    // aggregates two-phase over frames that only get smaller (cluster
+    // window → multiplicity rollup). The pin: the verdict window still
+    // partitions per-cluster (q131's bound), no single-partition
+    // funnel, no cartesian, and the final histogram aggregates in
+    // partial/final halves (map-side combine on the shrinking key)
+    val p = plan("q146_dedup_audit")
+    assert("windowspecdefinition\\(cluster_id".r.findAllIn(p).nonEmpty,
+      s"verdict window does not partition on cluster_id:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition funnel in the audit plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the audit plan:\n$p")
+    assert("partial_count".r.findAllIn(p).nonEmpty ||
+      p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"histogram does not aggregate two-phase:\n$p")
+  }
+
   test("q132: the mix decision reads only (doc_id, lang) and attaches rates by broadcast") {
     // the corpus-side contract: bodies are never read (column pruning
     // reaches the scan — `text` appears nowhere in the plan) and the
