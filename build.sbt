@@ -60,8 +60,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   sys.env.getOrElse("SPARK_GRAFT_GC", "ParallelGC") match {
     case "ParallelGC" =>
       Seq("-XX:+UseParallelGC") ++ ("""(\d+)g""".r.findPrefixMatchOf(mem) match {
-        case Some(m) if mem == m.group(1) + "g" =>
-          Seq(s"-Xmn${math.max(1L, m.group(1).toLong * 3 / 8)}g", "-XX:+AlwaysPreTouch")
+        // young = 3/8 heap needs >= 1g young AND a nonempty old gen, so
+        // sub-3g heaps keep adaptive sizing (an -Xmn equal to the whole
+        // heap refuses to boot)
+        case Some(m) if mem == m.group(1) + "g" && m.group(1).toLong * 3 / 8 >= 1 =>
+          Seq(s"-Xmn${m.group(1).toLong * 3 / 8}g", "-XX:+AlwaysPreTouch")
         case _ => Seq.empty
       })
     case other => Seq(s"-XX:+Use$other")
