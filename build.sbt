@@ -53,6 +53,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // what makes it safe: Tungsten execution pages + per-query caches churn
   // 5-10 g/query, and adaptive sizing reads the 120 sub-second queries
   // between the heavy heads as "young can shrink".
+  // Young fraction 5/8 (not the 3/8 first measured): the Xmn12g GC log
+  // showed only TWO allocation-triggered young collections in the whole
+  // 145-query bench — both inside q115's allocation burst, which just
+  // overflows 12 g (one was the 29 s copy storm). At 20 g young the same
+  // log shows ZERO: the burst fits, every collection happens in the
+  // untimed between-rep System.gc() quiesce, and the storm class is
+  // structurally impossible (two full benches confirmed 0 allocation
+  // failures at equal totals). Old gen at 3/8 (12 g here) holds the
+  // per-query persists/broadcasts with room — caches drain per query.
   // SPARK_GRAFT_GC=G1GC restores the default collector (pause-sensitive
   // deployments); the Xmn/PreTouch pair only applies to ParallelGC with a
   // parseable heap size, so an override is never mis-sized.
@@ -60,11 +69,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   sys.env.getOrElse("SPARK_GRAFT_GC", "ParallelGC") match {
     case "ParallelGC" =>
       Seq("-XX:+UseParallelGC") ++ ("""(\d+)g""".r.findPrefixMatchOf(mem) match {
-        // young = 3/8 heap needs >= 1g young AND a nonempty old gen, so
-        // sub-3g heaps keep adaptive sizing (an -Xmn equal to the whole
+        // young = 5/8 heap needs >= 1g young AND a nonempty old gen, so
+        // sub-2g heaps keep adaptive sizing (an -Xmn equal to the whole
         // heap refuses to boot)
-        case Some(m) if mem == m.group(1) + "g" && m.group(1).toLong * 3 / 8 >= 1 =>
-          Seq(s"-Xmn${m.group(1).toLong * 3 / 8}g", "-XX:+AlwaysPreTouch")
+        case Some(m) if mem == m.group(1) + "g" && m.group(1).toLong * 5 / 8 >= 1
+            && m.group(1).toLong * 3 / 8 >= 1 =>
+          Seq(s"-Xmn${m.group(1).toLong * 5 / 8}g", "-XX:+AlwaysPreTouch")
         case _ => Seq.empty
       })
     case other => Seq(s"-XX:+Use$other")
