@@ -26,14 +26,44 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+) ++ {
   // local[32] runs 32 concurrent tasks in ONE JVM: the 8g default that a
   // single-query dev loop tolerates thrashes GC under the full 128-query
   // bench (round-9 q111 measured 19.8 s in-bench vs 5.4 s solo with no
   // code change — pure heap pressure). 32g of the 128 GiB box keeps the
   // unified memory region ≥ executor-sized per task at shuffle peaks.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-) ++ {
+  val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")
+  val heapGb: Option[Long] = """(\d+)g""".r.findPrefixMatchOf(mem) match {
+    case Some(m) if mem == m.group(1) + "g" => Some(m.group(1).toLong)
+    case _ => None
+  }
+  // Xms=Xmx + AlwaysPreTouch eagerly commits AND touches the whole heap
+  // at JVM start — the bench posture (see the GC block below for the
+  // measured why). On a host with less free RAM than the heap it
+  // swap-storms or OOMs at boot, so the pair is gated on MEASURED
+  // headroom: MemAvailable ≥ 1.25×heap (read from /proc/meminfo; a
+  // non-Linux or unreadable host conservatively skips the pin).
+  // SPARK_GRAFT_PREALLOC=1/0 overrides the detection either way.
+  def memAvailableGb: Option[Long] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/meminfo")
+      try src.getLines().collectFirst {
+        // kB → GiB
+        case l if l.startsWith("MemAvailable:") =>
+          l.trim.split("\\s+")(1).toLong >> 20
+      } finally src.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  val prealloc = sys.env.get("SPARK_GRAFT_PREALLOC") match {
+    case Some("1")   => true
+    case Some("0")   => false
+    case Some(other) =>
+      sys.error(s"SPARK_GRAFT_PREALLOC=$other — expected 1 or 0")
+    case None => (heapGb, memAvailableGb) match {
+      case (Some(h), Some(a)) => a >= h * 5 / 4
+      case _                  => false
+    }
+  }
+  Seq(s"-Xmx$mem") ++ (if (prealloc) Seq(s"-Xms$mem") else Seq.empty) ++ {
   // GC choice, by same-boot full-bench A/B (round 12, 2026-08-15, four
   // 145-query runs back-to-back on one degraded boot — BENCH_HISTORY
   // carries all four):
@@ -64,19 +94,23 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // per-query persists/broadcasts with room — caches drain per query.
   // SPARK_GRAFT_GC=G1GC restores the default collector (pause-sensitive
   // deployments); the Xmn/PreTouch pair only applies to ParallelGC with a
-  // parseable heap size, so an override is never mis-sized.
-  val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")
-  sys.env.getOrElse("SPARK_GRAFT_GC", "ParallelGC") match {
-    case "ParallelGC" =>
-      Seq("-XX:+UseParallelGC") ++ ("""(\d+)g""".r.findPrefixMatchOf(mem) match {
-        // young = 5/8 heap needs >= 1g young AND a nonempty old gen, so
-        // sub-2g heaps keep adaptive sizing (an -Xmn equal to the whole
-        // heap refuses to boot)
-        case Some(m) if mem == m.group(1) + "g" && m.group(1).toLong * 5 / 8 >= 1
-            && m.group(1).toLong * 3 / 8 >= 1 =>
-          Seq(s"-Xmn${m.group(1).toLong * 5 / 8}g", "-XX:+AlwaysPreTouch")
-        case _ => Seq.empty
-      })
-    case other => Seq(s"-XX:+Use$other")
+  // parseable heap size AND the prealloc gate open (an -Xmn pin without
+  // Xms=Xmx would let the committed heap shrink under the young gen), so
+  // an override is never mis-sized.
+  val gc = sys.env.getOrElse("SPARK_GRAFT_GC", "ParallelGC")
+  val knownGcs = Set("G1GC", "ZGC", "SerialGC", "ParallelGC")
+  if (!knownGcs(gc))
+    sys.error(s"SPARK_GRAFT_GC=$gc — expected one of " +
+      knownGcs.toSeq.sorted.mkString(", "))
+  Seq(s"-XX:+Use$gc") ++ {
+    if (gc == "ParallelGC" && prealloc) heapGb match {
+      // young = 5/8 heap needs >= 1g young AND a nonempty old gen, so
+      // sub-2g heaps keep adaptive sizing (an -Xmn equal to the whole
+      // heap refuses to boot)
+      case Some(h) if h * 5 / 8 >= 1 && h * 3 / 8 >= 1 =>
+        Seq(s"-Xmn${h * 5 / 8}g", "-XX:+AlwaysPreTouch")
+      case _ => Seq.empty
+    } else Seq.empty
   }
+}
 }

@@ -587,14 +587,29 @@ object CorpusOps {
     * round. Rounds are driver-unrolled — each round is its own CTE
     * block in the oracle (the q108/q111 oracled-iteration recipe) — so
     * the dial is require-capped to keep the mirror readable. */
-  private[graft] val BpeRounds: Int = {
-    val r = sys.env.getOrElse("GRAFT_BPE_ROUNDS", "2").toInt
+  // defs, not vals: a malformed dial (GRAFT_BPE_ROUNDS=three) must fail
+  // the q144 call that reads it with the require message below — as a
+  // val it threw during CorpusOps STATIC INIT, so every CorpusOps query
+  // in the JVM died with an opaque ExceptionInInitializerError
+  // (round-12 advice). `oracles` is lazy for the same reason.
+  private[graft] def BpeRounds: Int = {
+    val raw = sys.env.getOrElse("GRAFT_BPE_ROUNDS", "2")
+    val r = try raw.toInt catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"GRAFT_BPE_ROUNDS=$raw — expected an integer in 1..6")
+    }
     require(r >= 1 && r <= 6,
       s"GRAFT_BPE_ROUNDS=$r — the unrolled oracle supports 1..6 rounds")
     r
   }
-  private[graft] val BpeTopK: Int = {
-    val k = sys.env.getOrElse("GRAFT_BPE_TOPK", "10").toInt
+  private[graft] def BpeTopK: Int = {
+    val raw = sys.env.getOrElse("GRAFT_BPE_TOPK", "10")
+    val k = try raw.toInt catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"GRAFT_BPE_TOPK=$raw — expected a positive integer")
+    }
     require(k >= 1, s"GRAFT_BPE_TOPK=$k — need a positive candidate depth")
     k
   }
@@ -1158,7 +1173,10 @@ object CorpusOps {
     "q100_knn_ivf" -> q100KnnIvf,
     "q101_knn_pq" -> q101KnnPq)
 
-  val oracles: Map[String, String] = Map(
+  // lazy: q144's oracle is GENERATED from the BPE dials, so building
+  // this map eagerly would re-create the static-init failure the dial
+  // defs above exist to avoid
+  lazy val oracles: Map[String, String] = Map(
     "q116_dedup_fuzzy" ->
       // same two-key neighbor-band blocking; full levenshtein <= 8
       // equals the engine's early-exit thresholded distance on every

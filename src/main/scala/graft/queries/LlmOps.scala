@@ -469,30 +469,88 @@ object LlmOps {
     * full run every time. `GRAFT_LABEL_MEMO=0` restores
     * recompute-always for the consumers too.
     *
-    * Scope honestly stated: the memo key carries the corpus parquet's
-    * LAST-MODIFIED time, so regenerating the data at the same path
-    * invalidates it (a stale-label hazard a bare path key would hide);
-    * the table lands under java.io.tmpdir, which is driver-local — the
-    * right answer in this single-JVM harness, where ONE location (a
-    * warehouse/job-scoped table path) replaces `createTempDirectory`
-    * on a real cluster; and per-(JVM, corpus) temp tables are left for
-    * tmp reaping, the same lifecycle as the fixture cache. */
+    * Scope honestly stated: staleness is detected by a CONTENT
+    * fingerprint of the corpus parquet — every part file's relative
+    * path, size, and mtime (a regeneration landing inside one mtime
+    * tick still renames the UUID part files, so the key moves where a
+    * bare dir-mtime key could not — round-12 advice); a superseded
+    * table is deleted when its corpus changes, so regenerating N times
+    * leaks nothing. Placement: `GRAFT_LABEL_DIR` unset ⇒ a driver-local
+    * temp dir per (JVM, corpus) — the single-JVM harness default; set ⇒
+    * `$GRAFT_LABEL_DIR/labels_<fingerprint>`, a STABLE warehouse path
+    * shared across JVMs (the nightly job writes it once, later jobs —
+    * this JVM or not — find `_SUCCESS` and just read). CurationSpec
+    * drives the configured-path arm explicitly and pins it
+    * row-identical to a fresh run. */
   private[graft] object LabelTable {
-    private val memo = scala.collection.concurrent.TrieMap.empty[String, String]
-    def of(spark: SparkSession, dir: String): DataFrame = {
+    // (corpus dir, base) → (content fingerprint, materialized path)
+    private val memo =
+      scala.collection.mutable.HashMap.empty[(String, Option[String]), (String, String)]
+
+    def of(spark: SparkSession, dir: String): DataFrame =
+      of(spark, dir, sys.env.get("GRAFT_LABEL_DIR"))
+
+    private[graft] def of(spark: SparkSession, dir: String,
+        base: Option[String]): DataFrame = {
       def fresh = q68Core(graft.core.Checkpoints.dirFromEnv())(spark, dir)
       if (sys.env.get("GRAFT_LABEL_MEMO").contains("0")) fresh
       else {
-        val src = java.nio.file.Paths.get(dir, "documents.parquet")
-        val key = s"$dir@${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
-        spark.read.parquet(memo.getOrElseUpdate(key, {
-          val p = java.nio.file.Files
-            .createTempDirectory("graft_labels_").toString
-          fresh.write.mode("overwrite").parquet(p)
-          p
-        }))
+        val path = memo.synchronized {
+          val fp = fingerprint(java.nio.file.Paths.get(dir, "documents.parquet"))
+          memo.get((dir, base)) match {
+            case Some((`fp`, p)) => p
+            case stale =>
+              // corpus regenerated: this JVM's old table is superseded —
+              // delete it (temp AND warehouse mode: the old fingerprint
+              // names a corpus build that no longer exists)
+              stale.foreach { case (_, old) =>
+                deleteTree(java.nio.file.Paths.get(old))
+              }
+              val p = base match {
+                case Some(b) =>
+                  val d = java.nio.file.Paths.get(b, s"labels_$fp")
+                  if (!java.nio.file.Files.exists(d.resolve("_SUCCESS"))) {
+                    java.nio.file.Files.createDirectories(d)
+                    fresh.write.mode("overwrite").parquet(d.toString)
+                  }
+                  d.toString
+                case None =>
+                  val d = java.nio.file.Files.createTempDirectory("graft_labels_")
+                  fresh.write.mode("overwrite").parquet(d.toString)
+                  d.toString
+              }
+              memo.put((dir, base), (fp, p))
+              p
+          }
+        }
+        spark.read.parquet(path)
       }
     }
+
+    /** Hex fold of every regular file's (relative path, size, mtime)
+      * under `src`, sorted — the staleness key. */
+    private def fingerprint(src: java.nio.file.Path): String = {
+      import scala.jdk.CollectionConverters._
+      val stream = java.nio.file.Files.walk(src)
+      val files =
+        try stream.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(p => (src.relativize(p).toString,
+            java.nio.file.Files.size(p),
+            java.nio.file.Files.getLastModifiedTime(p).toMillis))
+          .toVector.sorted
+        finally stream.close()
+      Integer.toHexString(scala.util.hashing.MurmurHash3.seqHash(files))
+    }
+
+    private def deleteTree(root: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        val stream = java.nio.file.Files.walk(root)
+        try stream.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        finally stream.close()
+      }
   }
 
   /** q131 [EXT]: near-dup cluster canonicalization — the ACTION step

@@ -73,6 +73,46 @@ class CurationSpec extends SparkSpec {
     assert(memo2 == fresh, "second read diverges — the memo is not stable")
   }
 
+  test("LabelTable: a configured base dir (GRAFT_LABEL_DIR posture) gets a stable labels_<fp> table; a corpus rebuild supersedes and deletes it") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    // a writable corpus copy, so the corpus can be REGENERATED mid-test
+    // (the read-only testdata cannot); each write lands fresh UUID part
+    // names + mtimes — exactly what a real corpus rebuild does and what
+    // the content fingerprint must catch even inside one mtime tick
+    val corpus = tmpDir("graft_labeldir_corpus_")
+    val base = tmpDir("graft_labeldir_base_")
+    def regen(): Unit = spark.read.parquet(s"$sf/documents.parquet")
+      .write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+    def tables = {
+      val s = Files.list(Paths.get(base))
+      try s.iterator().asScala.toVector finally s.close()
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    regen()
+    val fresh = rows(LlmOps.q68Core(graft.core.Checkpoints.dirFromEnv())(spark, corpus))
+    assert(rows(LlmOps.LabelTable.of(spark, corpus, Some(base))) == fresh,
+      "configured-path labels diverge from a fresh run")
+    val t1 = tables
+    assert(t1.size == 1 && t1.head.getFileName.toString.startsWith("labels_"),
+      s"expected one labels_<fp> table, got $t1")
+    val success = t1.head.resolve("_SUCCESS")
+    assert(Files.exists(success), "no _SUCCESS marker — later JVMs could not adopt the table")
+    val written = Files.getLastModifiedTime(success)
+    // unchanged corpus → same fingerprint → the table is READ, not rebuilt
+    assert(rows(LlmOps.LabelTable.of(spark, corpus, Some(base))) == fresh)
+    assert(Files.getLastModifiedTime(success) == written,
+      "unchanged corpus re-wrote the table — the fingerprint key is unstable")
+    // corpus rebuild: fingerprint moves, the superseded table is deleted
+    regen()
+    assert(rows(LlmOps.LabelTable.of(spark, corpus, Some(base))) == fresh,
+      "labels after corpus rebuild diverge (same data, new files)")
+    val t2 = tables
+    assert(t2.size == 1, s"superseded label table not deleted: $t2")
+    assert(t2.head != t1.head, "corpus rebuild did not move the fingerprint key")
+  }
+
   test("q131WithLabels: the production entry point picks canonicals off a materialized label table") {
     // the nightly-pipeline spelling: labels come off disk, NOT out of a
     // fresh connected-components pass — the selection step alone must
