@@ -288,6 +288,61 @@ object LlmOps {
       qualityExpr.as("quality")))
   }
 
+  /** q147's hashed-feature geometry: bucket count of the hashing-trick
+    * featurizer and the weight table derived per bucket. The weights
+    * are a FIXED deterministic stand-in for trained logistic-regression
+    * weights (knuthMix2-scrambled into [-10, 10] — per-BUCKET draws, so
+    * the quadratic scramble per the q139/q141 coset rule): what the
+    * engine owns is the classifier SURFACE — featurize, integer dot
+    * product, thresholded verdict — and swapping in weights a training
+    * job produced is a data change, not a code change (the multimodal
+    * StubDecoder argument). Derivation is engine-portable integer
+    * arithmetic, so the oracle re-derives the same table in SQL and
+    * KnuthSpec pins the JVM / Column / SQL spellings equal. */
+  private[graft] val QcBuckets = 64
+  private[graft] lazy val QcWeights: IndexedSeq[Long] =
+    (0 until QcBuckets).map(b => knuthMix2Jvm(b.toLong) % 21 - 10)
+
+  /** q147 [EXT]: model-based quality filtering — the GPT-3/LLaMA/
+    * FineWeb-style LEARNED classifier gate, the one canonical curation
+    * stage the heuristic (q85), repetition (q64), LM-perplexity
+    * (q117/q120), and DSIR (q125) family did not cover: documents are
+    * featurized by the hashing trick (token → [[QcBuckets]]-bucket
+    * hash over q87's portable token code), scored by an exact-BIGINT
+    * dot product against a fixed weight table ([[QcWeights]], shipped
+    * as a literal — the broadcast posture), and gated by
+    * `score ≥ 0`. Output is TOTAL (q103's gate contract): every doc
+    * carries its token count, score, and verdict — the rewrite is one
+    * `filter(keep)` and the drop audit is the same frame.
+    *
+    * 100 TB: scoring is ROW-LOCAL map work — one documents scan, the
+    * weight table folded into the expression (a production 2^20-bucket
+    * table is an ~8 MB broadcast array), zero shuffles beyond the dump
+    * sort (PlanSpec pins it). No explode: the per-token walk is one
+    * codegen'd aggregate over the token array, so the (doc, token)
+    * pair stream never materializes, let alone moves. FULLY ORACLED:
+    * featurization, weight derivation, and sum are engine-portable
+    * integer arithmetic (q70's no-libm argument) — DuckDB re-derives
+    * the weight table from the same scramble and folds the same sum. */
+  val q147QualityClassifier: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+    val toks = split(col("text"), " ")
+    // q87's portable token code: pure length/first-char arithmetic,
+    // bit-identical in both engines (no library string hash)
+    def code(tk: org.apache.spark.sql.Column) =
+      (length(tk) * 17 + ascii(substring(tk, 1, 1))).cast("long")
+    val table = typedlit(QcWeights.toArray)
+    def weight(tk: org.apache.spark.sql.Column) = element_at(table,
+      (knuthBucket2(code(tk), QcBuckets.toLong) + 1).cast("int"))
+    // single-pass fold — no transform() intermediate array, no explode
+    val score = aggregate(toks, lit(0L), (acc, tk) => acc + weight(tk))
+    orderAll(d.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tok"),
+      score.as("score"),
+      (score >= 0L).as("keep")))
+  }
+
   /** q86: token counting — whitespace tokens, regex (BPE-ish word/number
     * pieces), and the chars/4 subword estimate. */
   val q86TokenCount: Q = (spark, dir) => {
@@ -1612,6 +1667,7 @@ object LlmOps {
     "q83_text_stats" -> q83TextStats,
     "q84_lang_id" -> q84LangId,
     "q85_quality_score" -> q85QualityScore,
+    "q147_quality_classifier" -> q147QualityClassifier,
     "q86_token_count" -> q86TokenCount,
     "q87_fingerprint" -> q87Fingerprint,
     "q88_dedup_ngram" -> q88DedupNgram,
@@ -2217,6 +2273,26 @@ object LlmOps {
         |      + 0.3 * (1.0 - coalesce(CAST(n_punct AS DOUBLE) / nullif(n_chars, 0), 0.0)), 6) AS quality
         |FROM f
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
+    "q147_quality_classifier" -> {
+      // the weight table re-DERIVED in SQL from the same quadratic
+      // scramble the driver builds QcWeights with (KnuthSpec pins the
+      // spellings equal); token code is q87's portable arithmetic;
+      // list_reduce keeps the sum BIGINT (list_sum widens to HUGEINT)
+      val code = "CAST(length(t) * 17 + ascii(substr(t, 1, 1)) AS BIGINT)"
+      val w = s"(${knuthMix2Sql(knuthBucket2Sql(code, QcBuckets.toLong))} % 21 - 10)"
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    list_reduce(
+         |      list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(string_split(text, ' '),
+         |          t -> $w)),
+         |      (a, b) -> a + b) AS score
+         |  FROM documents)
+         |SELECT doc_id, n_tok, score, score >= 0 AS keep
+         |FROM scored
+         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin
+    },
     "q86_token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,

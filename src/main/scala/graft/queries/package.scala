@@ -130,6 +130,15 @@ package object queries {
   /** The quadratic scramble reduced to [0, m). */
   def knuthBucket2(c: Column, m: Long): Column = pmod(knuthMix2(c), lit(m))
 
+  /** JVM twin of [[knuthMix2]] — the arithmetic q147's weight table is
+    * DERIVED with on the driver (the table ships as a literal; the
+    * oracle re-derives it in SQL, so all three spellings must agree —
+    * KnuthSpec pins them). Same exactness bound as the Column form. */
+  def knuthMix2Jvm(c: Long): Long = {
+    val cm = math.floorMod(c, KnuthP)
+    (cm * cm % KnuthP + cm) % KnuthP * KnuthC % KnuthP
+  }
+
   /** SQL twin of [[knuthMix2]]. */
   def knuthMix2Sql(c: String): String = {
     val cm = s"((($c % 1000000007) + 1000000007) % 1000000007)"

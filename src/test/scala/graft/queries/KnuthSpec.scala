@@ -82,6 +82,29 @@ class KnuthSpec extends SparkSpec {
     }
   }
 
+  test("knuthMix2Jvm is the JVM twin of knuthMix2, and q147's weight table is exactly the reduced scramble") {
+    // the driver derives q147's weight literal with knuthMix2Jvm while
+    // the oracle re-derives it in SQL — all spellings must agree or the
+    // hash gate and the engine silently score with different models
+    val gen = org.scalacheck.Gen.oneOf(
+      org.scalacheck.Gen.chooseNum(Long.MinValue, Long.MaxValue),
+      org.scalacheck.Gen.oneOf(edges))
+    val prop = org.scalacheck.Prop.forAll(gen) { (c: Long) =>
+      knuthMix2Jvm(c) == mix2Model(c)
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+    assert(LlmOps.QcWeights.size == LlmOps.QcBuckets)
+    LlmOps.QcWeights.zipWithIndex.foreach { case (w, b) =>
+      assert(w == mix2Model(b.toLong) % 21 - 10, s"weight($b) = $w drifted")
+      assert(w >= -10 && w <= 10, s"weight($b) = $w out of range")
+    }
+    // a degenerate table (all one sign) would make the gate vacuous
+    assert(LlmOps.QcWeights.exists(_ > 0) && LlmOps.QcWeights.exists(_ < 0),
+      "weight table lost both signs — the verdict can never split the corpus")
+  }
+
   test("MinwisePanel.priority is the JVM twin of knuthMix on the whole Long domain") {
     // the kernel-side spelling (streaming/MinwisePanel.scala) must never
     // drift from the Column/SQL family — s94's stream≡batch proof

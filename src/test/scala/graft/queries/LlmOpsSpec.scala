@@ -29,6 +29,42 @@ class LlmOpsSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("q147: hashed-feature classifier scores are the exact integer dot product, verdicts total") {
+    import spark.implicits._
+    val dir = tmpDir("q147docs")
+    Seq((1L, "the cat sat on the mat"), (2L, ""), (3L, "aa bb aa bb"),
+      (4L, "zq"), (5L, "a b c d e f g h i j k l m"))
+      .toDF("doc_id", "text")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/documents.parquet")
+    // independent model: java split (keeping the empty token, Spark's
+    // split semantics), q87's token code, the reduced quadratic
+    // scramble indexing the published weight table
+    def model(text: String): (Long, Long) = {
+      val toks = text.split(" ", -1)
+      val score = toks.map { t =>
+        val code = t.length.toLong * 17 +
+          (if (t.isEmpty) 0L else t.charAt(0).toLong)
+        LlmOps.QcWeights(math.floorMod(knuthMix2Jvm(code), LlmOps.QcBuckets.toLong).toInt)
+      }.sum
+      (toks.length.toLong, score)
+    }
+    val texts = Map(1L -> "the cat sat on the mat", 2L -> "",
+      3L -> "aa bb aa bb", 4L -> "zq", 5L -> "a b c d e f g h i j k l m")
+    val got = LlmOps.q147QualityClassifier(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.length == 5, "gate is not TOTAL — a doc vanished")
+    got.foreach { case (id, nTok, score, keep) =>
+      val (en, es) = model(texts(id))
+      assert(nTok == en, s"doc $id n_tok $nTok != $en")
+      assert(score == es, s"doc $id score $score != $es")
+      assert(keep == (score >= 0), s"doc $id verdict inconsistent")
+    }
+    // the fixture must actually exercise both verdicts
+    assert(got.exists(_._4) && got.exists(!_._4),
+      s"fixture scores all one-sided: $got")
+  }
+
   test("q117: on the sf corpus the score is total and bounded by the rarest token") {
     val rows = LlmOps.q117LmScore(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

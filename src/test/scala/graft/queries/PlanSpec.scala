@@ -734,6 +734,17 @@ class PlanSpec extends SparkSpec {
       "membership probe lost the native kernel (array_intersect rebuilds per row)")
   }
 
+  test("q147: the classifier gate is one scan + folded weight literal — no join, no explode, no shuffle beyond the dump sort") {
+    val p = plan("q147_quality_classifier")
+    assert(!p.contains("Join"), s"classifier grew a join:\n${p.take(2000)}")
+    assert(!p.contains("Generate"), s"classifier explodes tokens:\n${p.take(2000)}")
+    assert(!p.contains("HashAggregate"), s"classifier shuffles an aggregate:\n${p.take(2000)}")
+    // the only Exchange is the oracle dump's total ORDER BY: scoring is
+    // row-local, the weight table rides the expression as a literal
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"classifier shuffles beyond the dump sort:\n${p.take(2000)}")
+  }
+
   test("q104: the near-dup candidate and verdict joins broadcast the batch side") {
     val p = plan("q104_dedup_near_incremental")
     // band-candidate join + batch-shingle verify join + final verdict
