@@ -91,6 +91,36 @@ object NearDupGate {
     // arrays (cheap per-row check) — pushdown stops at the cache
     // boundary and cannot re-expand the shingle transform
     val bsh = shingled(batch).scopedPersist
+    val verified = verifiedFrom(bsh, corpusIndex, g)
+    val matches = verified.groupBy(col("b_id").as("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_matches"),
+        max(col("jacc")).as("best_jacc"))
+    bsh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
+      .join(matches, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_matches"), lit(0)).as("n_matches"),
+        col("best_jacc"),
+        (coalesce(col("n_matches"), lit(0)) === 0).as("kept"))
+  }
+
+  /** The gate's verified PAIR set — (b_id, c_id, jacc) for every
+    * batch×index pair passing exact Jaccard ≥ 0.5 on band candidates.
+    * [[flag]] aggregates this to per-doc verdicts; q148's incremental
+    * label maintenance consumes the pairs themselves (the Δ-edges of
+    * the merged near-dup graph). Same 100 TB shape as flag: the batch
+    * side broadcasts, the only shuffle-scale work is the index scan. */
+  def verifiedPairs(spark: SparkSession, batch: DataFrame,
+      corpusIndex: DataFrame, g: SketchGeometry): DataFrame = {
+    import graft.queries.ScopedPersist
+    graft.functions.MinHashSignature.register(spark)
+    verifiedFrom(shingled(batch).scopedPersist, corpusIndex, g)
+      .select(col("b_id"), col("c_id"), col("jacc"))
+  }
+
+  /** Candidate generation + exact-Jaccard verification over a PREPARED
+    * (persisted) batch shingle frame. */
+  private def verifiedFrom(bsh: DataFrame, corpusIndex: DataFrame,
+      g: SketchGeometry): DataFrame = {
     val bBands = bsh.filter(size(col("shingles")) > 0)
       .withColumn("sig", expr(s"minhash_sig(shingles, ${g.minhashK})"))
       .select(col("doc_id").as("b_id"),
@@ -113,15 +143,7 @@ object NearDupGate {
       .withColumn("jacc", round(col("common").cast("double") /
         (size(col("bsh")) + size(col("csh")) - col("common")), 6))
       .filter(col("jacc") >= 0.5)
-    val matches = verified.groupBy(col("b_id").as("doc_id"))
-      .agg(count(lit(1)).cast("int").as("n_matches"),
-        max(col("jacc")).as("best_jacc"))
-    bsh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
-      .join(matches, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), col("n_sh"),
-        coalesce(col("n_matches"), lit(0)).as("n_matches"),
-        col("best_jacc"),
-        (coalesce(col("n_matches"), lit(0)) === 0).as("kept"))
+    verified
   }
 
   /** s83: the gate as a stream stage — each micro-batch of ingested docs

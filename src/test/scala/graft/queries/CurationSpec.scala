@@ -113,6 +113,39 @@ class CurationSpec extends SparkSpec {
     assert(t2.head != t1.head, "corpus rebuild did not move the fingerprint key")
   }
 
+  test("q148: incremental label maintenance ≡ a full connected-components recompute over corpus ∪ batch") {
+    // the memo-equality argument extended to deltas: merging the new
+    // batch's pairs into the existing table via the affected-subgraph
+    // contraction must produce EXACTLY the table a from-scratch
+    // propagation over the union pair graph produces — same nodes, same
+    // cluster minima, same sizes
+    import graft.core.{CacheScope, Checkpoints}
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(r => (r._1, r._2)).toSeq
+    val inc = rows(LlmOps.q148LabelIncremental(spark, sf))
+    val delta = LlmOps.q148Delta(spark, sf, LlmOps.q148Batch(spark, sf))
+    val pairs = LlmOps.q81Pairs(spark, sf).select(col("d1"), col("d2"))
+      .unionByName(delta)
+    val edges = CacheScope.trackCheckpoint(Checkpoints.truncate(
+      pairs.unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+        .toDF("src", "dst"), None))
+    val full = rows(LlmOps.withClusterSizes(
+      LlmOps.propagateMin(spark, edges, None)))
+    assert(inc.nonEmpty, "empty label table — the fixture planted no near-dups")
+    assert(inc == full, {
+      val i = inc.toSet; val f = full.toSet
+      s"incremental != full: only-incremental ${(i -- f).take(5)}, only-full ${(f -- i).take(5)}"
+    })
+    // the batch really merged something (a cluster grew) AND most
+    // clusters passed through untouched — both arms exercised
+    val oldRows = rows(LlmOps.LabelTable.of(spark, sf))
+    val oldSizes = oldRows.map(r => (r._1, r._3)).toMap
+    assert(inc.exists(r => r._1 < 4000000 && oldSizes.get(r._1).exists(_ < r._3)),
+      "no existing cluster grew — the merge arm is vacuous")
+    assert(inc.exists(r => oldSizes.get(r._1).contains(r._3)),
+      "every cluster changed — the pass-through arm is vacuous")
+  }
+
   test("q131WithLabels: the production entry point picks canonicals off a materialized label table") {
     // the nightly-pipeline spelling: labels come off disk, NOT out of a
     // fresh connected-components pass — the selection step alone must
