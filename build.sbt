@@ -64,6 +64,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
     }
   }
   Seq(s"-Xmx$mem") ++ (if (prealloc) Seq(s"-Xms$mem") else Seq.empty) ++ {
+  // CLUSTER TRANSLATION: this block tunes the LOCAL single-JVM harness.
+  // On a real cluster the same flags belong in
+  // spark.executor.extraJavaOptions, sized per EXECUTOR heap (each
+  // executor JVM has the local[32] allocation profile in miniature:
+  // throughput-bound batch tasks, Tungsten page churn, no pause-time
+  // SLA) — full mechanism + A/B table in BASELINE.md "Round-12 margin
+  // banking". Driver JVMs on a cluster keep the G1 default: they plan,
+  // they don't churn execution pages.
   // GC choice, by same-boot full-bench A/B (round 12, 2026-08-15, four
   // 145-query runs back-to-back on one degraded boot — BENCH_HISTORY
   // carries all four):

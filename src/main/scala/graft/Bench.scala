@@ -166,7 +166,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val bounds = approxBounds(spark, sfDir)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol","queries":$qs,"approx_bounds":$bounds,"sf":"$sfDir"}"""
+    // label-memo posture rides every record: q131/q145/q146/q148 read
+    // the materialized LabelTable unless GRAFT_LABEL_MEMO=0 forces
+    // recompute-always, so cross-round comparisons of those queries are
+    // apples-to-oranges without this field (round-12 advice)
+    val labelMemo = if (sys.env.get("GRAFT_LABEL_MEMO").contains("0")) "off" else "on"
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol","label_memo":"$labelMemo","queries":$qs,"approx_bounds":$bounds,"sf":"$sfDir"}"""
     println(line)
     // stdout tail-capture can truncate long runs; the file copy is the
     // durable record (driver picks up either). Both files anchor to the
@@ -193,7 +198,7 @@ object Bench {
       val cpusJson =
         if (cpus.matches("[0-9]+")) cpus
         else "\"" + cpus.replaceAll("[\"\\\\]", "") + "\""
-      val stamped = s"""{"ts":"${java.time.Instant.now()}","sf":"$sfDir","cpus":$cpusJson,"protocol":"$protocol","total":$total,"queries":$qs,"reps":$reps}"""
+      val stamped = s"""{"ts":"${java.time.Instant.now()}","sf":"$sfDir","cpus":$cpusJson,"protocol":"$protocol","label_memo":"$labelMemo","total":$total,"queries":$qs,"reps":$reps}"""
       java.nio.file.Files.writeString(
         root.resolve("BENCH_HISTORY.jsonl"), stamped + "\n",
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)

@@ -821,6 +821,152 @@ object CorpusOps {
     sb.toString
   }
 
+  /** q149 [EXT]: BPE ENCODE — the APPLY side q144's trainer stops short
+    * of: a tokenizer exists to be RUN, and at 100 TB the encode pass
+    * over the corpus is where the compute actually goes (training
+    * touches pair counts; encoding touches every document, every
+    * epoch-prep). q149 learns the ordered merge list exactly as q144
+    * does (same candidate ranking, same greedy application — the two
+    * agree by the shared total order), applies ALL R merges to every
+    * document (q144's candidate tables only ever see R−1 applications:
+    * the last winner is mined, never applied), and emits the per-doc
+    * encode report a tokenization job publishes: raw whitespace-token
+    * count, encoded-symbol count, and how many emitted symbols are
+    * merge products. `n_raw − n_enc` is the total merges applied per
+    * doc; Σ over docs is the corpus compression the vocabulary buys —
+    * the number that decides whether R more merge rounds are worth
+    * training. TOTAL contract (q103): sub-2-token docs (nothing to
+    * merge, including empty/null text) pass through with
+    * `n_enc = n_raw`, `n_merged = 0`.
+    *
+    * 100 TB: the learn loop is q144's shape at candidate depth 1
+    * (two-phase pair count + map-side group limit per round; the driver
+    * holds two strings per round); each merge application is the same
+    * ROW-LOCAL positional rewrite ([[applyMerge]] — no shuffle, bodies
+    * never move), with intermediate streams persisted only while two
+    * consumers (next round's count + rewrite) need them; the final
+    * stats projection is map-only and the short-doc arm unions in
+    * without an exchange. In production the merge list ships as an
+    * artifact and ONLY the map-only encode runs — the loop here keeps
+    * the query self-contained and the oracle closed over one input.
+    * FULLY ORACLED: the unrolled mirror re-derives each round's winner
+    * and replays the gaps-and-islands application (q144's recipe,
+    * hardened: winner CTEs join LEFT so an exhausted round is a no-op
+    * on the stream, not an annihilation), then rolls the final stream
+    * up per doc. */
+  val q149BpeEncode: Q = (spark, dir) =>
+    orderAll(bpeEncode(t(spark, dir, "documents"), BpeRounds))
+
+  /** q149's core with explicit geometry, spec-drivable on hand corpora
+    * (q144's factoring pattern). */
+  private[graft] def bpeEncode(docs: DataFrame, rounds: Int): DataFrame = {
+    val base = docs
+      .select(col("doc_id"),
+        filter(split(coalesce(col("text"), lit("")), " "),
+          x => x =!= "").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_raw"),
+        col("toks"))
+    var toks = base.filter(col("n_raw") >= 2).scopedPersist
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      // depth 1: only the winner matters here — q144 owns the ranked
+      // candidate TABLE; the cut is still the map-side group limit
+      val winner = bpeRoundCandidates(toks, 1, r)
+        .filter(col("rk") === 1L)
+        .select(col("t1"), col("t2")).collect()
+      if (winner.isEmpty) {
+        // no adjacent pair anywhere — later rounds are no-ops on both
+        // engines (the oracle's LEFT-joined empty winner CTEs), so the
+        // stream as rewritten so far IS the encoding
+        exhausted = true
+      } else {
+        val (p1, p2) = (winner(0).getString(0), winner(0).getString(1))
+        val next = toks.select(col("doc_id"), col("n_raw"),
+          applyMerge(col("toks"), p1, p2).as("toks"))
+        // intermediate rounds are read twice (next count + rewrite);
+        // the final rewrite feeds the stats projection once
+        toks = if (r < rounds) next.scopedPersist else next
+      }
+      r += 1
+    }
+    val enc = toks.unionByName(base.filter(col("n_raw") < 2))
+    enc.select(col("doc_id"), col("n_raw"),
+      size(col("toks")).cast("long").as("n_enc"),
+      size(filter(col("toks"), tk => instr(tk, BpeSep) >= 1)).cast("long")
+        .as("n_merged"))
+  }
+
+  /** q149's unrolled DuckDB mirror: q144's round CTEs with the winner
+    * applied every round (including the last) and the winner join made
+    * exhaustion-safe (LEFT JOIN ON true — an empty `w` leaves `cand`
+    * false everywhere instead of emptying the stream), then the per-doc
+    * rollup over the final token stream, short docs coalesced back in. */
+  private[graft] def q149Oracle(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH s1 AS (
+        |  SELECT doc_id, i AS pos, toks[i] AS tok
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(coalesce(text, ''), ' '),
+        |                      x -> x <> '') AS toks
+        |        FROM documents),
+        |    unnest(range(1, len(toks) + 1)) AS t(i)
+        |  WHERE len(toks) >= 2)""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+        |p$r AS (
+        |  SELECT t1, t2, count(*) AS cnt FROM (
+        |    SELECT tok AS t1,
+        |      lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+        |    FROM s$r)
+        |  WHERE t2 IS NOT NULL GROUP BY 1, 2),
+        |w$r AS (SELECT t1, t2 FROM p$r
+        |        ORDER BY cnt DESC, t1 ASC, t2 ASC LIMIT 1),
+        |m$r AS (
+        |  SELECT s.doc_id, s.pos, s.tok, w.t1, w.t2,
+        |    row_number() OVER (PARTITION BY s.doc_id ORDER BY s.pos) AS seq,
+        |    (w.t1 IS NOT NULL AND s.tok = w.t1 AND
+        |     lead(s.tok) OVER (PARTITION BY s.doc_id ORDER BY s.pos) = w.t2)
+        |      AS cand
+        |  FROM s$r s LEFT JOIN w$r w ON true),
+        |i$r AS (
+        |  SELECT doc_id, seq,
+        |    row_number() OVER (PARTITION BY doc_id, grp ORDER BY seq) AS k
+        |  FROM (SELECT doc_id, seq,
+        |          seq - row_number() OVER (PARTITION BY doc_id ORDER BY seq)
+        |            AS grp
+        |        FROM m$r WHERE cand)),
+        |sel$r AS (SELECT doc_id, seq FROM i$r WHERE k % 2 = 1),
+        |s${r + 1} AS (
+        |  SELECT m.doc_id, m.pos,
+        |    CASE WHEN sel.seq IS NOT NULL THEN m.t1 || chr(1) || m.t2
+        |         ELSE m.tok END AS tok
+        |  FROM m$r m
+        |  LEFT JOIN sel$r sel ON sel.doc_id = m.doc_id AND sel.seq = m.seq
+        |  LEFT JOIN sel$r drp ON drp.doc_id = m.doc_id AND drp.seq = m.seq - 1
+        |  WHERE drp.seq IS NULL)""".stripMargin)
+    }
+    sb.append(s""",
+        |enc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_enc,
+        |    CAST(count(*) FILTER (WHERE instr(tok, chr(1)) >= 1) AS BIGINT)
+        |      AS n_merged
+        |  FROM s${rounds + 1} GROUP BY doc_id),
+        |raw AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+        |                         x -> x <> '')) AS BIGINT) AS n_raw
+        |  FROM documents)
+        |SELECT r.doc_id, r.n_raw,
+        |  coalesce(e.n_enc, r.n_raw) AS n_enc,
+        |  coalesce(e.n_merged, CAST(0 AS BIGINT)) AS n_merged
+        |FROM raw r LEFT JOIN enc e ON e.doc_id = r.doc_id
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+        |  4 NULLS FIRST""".stripMargin)
+    sb.toString
+  }
+
   /** The planted boilerplate tail — a 12-token footer shared across the
     * plant (every `% 7` doc gets it appended; every `% 11` doc spawns an
     * almost-pure-boilerplate page). Interpolated into the q105 oracle so
@@ -1170,6 +1316,7 @@ object CorpusOps {
     "q75_knn_join" -> q75KnnJoin,
     "q78_bpe_bigrams" -> q78BpeBigrams,
     "q144_bpe_merge_loop" -> q144BpeMergeLoop,
+    "q149_bpe_encode" -> q149BpeEncode,
     "q100_knn_ivf" -> q100KnnIvf,
     "q101_knn_pq" -> q101KnnPq)
 
@@ -1493,6 +1640,7 @@ object CorpusOps {
         |SELECT t1, t2, cnt FROM top
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "q144_bpe_merge_loop" -> q144Oracle(BpeRounds, BpeTopK),
+    "q149_bpe_encode" -> q149Oracle(BpeRounds),
     "q100_knn_ivf" ->
       // the coarse quantizer, cell assignment, nProbe=2 probe lists, and
       // exact re-rank are all deterministic arithmetic — round-6 cosine,

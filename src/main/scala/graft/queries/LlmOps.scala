@@ -323,25 +323,13 @@ object LlmOps {
     * pair stream never materializes, let alone moves. FULLY ORACLED:
     * featurization, weight derivation, and sum are engine-portable
     * integer arithmetic (q70's no-libm argument) — DuckDB re-derives
-    * the weight table from the same scramble and folds the same sum. */
-  val q147QualityClassifier: Q = (spark, dir) => {
-    val d = t(spark, dir, "documents")
-    val toks = split(col("text"), " ")
-    // q87's portable token code: pure length/first-char arithmetic,
-    // bit-identical in both engines (no library string hash)
-    def code(tk: org.apache.spark.sql.Column) =
-      (length(tk) * 17 + ascii(substring(tk, 1, 1))).cast("long")
-    val table = typedlit(QcWeights.toArray)
-    def weight(tk: org.apache.spark.sql.Column) = element_at(table,
-      (knuthBucket2(code(tk), QcBuckets.toLong) + 1).cast("int"))
-    // single-pass fold — no transform() intermediate array, no explode
-    val score = aggregate(toks, lit(0L), (acc, tk) => acc + weight(tk))
-    orderAll(d.select(
-      col("doc_id"),
-      size(toks).cast("long").as("n_tok"),
-      score.as("score"),
-      (score >= 0L).as("keep")))
-  }
+    * the weight table from the same scramble and folds the same sum.
+    * The scoring projection lives in
+    * [[graft.streaming.ClassifierGate]] (the s82/s85/s93 shared
+    * batch/stream code-object convention) so the s95 ingest-time gate
+    * runs the IDENTICAL expression this oracle certifies. */
+  val q147QualityClassifier: Q = (spark, dir) =>
+    orderAll(graft.streaming.ClassifierGate.gate(t(spark, dir, "documents")))
 
   /** q86: token counting — whitespace tokens, regex (BPE-ish word/number
     * pieces), and the chars/4 subword estimate. */

@@ -145,7 +145,22 @@ object ScaleProbe {
     // q146 reads the same memoized label table and rolls it up twice
     // (cluster, then multiplicity) — both exchanges SHRINK, so its wall
     // must track the verdict join's doc stream and nothing else
-    "q146_dedup_audit")
+    "q146_dedup_audit",
+    // round 13 additions: q147 is the q139 map-only class (row-local
+    // HOF dot product against a folded literal — superlinearity means
+    // the fold stopped being row-local); q148 is THE scale claim of the
+    // round — Δ-pair generation must stay band-key-local as the
+    // universe grows k× (salted copies keep cross-copy shingles
+    // disjoint, so each copy's batch only pairs within its copy) and
+    // the propagation must ride the affected SUBGRAPH (per-copy
+    // duplicate structure replays, so affected-cluster count grows
+    // linearly while untouched labels only cross the anti-join)
+    "q147_quality_classifier", "q148_label_incremental",
+    // q149's learn loop re-counts the k× token stream per round (the
+    // q144 argument: salted copies keep the base corpus's winners) and
+    // the encode pass is row-local — superlinearity would mean a merge
+    // application stopped being positional per-row work
+    "q149_bpe_encode")
   private val Ks = Seq(1, 4, 8)
   private val Shift = 9700000L // lcm(97, 10) × 10,000 — residue-preserving
   private val GrowthFactor = 1.5
@@ -614,7 +629,8 @@ object ScaleProbe {
       math.min(rep(), rep())
     }
     val streamWalls: Map[String, Map[Int, (Double, Long)]] =
-      Seq("s88_token_meter", "s91_funnel", "s92_dup_ring").map { s =>
+      Seq("s88_token_meter", "s91_funnel", "s92_dup_ring",
+        "s93_chunker", "s94_minwise_panel", "s95_classifier_gate").map { s =>
         s -> dirs.map { case (k, dir) =>
           val wall = s match {
             case "s88_token_meter" =>
@@ -641,6 +657,56 @@ object ScaleProbe {
               (timeStream[(Long, String, Long, Long), graft.streaming.FunnelTracker.Out](
                 w.toSeq, b.toSeq, ds => graft.streaming.FunnelTracker.track(ds)),
                 b.length.toLong) // bulk only: warm rows are untimed
+            case "s93_chunker" =>
+              // stateless ingest chunker (batch twin q130): no state
+              // store at all — the probe certifies the streamed Generate
+              // stays row-local as the doc stream grows k× (fixed costs
+              // here are micro-batch planning, not store commits)
+              val rows = spark.read.parquet(s"$dir/documents.parquet")
+                .select(col("doc_id"), col("text"))
+                .orderBy("doc_id").limit(MaxStreamRows)
+                .as[(Long, String)].collect().sortBy(_._1)
+              if (rows.length == MaxStreamRows)
+                System.err.println(s"[scaleprobe] s93 cell CAPPED at $MaxStreamRows rows")
+              val (w, b) = rows.splitAt(math.min(64, rows.length / 10))
+              (timeStream[(Long, String), (Long, Long, Long, Long, String)](
+                w.toSeq, b.toSeq, ds => graft.streaming.Chunker.chunk(
+                    ds.toDF("doc_id", "text"), graft.queries.LlmOps.ChunkWindow,
+                    graft.queries.LlmOps.ChunkStride)
+                  .as[(Long, Long, Long, Long, String)]),
+                b.length.toLong) // bulk only: warm rows are untimed
+            case "s95_classifier_gate" =>
+              // stateless ingest classifier (batch twin q147): no state
+              // store — the probe certifies the per-row hashed-feature
+              // fold stays row-local as the doc stream grows k×
+              val rows = spark.read.parquet(s"$dir/documents.parquet")
+                .select(col("doc_id"), col("text"))
+                .orderBy("doc_id").limit(MaxStreamRows)
+                .as[(Long, String)].collect().sortBy(_._1)
+              if (rows.length == MaxStreamRows)
+                System.err.println(s"[scaleprobe] s95 cell CAPPED at $MaxStreamRows rows")
+              val (w, b) = rows.splitAt(math.min(64, rows.length / 10))
+              (timeStream[(Long, String), (Long, Long, Long, Boolean)](
+                w.toSeq, b.toSeq, ds => graft.streaming.ClassifierGate
+                  .gate(ds.toDF("doc_id", "text"))
+                  .as[(Long, Long, Long, Boolean)]),
+                b.length.toLong) // bulk only: warm rows are untimed
+            case "s94_minwise_panel" =>
+              // CDC minwise panel (batch twin q137): state is K·|sources|
+              // pairs regardless of volume — the probe certifies the
+              // per-arrival panel fold stays flat as the doc stream
+              // grows k× (the event log emitted shrinks per row as
+              // panels saturate, so any wall growth is pure fold cost)
+              val rows = spark.read.parquet(s"$dir/documents.parquet")
+                .select(col("source"), col("doc_id"))
+                .orderBy("doc_id").limit(MaxStreamRows)
+                .as[(String, Long)].collect().sortBy(_._2)
+              if (rows.length == MaxStreamRows)
+                System.err.println(s"[scaleprobe] s94 cell CAPPED at $MaxStreamRows rows")
+              val (w, b) = rows.splitAt(math.min(64, rows.length / 10))
+              (timeStream[(String, Long), graft.streaming.MinwisePanel.Out](
+                w.toSeq, b.toSeq, ds => graft.streaming.MinwisePanel.panel(ds)),
+                b.length.toLong) // bulk only: warm rows are untimed
             case _ =>
               val rows = spark.read.parquet(s"$dir/documents.parquet")
                 .select(col("source"), col("doc_id"), xxhash64(col("text")).as("fp"))
@@ -662,12 +728,15 @@ object ScaleProbe {
     sb.append("The full k× corpus/event stream through MemoryStream → ")
     sb.append("StatefulProcessor on RocksDB (one warm micro-batch untimed, then ")
     sb.append("the timed bulk batch). State is O(langs) / O(users) / O(K·sources) ")
-    sb.append("by construction; linear wall certifies the per-row fold cost stays ")
-    sb.append("flat as volume grows:\n\n")
+    sb.append("/ none (s93, the stateless ingest chunker) / O(K·sources) (s94's ")
+    sb.append("CDC panel) / none (s95, the stateless classifier gate) by ")
+    sb.append("construction; linear wall certifies the per-row ")
+    sb.append("fold cost stays flat as volume grows:\n\n")
     sb.append("| op | k=1 wall | k=4 wall (ratio) | k=8 wall (ratio) | rows k=1→4→8 | rows/s at k=8 | gate (≤1.5k) |\n")
     sb.append("|---|---|---|---|---|---|---|\n")
     var streamPass = true
-    Seq("s88_token_meter", "s91_funnel", "s92_dup_ring").foreach { s =>
+    Seq("s88_token_meter", "s91_funnel", "s92_dup_ring",
+      "s93_chunker", "s94_minwise_panel", "s95_classifier_gate").foreach { s =>
       val m = streamWalls(s)
       val (w1, n1) = m(1); val (w4, n4) = m(4); val (w8, n8) = m(8)
       val (g4, g8) = (w4 / w1, w8 / w1)

@@ -469,4 +469,41 @@ class CorpusOpsSpec extends SparkSpec {
     val solo = Seq(1L -> "x").toDF("doc_id", "text")
     assert(CorpusOps.bpeMergeLoop(solo, rounds = 2, topK = 5).collect().isEmpty)
   }
+
+  test("q149: encode applies ALL learned merges (incl. the last round's) and short docs pass through") {
+    // q144's hand corpus (same learned winners by the shared total
+    // order: r1 (a,b), r2 (c,c), r3 (ab,ab)) + a 1-token and an empty
+    // doc for the TOTAL pass-through arm
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, "c c c c c"),
+      (3L, "a b c"),
+      (4L, "x"),
+      (5L, "")).toDF("doc_id", "text")
+    val got = CorpusOps.bpeEncode(docs, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      // [a b a b a b] -> [ab ab ab] -> (c,c) no-op -> [abab ab]:
+      // round 3's winner IS applied (q144 would stop at [ab ab ab])
+      (1L, 6L, 2L, 2L),
+      // [c c c c c] -> greedy parity [cc cc c]: 2 merged symbols
+      (2L, 5L, 3L, 2L),
+      // [a b c] -> [ab c]
+      (3L, 3L, 2L, 1L),
+      (4L, 1L, 1L, 0L),
+      (5L, 0L, 0L, 0L)),
+      s"encode diverged:\n${got.mkString("\n")}")
+  }
+
+  test("q149: merge exhaustion leaves the stream as-rewritten; later rounds are no-ops") {
+    // round 1 merges the only pair everywhere; rounds 2..4 find nothing
+    // and must leave [ab] docs intact (the oracle's LEFT-joined empty
+    // winner is a no-op, not an annihilation)
+    val docs = Seq(1L -> "a b", 2L -> "a b").toDF("doc_id", "text")
+    val got = CorpusOps.bpeEncode(docs, rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L, 1L, 1L), (2L, 2L, 1L, 1L)), s"got $got")
+  }
 }

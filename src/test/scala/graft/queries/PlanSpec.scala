@@ -348,6 +348,21 @@ class PlanSpec extends SparkSpec {
       s"unexpected join in a map-only round:\n$p")
   }
 
+  test("q149: the encode pass is map-only — no exchange but the dump sort, no join") {
+    // the 100 TB contract of the APPLY side: once the merge list is in
+    // hand (the loop's pair counts run in their own earlier actions),
+    // encoding is one pass over the token stream — the final plan is
+    // the last row-local rewrite + the short-doc union + the stats
+    // projection + orderAll's range sort. A hash exchange or a join
+    // here means the rewrite started moving document bodies.
+    val p = plan("q149_bpe_encode")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"encode pass shuffled on a key:\n$p")
+    Seq("CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+      "ShuffledHashJoin", "BroadcastNestedLoopJoin").foreach(j =>
+      assert(!p.contains(j), s"unexpected $j in the encode plan:\n$p"))
+  }
+
   test("q145: the composed rewrite's final plan stays inside its shuffle budget") {
     // the composition's 100 TB contract: the whole DAG shuffles on
     // exactly TWO key families — doc_id (verdict attach + audit

@@ -1248,6 +1248,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s95: the stateless classifier gate streams at ingest, row-identical to the oracled q147 batch") {
+    // quality classification is safe to run AT INGEST because it is a
+    // pure projection (graft.streaming.ClassifierGate — the s82/s85/s93
+    // shared-code-object convention): no state store, no watermark,
+    // each arriving doc carries its verdict out of its own micro-batch.
+    // The pin: the real sf documents fixture streamed in three
+    // micro-batches must produce EXACTLY the DuckDB-oracled q147 batch
+    // answer's rows.
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("q147_quality_classifier")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    // both verdict classes must occur, or the parity pin is vacuous
+    assert(batch.exists(_._4) && batch.exists(!_._4),
+      "fixture scores never cross the threshold — the gate pin is vacuous")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(docs.nonEmpty)
+    val chunks = docs.grouped((docs.length + 2) / 3).toSeq
+    val in = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.ClassifierGate.gate(in.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("s95_out").start()
+    try {
+      chunks.foreach { c => in.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+      val got = spark.table("s95_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .toSet
+      assert(got == batch,
+        s"stream classifier diverged from the oracled batch answer:\n" +
+          s"stream-only=${(got -- batch).take(3)}\nbatch-only=${(batch -- got).take(3)}")
+      // and it really is stateless: no state operator in the progress
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "the classifier gate must not create a state operator")
+    } finally q.stop()
+  }
+
   test("s94: the minwise panel's CDC stream reconstructs exactly the oracled q137 batch answer") {
     // per-source K-minwise audit sample in transformWithState ListState,
     // emitted as an enter/evict event log (the evict row IS the
