@@ -897,12 +897,150 @@ object CorpusOps {
         .as("n_merged"))
   }
 
+  /** The ordered merge list alone — q149's learn loop without the final
+    * stats projection, returned as the ARTIFACT a tokenizer trainer
+    * ships (Sennrich et al. 2016's merges.txt): R driver-held string
+    * pairs. q150 and the s96 ingest-time encoder fold this list over
+    * each document via [[graft.streaming.BpeEncoder.encode]] — per-doc
+    * sequential application of the ordered list is exactly what the
+    * corpus-level loop computes, so artifact-encode ≡ loop-encode
+    * (CorpusOpsSpec pins it row-identical). Same persist discipline as
+    * [[bpeEncode]]: intermediate streams are read twice (count +
+    * rewrite), the last round only counts, so its rewrite is skipped
+    * entirely. */
+  private[graft] def learnMerges(docs: DataFrame,
+      rounds: Int): Seq[(String, String)] = {
+    var toks = docs
+      .select(col("doc_id"),
+        filter(split(coalesce(col("text"), lit("")), " "),
+          x => x =!= "").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .scopedPersist
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val winner = bpeRoundCandidates(toks, 1, r)
+        .filter(col("rk") === 1L)
+        .select(col("t1"), col("t2")).collect()
+      if (winner.isEmpty) exhausted = true
+      else {
+        val (p1, p2) = (winner(0).getString(0), winner(0).getString(1))
+        merges += ((p1, p2))
+        if (r < rounds) {
+          val next = toks.select(col("doc_id"),
+            applyMerge(col("toks"), p1, p2).as("toks"))
+          toks = if (r + 1 < rounds) next.scopedPersist else next
+        }
+      }
+      r += 1
+    }
+    merges.toSeq
+  }
+
+  /** q150 [EXT]: per-language tokenizer compression report — the
+    * multilingual tokenizer-evaluation table (fertility/compression by
+    * language is THE standard lens on whether a learned vocabulary
+    * serves every language it will tokenize, cf. the BLOOM/XLM-R
+    * tokenizer analyses): learn the merge list once ([[learnMerges]] —
+    * the shipped artifact), then ONE corpus scan computes, row-locally,
+    * both q84's stopword-argmax language verdict and the artifact-fold
+    * encode stats ([[graft.streaming.BpeEncoder.encode]]), and a
+    * per-language aggregate rolls up docs, raw/encoded/merged token
+    * sums, and compression = Σn_raw / Σn_enc (round 6, 0 when a
+    * language bucket holds only empty docs). A language whose
+    * compression sits at 1.0 is one the vocabulary does nothing for —
+    * the signal that decides where the next merge rounds' budget goes.
+    *
+    * 100 TB: the learn loop is q149's (driver holds R string pairs);
+    * the report pass is a single map-only scan (language scoring and
+    * encode are both row-local — NO join between them, they ride the
+    * same projection) into one SHRINKING hash aggregate keyed on
+    * lang_pred (≤5 groups; partial aggregation collapses each partition
+    * to ≤5 rows before the exchange). PlanSpec pins exactly one hash
+    * exchange and zero joins. FULLY ORACLED: q149's unrolled CTE chain
+    * shared verbatim ([[q149Ctes]]), composed with q84's language CASE
+    * and grouped — both engines close over the same single input. */
+  val q150EncodeByLang: Q = (spark, dir) =>
+    orderAll(encodeByLang(t(spark, dir, "documents"), BpeRounds))
+
+  /** q150's core with explicit geometry, spec-drivable on hand corpora
+    * (the bpeEncode factoring pattern). */
+  private[graft] def encodeByLang(docs: DataFrame, rounds: Int): DataFrame = {
+    val merges = learnMerges(docs, rounds)
+    val scored = docs.select(
+      col("doc_id") +: col("text") +: LlmOps.langScoredCols: _*)
+    val withLang = scored.select(col("doc_id"), col("text"),
+      LlmOps.langPredFromScores.as("lang_pred"))
+    val perDoc = graft.streaming.BpeEncoder.encode(withLang, merges,
+      keep = Seq("lang_pred"))
+    val agg = perDoc.groupBy("lang_pred").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_raw")).as("sum_raw"),
+      sum(col("n_enc")).as("sum_enc"),
+      sum(col("n_merged")).as("sum_merged"))
+    agg.select(col("lang_pred"), col("n_docs"), col("sum_raw"),
+      col("sum_enc"), col("sum_merged"),
+      round(when(col("sum_enc") > 0,
+        col("sum_raw").cast("double") / col("sum_enc").cast("double"))
+        .otherwise(lit(0.0)), 6).as("compression"))
+  }
+
+  /** q150's DuckDB mirror: q149's shared CTE chain, plus q84's language
+    * CASE (same stopword lists, same priority order) and the per-doc
+    * rollup grouped by predicted language. Sums cast HUGEINT → BIGINT
+    * (the check_hash dtype rule); compression guarded with
+    * coalesce(x / nullif(d, 0), 0) — qualityExpr's total contract. */
+  private[graft] def q150Oracle(rounds: Int): String =
+    q149Ctes(rounds) + s""",
+        |lang AS (
+        |  SELECT doc_id,
+        |    CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+        |         WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+        |         WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+        |         WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+        |         ELSE 'fr' END AS lang_pred
+        |  FROM (SELECT doc_id,
+        |          len(list_filter(string_split(text, ' '), x -> list_contains(['the','a','of','and'], x))) AS s_en,
+        |          len(list_filter(string_split(text, ' '), x -> list_contains(['el','la','de','y'], x))) AS s_es,
+        |          len(list_filter(string_split(text, ' '), x -> list_contains(['der','die','das','und'], x))) AS s_de,
+        |          len(list_filter(string_split(text, ' '), x -> list_contains(['le','la','de','et'], x))) AS s_fr
+        |        FROM documents)),
+        |perdoc AS (
+        |  SELECT r.doc_id, r.n_raw,
+        |    coalesce(e.n_enc, r.n_raw) AS n_enc,
+        |    coalesce(e.n_merged, CAST(0 AS BIGINT)) AS n_merged
+        |  FROM raw r LEFT JOIN enc e ON e.doc_id = r.doc_id)
+        |SELECT l.lang_pred,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(p.n_raw) AS BIGINT) AS sum_raw,
+        |  CAST(sum(p.n_enc) AS BIGINT) AS sum_enc,
+        |  CAST(sum(p.n_merged) AS BIGINT) AS sum_merged,
+        |  round(coalesce(CAST(sum(p.n_raw) AS DOUBLE)
+        |          / nullif(CAST(sum(p.n_enc) AS DOUBLE), 0), 0.0), 6)
+        |    AS compression
+        |FROM perdoc p JOIN lang l ON l.doc_id = p.doc_id
+        |GROUP BY 1
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+        |  4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""".stripMargin
+
   /** q149's unrolled DuckDB mirror: q144's round CTEs with the winner
     * applied every round (including the last) and the winner join made
     * exhaustion-safe (LEFT JOIN ON true — an empty `w` leaves `cand`
     * false everywhere instead of emptying the stream), then the per-doc
-    * rollup over the final token stream, short docs coalesced back in. */
-  private[graft] def q149Oracle(rounds: Int): String = {
+    * rollup over the final token stream, short docs coalesced back in.
+    * The CTE chain through `enc`/`raw` is factored ([[q149Ctes]]) so
+    * q150's grouped mirror composes over it verbatim. */
+  private[graft] def q149Oracle(rounds: Int): String =
+    q149Ctes(rounds) + s"""
+        |SELECT r.doc_id, r.n_raw,
+        |  coalesce(e.n_enc, r.n_raw) AS n_enc,
+        |  coalesce(e.n_merged, CAST(0 AS BIGINT)) AS n_merged
+        |FROM raw r LEFT JOIN enc e ON e.doc_id = r.doc_id
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+        |  4 NULLS FIRST""".stripMargin
+
+  private def q149Ctes(rounds: Int): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH s1 AS (
@@ -957,13 +1095,7 @@ object CorpusOps {
         |  SELECT doc_id,
         |    CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
         |                         x -> x <> '')) AS BIGINT) AS n_raw
-        |  FROM documents)
-        |SELECT r.doc_id, r.n_raw,
-        |  coalesce(e.n_enc, r.n_raw) AS n_enc,
-        |  coalesce(e.n_merged, CAST(0 AS BIGINT)) AS n_merged
-        |FROM raw r LEFT JOIN enc e ON e.doc_id = r.doc_id
-        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
-        |  4 NULLS FIRST""".stripMargin)
+        |  FROM documents)""".stripMargin)
     sb.toString
   }
 
@@ -1317,6 +1449,7 @@ object CorpusOps {
     "q78_bpe_bigrams" -> q78BpeBigrams,
     "q144_bpe_merge_loop" -> q144BpeMergeLoop,
     "q149_bpe_encode" -> q149BpeEncode,
+    "q150_encode_by_lang" -> q150EncodeByLang,
     "q100_knn_ivf" -> q100KnnIvf,
     "q101_knn_pq" -> q101KnnPq)
 
@@ -1641,6 +1774,7 @@ object CorpusOps {
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "q144_bpe_merge_loop" -> q144Oracle(BpeRounds, BpeTopK),
     "q149_bpe_encode" -> q149Oracle(BpeRounds),
+    "q150_encode_by_lang" -> q150Oracle(BpeRounds),
     "q100_knn_ivf" ->
       // the coarse quantizer, cell assignment, nProbe=2 probe lists, and
       // exact re-rank are all deterministic arithmetic — round-6 cosine,

@@ -235,21 +235,35 @@ object LlmOps {
     size(filter(toks, tk => tk.isInCollection(stopwords(lang))))
   }
 
+  /** q84's per-language stopword hit counts as named columns — factored
+    * so q150's per-language encode report scores a document's language
+    * with the SAME spelling q84's oracle certifies (the qualityExpr
+    * convention: one expression, no drift between its consumers). */
+  private[graft] def langScoredCols: Seq[org.apache.spark.sql.Column] =
+    Seq(stopScore("en").as("s_en"), stopScore("es").as("s_es"),
+      stopScore("de").as("s_de"), stopScore("fr").as("s_fr"))
+
+  /** The argmax over materialized s_en..s_fr score columns, fixed
+    * priority order (en>es>de>fr, else und) — q84's decision rule. Run
+    * it over a projection that already bound [[langScoredCols]]: the
+    * scores are referenced up to five times, and attributes are free
+    * where re-running the stopword filters is not. */
+  private[graft] def langPredFromScores: org.apache.spark.sql.Column = {
+    val top = greatest(col("s_en"), col("s_es"), col("s_de"), col("s_fr"))
+    when(top === 0, lit("und"))
+      .when(col("s_en") === top, lit("en"))
+      .when(col("s_es") === top, lit("es"))
+      .when(col("s_de") === top, lit("de"))
+      .otherwise(lit("fr"))
+  }
+
   /** q84: language-ID heuristic — per-language stopword hit counts,
     * argmax with a fixed priority order (en>es>de>fr, else und). */
   val q84LangId: Q = (spark, dir) => {
     val d = t(spark, dir, "documents")
     val scored = d.select(
-      col("doc_id"), col("lang").as("lang_true"),
-      stopScore("en").as("s_en"), stopScore("es").as("s_es"),
-      stopScore("de").as("s_de"), stopScore("fr").as("s_fr"))
-    val top = greatest(col("s_en"), col("s_es"), col("s_de"), col("s_fr"))
-    orderAll(scored.withColumn("lang_pred",
-      when(top === 0, lit("und"))
-        .when(col("s_en") === top, lit("en"))
-        .when(col("s_es") === top, lit("es"))
-        .when(col("s_de") === top, lit("de"))
-        .otherwise(lit("fr"))))
+      col("doc_id") +: col("lang").as("lang_true") +: langScoredCols: _*)
+    orderAll(scored.withColumn("lang_pred", langPredFromScores))
   }
 
   /** The q85 quality score (rounded 6 dp) over a `text` column —

@@ -160,7 +160,11 @@ object ScaleProbe {
     // q144 argument: salted copies keep the base corpus's winners) and
     // the encode pass is row-local — superlinearity would mean a merge
     // application stopped being positional per-row work
-    "q149_bpe_encode")
+    "q149_bpe_encode",
+    // q150 adds only row-local language scoring and a <=5-group agg on
+    // top of q149's learn+encode — its wall must track q149's, and
+    // superlinearity would mean the report stopped riding one scan
+    "q150_encode_by_lang")
   private val Ks = Seq(1, 4, 8)
   private val Shift = 9700000L // lcm(97, 10) × 10,000 — residue-preserving
   private val GrowthFactor = 1.5
@@ -630,7 +634,8 @@ object ScaleProbe {
     }
     val streamWalls: Map[String, Map[Int, (Double, Long)]] =
       Seq("s88_token_meter", "s91_funnel", "s92_dup_ring",
-        "s93_chunker", "s94_minwise_panel", "s95_classifier_gate").map { s =>
+        "s93_chunker", "s94_minwise_panel", "s95_classifier_gate",
+        "s96_bpe_encode").map { s =>
         s -> dirs.map { case (k, dir) =>
           val wall = s match {
             case "s88_token_meter" =>
@@ -691,6 +696,27 @@ object ScaleProbe {
                   .gate(ds.toDF("doc_id", "text"))
                   .as[(Long, Long, Long, Boolean)]),
                 b.length.toLong) // bulk only: warm rows are untimed
+            case "s96_bpe_encode" =>
+              // stateless artifact-fold encode (batch twin q149/q150):
+              // the merge list is learned UNTIMED (it is the shipped
+              // artifact, not ingest work), then the probe certifies
+              // the per-row R-layer fold stays row-local as the doc
+              // stream grows k×
+              val rows = spark.read.parquet(s"$dir/documents.parquet")
+                .select(col("doc_id"), col("text"))
+                .orderBy("doc_id").limit(MaxStreamRows)
+                .as[(Long, String)].collect().sortBy(_._1)
+              if (rows.length == MaxStreamRows)
+                System.err.println(s"[scaleprobe] s96 cell CAPPED at $MaxStreamRows rows")
+              val merges = graft.queries.CorpusOps.learnMerges(
+                spark.createDataset(rows.toIndexedSeq).toDF("doc_id", "text"),
+                graft.queries.CorpusOps.BpeRounds)
+              val (w, b) = rows.splitAt(math.min(64, rows.length / 10))
+              (timeStream[(Long, String), (Long, Long, Long, Long)](
+                w.toSeq, b.toSeq, ds => graft.streaming.BpeEncoder
+                  .encode(ds.toDF("doc_id", "text"), merges)
+                  .as[(Long, Long, Long, Long)]),
+                b.length.toLong) // bulk only: warm rows are untimed
             case "s94_minwise_panel" =>
               // CDC minwise panel (batch twin q137): state is K·|sources|
               // pairs regardless of volume — the probe certifies the
@@ -729,14 +755,16 @@ object ScaleProbe {
     sb.append("StatefulProcessor on RocksDB (one warm micro-batch untimed, then ")
     sb.append("the timed bulk batch). State is O(langs) / O(users) / O(K·sources) ")
     sb.append("/ none (s93, the stateless ingest chunker) / O(K·sources) (s94's ")
-    sb.append("CDC panel) / none (s95, the stateless classifier gate) by ")
+    sb.append("CDC panel) / none (s95, the stateless classifier gate) ")
+    sb.append("/ none (s96, the stateless artifact-fold BPE encoder) by ")
     sb.append("construction; linear wall certifies the per-row ")
     sb.append("fold cost stays flat as volume grows:\n\n")
     sb.append("| op | k=1 wall | k=4 wall (ratio) | k=8 wall (ratio) | rows k=1→4→8 | rows/s at k=8 | gate (≤1.5k) |\n")
     sb.append("|---|---|---|---|---|---|---|\n")
     var streamPass = true
     Seq("s88_token_meter", "s91_funnel", "s92_dup_ring",
-      "s93_chunker", "s94_minwise_panel", "s95_classifier_gate").foreach { s =>
+      "s93_chunker", "s94_minwise_panel", "s95_classifier_gate",
+      "s96_bpe_encode").foreach { s =>
       val m = streamWalls(s)
       val (w1, n1) = m(1); val (w4, n4) = m(4); val (w8, n8) = m(8)
       val (g4, g8) = (w4 / w1, w8 / w1)

@@ -506,4 +506,50 @@ class CorpusOpsSpec extends SparkSpec {
       .sortBy(_._1).toSeq
     assert(got == Seq((1L, 2L, 1L, 1L), (2L, 2L, 1L, 1L)), s"got $got")
   }
+
+  test("q150: artifact-path encode (learnMerges + BpeEncoder) is row-identical to q149's loop encode") {
+    // the production-posture claim: per-doc sequential application of
+    // the shipped ordered merge list computes exactly what the
+    // corpus-level loop computed — q149's hand corpus, all three rounds
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, "c c c c c"),
+      (3L, "a b c"),
+      (4L, "x"),
+      (5L, "")).toDF("doc_id", "text")
+    val merges = CorpusOps.learnMerges(docs, rounds = 3)
+    val ab = "a" + CorpusOps.BpeSep + "b"
+    assert(merges == Seq(("a", "b"), ("c", "c"), (ab, ab)),
+      s"unexpected merge list: $merges")
+    val loop = CorpusOps.bpeEncode(docs, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val artifact = graft.streaming.BpeEncoder.encode(docs, merges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(artifact == loop,
+      s"artifact encode diverged from the loop:\nartifact-only=${artifact -- loop}\nloop-only=${loop -- artifact}")
+  }
+
+  test("q150: per-language report groups the encode stats under q84's language verdict") {
+    // round 1: all pairs count 1, smallest t1 is 'a' -> (a, of) merges
+    // only inside doc 1; round 2: 'a<SEP>of' sorts before every plain
+    // token (0x01 < any letter) -> (a<SEP>of, and) nests the merge.
+    // Language scores ride the RAW text: doc 1 all-English stopwords,
+    // doc 2 all-Spanish, docs 3-5 hit nothing -> und (incl. the
+    // 1-token and empty pass-through docs).
+    val docs = Seq(
+      (1L, "the a of and the"),
+      (2L, "el la de y"),
+      (3L, "foo bar"),
+      (4L, "x"),
+      (5L, "")).toDF("doc_id", "text")
+    val got = CorpusOps.encodeByLang(docs, rounds = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("en", 1L, 5L, 3L, 1L, 1.666667),
+      ("es", 1L, 4L, 4L, 0L, 1.0),
+      ("und", 3L, 3L, 3L, 0L, 1.0)),
+      s"report diverged:\n${got.mkString("\n")}")
+  }
 }

@@ -363,6 +363,23 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains(j), s"unexpected $j in the encode plan:\n$p"))
   }
 
+  test("q150: one scan, one shrinking exchange — language scoring and encode share a projection") {
+    // the report's 100 TB contract: lang-ID and the artifact-fold
+    // encode are BOTH row-local over the same documents scan (no join
+    // stitching them), and the only hash exchange is the per-language
+    // aggregate — which partial aggregation shrinks to <= 5 rows per
+    // partition before anything moves. A join, or a second hash
+    // exchange, means the two projections stopped riding one scan.
+    val p = plan("q150_encode_by_lang")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 1, s"expected one shrinking agg exchange, got $hashEx:\n$p")
+    Seq("CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+      "ShuffledHashJoin", "BroadcastNestedLoopJoin").foreach(j =>
+      assert(!p.contains(j), s"unexpected $j in the report plan:\n$p"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"per-language rollup is not partial-aggregated:\n$p")
+  }
+
   test("q145: the composed rewrite's final plan stays inside its shuffle budget") {
     // the composition's 100 TB contract: the whole DAG shuffles on
     // exactly TWO key families — doc_id (verdict attach + audit

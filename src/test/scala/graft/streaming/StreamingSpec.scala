@@ -1287,6 +1287,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s96: stream-side BPE encode with the learned merge artifact matches the oracled q149 batch") {
+    // the production posture q149's scaladoc promises, made literal:
+    // train ships the ordered merge list (learnMerges, computed in
+    // batch), and ingest runs ONLY the stateless artifact-fold encode
+    // (graft.streaming.BpeEncoder — the shared batch/stream code
+    // object). The pin: the real sf documents fixture streamed in three
+    // micro-batches must produce EXACTLY the DuckDB-oracled q149 batch
+    // answer's rows — the stream rides q149's oracle.
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("q149_bpe_encode")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // some doc must actually carry a merge, or the artifact pin is vacuous
+    assert(batch.exists(_._4 > 0),
+      "no merges applied on the fixture — the artifact parity pin is vacuous")
+    val docsDf = spark.read.parquet(s"$sf/documents.parquet")
+    val merges = graft.queries.CorpusOps.learnMerges(docsDf,
+      graft.queries.CorpusOps.BpeRounds)
+    assert(merges.nonEmpty)
+    val docs = docsDf.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val chunks = docs.grouped((docs.length + 2) / 3).toSeq
+    val in = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.BpeEncoder
+      .encode(in.toDF().toDF("doc_id", "text"), merges)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("s96_out").start()
+    try {
+      chunks.foreach { c => in.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+      val got = spark.table("s96_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == batch,
+        s"stream encode diverged from the oracled batch answer:\n" +
+          s"stream-only=${(got -- batch).take(3)}\nbatch-only=${(batch -- got).take(3)}")
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "the artifact encoder must not create a state operator")
+    } finally q.stop()
+  }
+
   test("s94: the minwise panel's CDC stream reconstructs exactly the oracled q137 batch answer") {
     // per-source K-minwise audit sample in transformWithState ListState,
     // emitted as an enter/evict event log (the evict row IS the
