@@ -1099,6 +1099,79 @@ object CorpusOps {
     sb.toString
   }
 
+  /** q151 [EXT]: intra-document repetition profile — the Gopher/FineWeb
+    * repetition quality signals (Rae et al. 2021 §A1.1: documents whose
+    * content loops are low-quality regardless of vocabulary): per doc,
+    * the duplicate-token fraction (1 − distinct/total), the longest run
+    * of one repeated token, and the modal-bigram fraction (occurrences
+    * of the most frequent word bigram over all bigram slots — the
+    * "top n-gram character fraction" family at n=2). High values flag
+    * generated/boilerplate loops that survive naive quality scores.
+    * TOTAL contract (q103): empty docs report (0, 0.0, 0, 0.0); 1-token
+    * docs have run 1 and no bigram slots (frac 0).
+    *
+    * 100 TB: token count, distinct count, and max run are ROW-LOCAL
+    * (array_distinct + an O(n) bound-accumulator fold — no explode, no
+    * shuffle); only the modal-bigram count needs grouping, and both its
+    * aggregates SHRINK (doc-and-bigram, then doc — partial aggregation
+    * collapses each partition's pairs before the exchange; the
+    * row-local stats ride the group keys, so no join re-attaches them).
+    * The short-doc arm unions in without an exchange. FULLY ORACLED:
+    * DuckDB mirrors the run lengths via gaps-and-islands (q138's
+    * recipe) and the bigram mode via lead + two GROUP BYs. */
+  val q151RepetitionProfile: Q = (spark, dir) =>
+    orderAll(repetitionProfile(t(spark, dir, "documents")))
+
+  /** q151's core, spec-drivable on hand corpora. */
+  private[graft] def repetitionProfile(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      filter(split(coalesce(col("text"), lit("")), " "),
+        x => x =!= "").as("toks"))
+    val stats = base.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_tok"),
+      size(array_distinct(col("toks"))).cast("long").as("n_dist"),
+      maxRun(col("toks")).as("max_run"), col("toks"))
+    val keys = Seq(col("doc_id"), col("n_tok"), col("n_dist"), col("max_run"))
+    // bigram extraction is the q144 row-local transform (no
+    // explode-then-self-join); the row-local stats ride the group keys
+    // (functionally dependent on doc_id), so no join re-attaches them
+    val bg = stats.filter(col("n_tok") >= 2).select(keys :+
+      explode(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("t1"),
+          element_at(col("toks"), i + 1).as("t2")))).as("bg"): _*)
+    val top = bg
+      .groupBy(keys :+ col("bg.t1").as("t1") :+ col("bg.t2").as("t2"): _*)
+      .agg(count(lit(1)).as("c"))
+      .groupBy(keys: _*).agg(max(col("c")).as("top_c"))
+    val short = stats.filter(col("n_tok") < 2)
+      .select(keys :+ lit(0L).as("top_c"): _*)
+    top.unionByName(short).select(col("doc_id"), col("n_tok"),
+      round(when(col("n_tok") > 0,
+        lit(1.0) - col("n_dist").cast("double") / col("n_tok").cast("double"))
+        .otherwise(lit(0.0)), 6).as("dup_tok_frac"),
+      col("max_run"),
+      round(when(col("n_tok") >= 2,
+        col("top_c").cast("double") / (col("n_tok") - 1).cast("double"))
+        .otherwise(lit(0.0)), 6).as("top_bigram_frac"))
+  }
+
+  /** Longest run of one repeated token — an O(n) fold with a two-field
+    * bound accumulator (run, best); the CaseWhen guards keep the fold
+    * off sub-2-token arrays (sequence(2, n) would DESCEND for n < 2,
+    * the applyMerge landmine). */
+  private def maxRun(toks: Column): Column = {
+    val n = size(toks)
+    val folded = aggregate(sequence(lit(2), n),
+      struct(lit(1L).as("run"), lit(1L).as("best")),
+      (acc, i) => {
+        val run = when(element_at(toks, i) === element_at(toks, i - 1),
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(run.as("run"), greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    when(n >= 2, folded).when(n === 1, lit(1L)).otherwise(lit(0L))
+  }
+
   /** The planted boilerplate tail — a 12-token footer shared across the
     * plant (every `% 7` doc gets it appended; every `% 11` doc spawns an
     * almost-pure-boilerplate page). Interpolated into the q105 oracle so
@@ -1450,6 +1523,7 @@ object CorpusOps {
     "q144_bpe_merge_loop" -> q144BpeMergeLoop,
     "q149_bpe_encode" -> q149BpeEncode,
     "q150_encode_by_lang" -> q150EncodeByLang,
+    "q151_repetition_profile" -> q151RepetitionProfile,
     "q100_knn_ivf" -> q100KnnIvf,
     "q101_knn_pq" -> q101KnnPq)
 
@@ -1775,6 +1849,52 @@ object CorpusOps {
     "q144_bpe_merge_loop" -> q144Oracle(BpeRounds, BpeTopK),
     "q149_bpe_encode" -> q149Oracle(BpeRounds),
     "q150_encode_by_lang" -> q150Oracle(BpeRounds),
+    "q151_repetition_profile" ->
+      // run lengths via gaps-and-islands (q138's recipe: pos minus the
+      // per-token row_number is constant within a run); the bigram mode
+      // via lead + two GROUP BYs; sub-2-token docs coalesce back in
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(coalesce(text, ''), ' '),
+        |                x -> x <> '') AS toks
+        |  FROM documents),
+        |stats AS (
+        |  SELECT doc_id, len(toks) AS n_tok,
+        |    len(list_distinct(toks)) AS n_dist, toks
+        |  FROM base),
+        |pos AS (
+        |  SELECT doc_id, i AS pos, toks[i] AS tok
+        |  FROM stats, unnest(range(1, len(toks) + 1)) AS t(i)),
+        |runs AS (
+        |  SELECT doc_id, max(cnt) AS max_run FROM (
+        |    SELECT doc_id, tok, grp, count(*) AS cnt FROM (
+        |      SELECT doc_id, tok, pos,
+        |        pos - row_number() OVER (PARTITION BY doc_id, tok
+        |                                 ORDER BY pos) AS grp
+        |      FROM pos)
+        |    GROUP BY 1, 2, 3)
+        |  GROUP BY 1),
+        |bgc AS (
+        |  SELECT doc_id, t1, t2, count(*) AS c FROM (
+        |    SELECT doc_id, tok AS t1,
+        |      lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+        |    FROM pos)
+        |  WHERE t2 IS NOT NULL GROUP BY 1, 2, 3),
+        |topbg AS (SELECT doc_id, max(c) AS top_c FROM bgc GROUP BY 1)
+        |SELECT s.doc_id,
+        |  CAST(s.n_tok AS BIGINT) AS n_tok,
+        |  round(coalesce(1.0 - CAST(s.n_dist AS DOUBLE)
+        |          / nullif(CAST(s.n_tok AS DOUBLE), 0), 0.0), 6)
+        |    AS dup_tok_frac,
+        |  CAST(coalesce(r.max_run, 0) AS BIGINT) AS max_run,
+        |  round(coalesce(CAST(t.top_c AS DOUBLE)
+        |          / nullif(CAST(s.n_tok - 1 AS DOUBLE), 0), 0.0), 6)
+        |    AS top_bigram_frac
+        |FROM stats s
+        |LEFT JOIN runs r ON r.doc_id = s.doc_id
+        |LEFT JOIN topbg t ON t.doc_id = s.doc_id
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+        |  4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
     "q100_knn_ivf" ->
       // the coarse quantizer, cell assignment, nProbe=2 probe lists, and
       // exact re-rank are all deterministic arithmetic — round-6 cosine,

@@ -164,7 +164,11 @@ object ScaleProbe {
     // q150 adds only row-local language scoring and a <=5-group agg on
     // top of q149's learn+encode — its wall must track q149's, and
     // superlinearity would mean the report stopped riding one scan
-    "q150_encode_by_lang")
+    "q150_encode_by_lang",
+    // q151's stats are row-local (array_distinct + the max-run fold)
+    // and its bigram rollups shrink per doc — superlinearity means the
+    // fold stopped being O(n) or a rollup stopped partial-aggregating
+    "q151_repetition_profile")
   private val Ks = Seq(1, 4, 8)
   private val Shift = 9700000L // lcm(97, 10) × 10,000 — residue-preserving
   private val GrowthFactor = 1.5

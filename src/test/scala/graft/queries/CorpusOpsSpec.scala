@@ -552,4 +552,30 @@ class CorpusOpsSpec extends SparkSpec {
       ("und", 3L, 3L, 3L, 0L, 1.0)),
       s"report diverged:\n${got.mkString("\n")}")
   }
+
+  test("q151: repetition signals — dup fraction, longest run, modal-bigram fraction, total contract") {
+    val docs = Seq(
+      // 4 toks, 2 distinct -> dup 0.5; run a,a,a -> 3; bigrams
+      // (a,a)x2,(a,b) -> top 2 of 3 slots -> 0.666667
+      (1L, "a a a b"),
+      // no repetition: dup 0, run 1, single bigram fills its 1 slot
+      (2L, "x y"),
+      // 1 token: run 1, no bigram slots
+      (3L, "z"),
+      // empty: all zeros
+      (4L, ""),
+      // pure loop: dup 0.75, run 4, (t,t) fills all 3 slots
+      (5L, "t t t t")).toDF("doc_id", "text")
+    val got = CorpusOps.repetitionProfile(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 4L, 0.5, 3L, 0.666667),
+      (2L, 2L, 0.0, 1L, 1.0),
+      (3L, 1L, 0.0, 1L, 0.0),
+      (4L, 0L, 0.0, 0L, 0.0),
+      (5L, 4L, 0.75, 4L, 1.0)),
+      s"profile diverged:\n${got.mkString("\n")}")
+  }
 }

@@ -380,6 +380,28 @@ class PlanSpec extends SparkSpec {
       s"per-language rollup is not partial-aggregated:\n$p")
   }
 
+  test("q151: repetition profile — row-local stats ride the group keys, no join, shrinking aggs only") {
+    // dup fraction and max run are computed in the scan projection and
+    // travel as group-key columns; only the modal-bigram count shuffles,
+    // and both its aggregates shrink (doc+bigram, then doc). A join
+    // means the row-local stats stopped riding the keys; a third
+    // exchange family means something re-partitioned the corpus.
+    val p = plan("q151_repetition_profile")
+    Seq("CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+      "ShuffledHashJoin", "BroadcastNestedLoopJoin").foreach(j =>
+      assert(!p.contains(j), s"unexpected $j in the profile plan:\n$p"))
+    val keys = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .map(l => l.substring(l.indexOf("Exchange"))
+        .replaceAll("#\\d+", "#").replaceAll("plan_id=\\d+", "")
+        .replaceAll(", \\d+\\)", ")"))
+      .toSeq.distinct
+    assert(keys.size <= 2,
+      s"exchange families exceeded (${keys.size}):\n${keys.mkString("\n")}")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"bigram rollups are not partial-aggregated:\n$p")
+  }
+
   test("q145: the composed rewrite's final plan stays inside its shuffle budget") {
     // the composition's 100 TB contract: the whole DAG shuffles on
     // exactly TWO key families — doc_id (verdict attach + audit
