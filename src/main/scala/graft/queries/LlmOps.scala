@@ -345,6 +345,44 @@ object LlmOps {
   val q147QualityClassifier: Q = (spark, dir) =>
     orderAll(graft.streaming.ClassifierGate.gate(t(spark, dir, "documents")))
 
+  /** q152 [EXT]: filter-agreement matrix — the calibration table a
+    * pipeline builds before swapping its heuristic quality gate for a
+    * model-based one (the FineWeb methodology: compare the rule-based
+    * filter and the classifier on the SAME corpus and read where they
+    * disagree): bucket every document by (heuristic verdict, classifier
+    * verdict) and report each cell's size and mean scores. The
+    * off-diagonal cells ARE the decision: docs the heuristic keeps but
+    * the classifier rejects (and vice versa) are exactly what a human
+    * audits before the cutover. Heuristic verdict = q85's qualityExpr
+    * ≥ 0.5 (the fixture median — splits ~47/53); classifier verdict =
+    * q147's score ≥ 0, via the SAME [[graft.streaming.ClassifierGate]]
+    * expression the s95 ingest gate runs.
+    *
+    * 100 TB: both scores are row-local folds computed in ONE scan
+    * projection (no join stitches them — scoreExpr composes into the
+    * same select), and the rollup is a ≤4-group hash aggregate whose
+    * partial side collapses each partition to ≤4 rows. Mean quality
+    * sums through DECIMAL(18,6) (exact, order-independent — a naive
+    * double sum would make the 6-dp round racy across partition
+    * orders); mean score sums exact BIGINTs. FULLY ORACLED: composes
+    * q85's quality CTE with q147's re-derived weight fold. */
+  val q152FilterAgreement: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+    val score = graft.streaming.ClassifierGate.scoreExpr
+    val scored = d.select(qualityExpr.as("quality"), score.as("score"))
+    val flagged = scored.select(col("quality"), col("score"),
+      (col("quality") >= 0.5).as("keep_heuristic"),
+      (col("score") >= 0L).as("keep_classifier"))
+    val agg = flagged.groupBy("keep_heuristic", "keep_classifier").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("quality").cast("decimal(18,6)")).as("sq"),
+      sum(col("score")).as("ss"))
+    orderAll(agg.select(col("keep_heuristic"), col("keep_classifier"),
+      col("n_docs"),
+      round(col("sq").cast("double") / col("n_docs"), 6).as("avg_quality"),
+      round(col("ss").cast("double") / col("n_docs"), 6).as("avg_score")))
+  }
+
   /** q86: token counting — whitespace tokens, regex (BPE-ish word/number
     * pieces), and the chars/4 subword estimate. */
   val q86TokenCount: Q = (spark, dir) => {
@@ -1778,6 +1816,7 @@ object LlmOps {
     "q84_lang_id" -> q84LangId,
     "q85_quality_score" -> q85QualityScore,
     "q147_quality_classifier" -> q147QualityClassifier,
+    "q152_filter_agreement" -> q152FilterAgreement,
     "q86_token_count" -> q86TokenCount,
     "q87_fingerprint" -> q87Fingerprint,
     "q88_dedup_ngram" -> q88DedupNgram,
@@ -2451,6 +2490,46 @@ object LlmOps {
          |SELECT doc_id, n_tok, score, score >= 0 AS keep
          |FROM scored
          |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin
+    },
+    "q152_filter_agreement" -> {
+      // q85's quality CTE composed with q147's re-derived weight fold;
+      // mean quality sums through DECIMAL(18,6) (exact — mirrors the
+      // engine's decimal sum, keeping the 6-dp round order-independent),
+      // mean score through the exact BIGINT sum
+      val code = "CAST(length(t) * 17 + ascii(substr(t, 1, 1)) AS BIGINT)"
+      val w = s"(${knuthMix2Sql(knuthBucket2Sql(code, QcBuckets.toLong))} % 21 - 10)"
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+         |    CAST(length(text) - length(regexp_replace(text, '[.!?,;]', '', 'g')) AS INT) AS n_punct,
+         |    CAST(len(list_filter(string_split(text,' '), x -> list_contains(['the','a','of','and'], x))) AS DOUBLE) AS n_stop,
+         |    CAST(length(text) AS INT) AS n_chars
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id,
+         |    round(0.4 * coalesce(n_stop / nullif(n_tok, 0), 0.0)
+         |        + 0.3 * least(1.0, CAST(n_tok AS DOUBLE) / 100.0)
+         |        + 0.3 * (1.0 - coalesce(CAST(n_punct AS DOUBLE) / nullif(n_chars, 0), 0.0)), 6) AS quality
+         |  FROM f),
+         |c AS (
+         |  SELECT doc_id,
+         |    list_reduce(
+         |      list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(string_split(text, ' '),
+         |          t -> $w)),
+         |      (a, b) -> a + b) AS score
+         |  FROM documents),
+         |j AS (SELECT q.quality, c.score
+         |      FROM q JOIN c ON c.doc_id = q.doc_id)
+         |SELECT quality >= 0.5 AS keep_heuristic,
+         |  score >= 0 AS keep_classifier,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
+         |          / count(*), 6) AS avg_quality,
+         |  round(CAST(sum(score) AS DOUBLE) / count(*), 6) AS avg_score
+         |FROM j GROUP BY 1, 2
+         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+         |  4 NULLS FIRST, 5 NULLS FIRST""".stripMargin
     },
     "q86_token_count" ->
       """SELECT doc_id,

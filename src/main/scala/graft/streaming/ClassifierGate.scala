@@ -26,10 +26,11 @@ import org.apache.spark.sql.functions._
   * rule), score = exact-BIGINT Σ weights, keep = score ≥ 0. */
 object ClassifierGate {
 
-  /** Score a (doc_id, text, …) frame: (doc_id, n_tok, score, keep).
-    * Pure row-local fold — no explode, no intermediate array, no
-    * shuffle at any scale. */
-  def gate(docs: DataFrame): DataFrame = {
+  /** The classifier's integer score over a `text` column — exposed as
+    * an expression so other projections can compose it in the SAME scan
+    * (q152's agreement matrix scores heuristic and classifier
+    * side-by-side without a join). */
+  def scoreExpr: Column = {
     import graft.queries.knuthBucket2
     val toks = split(col("text"), " ")
     def code(tk: Column) =
@@ -39,10 +40,17 @@ object ClassifierGate {
       (knuthBucket2(code(tk), graft.queries.LlmOps.QcBuckets.toLong) + 1)
         .cast("int"))
     // single-pass fold — no transform() intermediate array, no explode
-    val score = aggregate(toks, lit(0L), (acc, tk) => acc + weight(tk))
+    aggregate(toks, lit(0L), (acc, tk) => acc + weight(tk))
+  }
+
+  /** Score a (doc_id, text, …) frame: (doc_id, n_tok, score, keep).
+    * Pure row-local fold — no explode, no intermediate array, no
+    * shuffle at any scale. */
+  def gate(docs: DataFrame): DataFrame = {
+    val score = scoreExpr
     docs.select(
       col("doc_id"),
-      size(toks).cast("long").as("n_tok"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"),
       score.as("score"),
       (score >= 0L).as("keep"))
   }

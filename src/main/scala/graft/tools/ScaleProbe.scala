@@ -168,7 +168,10 @@ object ScaleProbe {
     // q151's stats are row-local (array_distinct + the max-run fold)
     // and its bigram rollups shrink per doc — superlinearity means the
     // fold stopped being O(n) or a rollup stopped partial-aggregating
-    "q151_repetition_profile")
+    "q151_repetition_profile",
+    // q152 is two row-local score folds into a <=4-group rollup (the
+    // q147/q139 map-only class plus one shrinking exchange)
+    "q152_filter_agreement")
   private val Ks = Seq(1, 4, 8)
   private val Shift = 9700000L // lcm(97, 10) × 10,000 — residue-preserving
   private val GrowthFactor = 1.5

@@ -498,6 +498,44 @@ class LlmOpsSpec extends SparkSpec {
     assert(cls(3).forall(t => t._4 && t._3 == 0), "fresh content matched something")
   }
 
+  test("q152: the agreement matrix is exactly the q85 x q147 cross-tabulation") {
+    // the calibration table must be derivable from the two oracled
+    // per-doc scores it claims to cross — recompute it from q85's
+    // quality and q147's score outputs and pin cell counts exactly,
+    // means to 1e-6 (the engine sums quality through DECIMAL(18,6))
+    val quality = LlmOps.q85QualityScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val score = LlmOps.q147QualityClassifier(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(quality.keySet == score.keySet)
+    // ids must be a Seq before mapping to values: mapping the key SET
+    // to scores would collapse duplicate values and shrink the sums
+    val expected = quality.keys.toSeq.groupBy(id =>
+      (quality(id) >= 0.5, score(id) >= 0L)).map { case (k, ids) =>
+      k -> (ids.size.toLong,
+        ids.map(id => BigDecimal(quality(id)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP)).sum,
+        ids.map(score).sum)
+    }
+    // the fixture must populate BOTH verdict axes or the matrix is vacuous
+    assert(expected.keys.map(_._1).toSet == Set(true, false),
+      "heuristic threshold no longer splits the fixture")
+    assert(expected.keys.map(_._2).toSet == Set(true, false),
+      "classifier threshold no longer splits the fixture")
+    val got = LlmOps.q152FilterAgreement(spark, sf).collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet == expected.keySet, s"cell sets differ: ${got.keySet} vs ${expected.keySet}")
+    expected.foreach { case (cell, (n, sq, ss)) =>
+      val (gn, gq, gs) = got(cell)
+      assert(gn == n, s"cell $cell count $gn != $n")
+      assert(math.abs(gq - (sq / n).toDouble) <= 1e-6,
+        s"cell $cell avg_quality $gq != ${sq / n}")
+      assert(math.abs(gs - ss.toDouble / n) <= 1e-6,
+        s"cell $cell avg_score $gs != ${ss.toDouble / n}")
+    }
+  }
+
   test("q90 multimodal features are deterministic and complete") {
     val f1 = MultiModal.q90Multimodal(spark, sf).collect()
     val f2 = MultiModal.q90Multimodal(spark, sf).collect()

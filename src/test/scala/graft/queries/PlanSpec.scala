@@ -402,6 +402,23 @@ class PlanSpec extends SparkSpec {
       s"bigram rollups are not partial-aggregated:\n$p")
   }
 
+  test("q152: both filter scores ride one scan — no join, one <=4-group exchange") {
+    // the calibration matrix's scale contract: heuristic quality and
+    // classifier score are row-local folds in the SAME projection, and
+    // the only exchange is the 4-cell rollup (partial aggregation
+    // collapses each partition to <=4 rows first). A join means the two
+    // scores stopped sharing a scan; a second hash exchange means the
+    // rollup stopped shrinking.
+    val p = plan("q152_filter_agreement")
+    Seq("CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+      "ShuffledHashJoin", "BroadcastNestedLoopJoin").foreach(j =>
+      assert(!p.contains(j), s"unexpected $j in the agreement plan:\n$p"))
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 1, s"expected one shrinking exchange, got $hashEx:\n$p")
+    assert("FileScan|BatchScan".r.findAllIn(p).size <= 1,
+      s"the two scores should share one documents scan:\n$p")
+  }
+
   test("q145: the composed rewrite's final plan stays inside its shuffle budget") {
     // the composition's 100 TB contract: the whole DAG shuffles on
     // exactly TWO key families — doc_id (verdict attach + audit
