@@ -643,29 +643,95 @@ object LlmOps {
       }
     }
 
-    /** Hex fold of every regular file's (relative path, size, mtime)
-      * under `src`, sorted — the staleness key. */
-    private def fingerprint(src: java.nio.file.Path): String = {
+  }
+
+  /** Hex fold of every regular file's (relative path, size, mtime)
+    * under `src`, sorted — the staleness key shared by [[LabelTable]]
+    * and [[GateIndexTable]]. */
+  private def fingerprint(src: java.nio.file.Path): String = {
+    import scala.jdk.CollectionConverters._
+    val stream = java.nio.file.Files.walk(src)
+    val files =
+      try stream.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => (src.relativize(p).toString,
+          java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis))
+        .toVector.sorted
+      finally stream.close()
+    Integer.toHexString(scala.util.hashing.MurmurHash3.seqHash(files))
+  }
+
+  private def deleteTree(root: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(root)) {
       import scala.jdk.CollectionConverters._
-      val stream = java.nio.file.Files.walk(src)
-      val files =
-        try stream.iterator().asScala
-          .filter(java.nio.file.Files.isRegularFile(_))
-          .map(p => (src.relativize(p).toString,
-            java.nio.file.Files.size(p),
-            java.nio.file.Files.getLastModifiedTime(p).toMillis))
-          .toVector.sorted
-        finally stream.close()
-      Integer.toHexString(scala.util.hashing.MurmurHash3.seqHash(files))
+      val stream = java.nio.file.Files.walk(root)
+      try stream.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally stream.close()
     }
 
-    private def deleteTree(root: java.nio.file.Path): Unit =
-      if (java.nio.file.Files.exists(root)) {
-        import scala.jdk.CollectionConverters._
-        val stream = java.nio.file.Files.walk(root)
-        try stream.sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-        finally stream.close()
+  /** q148's gate index, materialized ONCE per (JVM, corpus build) — the
+    * [[LabelTable]] posture extended to the OTHER artifact a nightly
+    * near-dup pipeline persists: the inverted band index over the full
+    * node universe (the `NearDupGate documents` table q148's scaladoc
+    * names). Rebuilding it per run is the recompute-always posture
+    * (`GRAFT_LABEL_MEMO=0` restores it — one dial governs all
+    * materialized artifacts); reading the persisted index and paying
+    * only Δ-batch gating is the production shape. Same staleness key
+    * (corpus content fingerprint), same supersede-and-delete, same
+    * `GRAFT_LABEL_DIR` warehouse override. The parquet round-trip is
+    * exact (doc_id, bigint shingle arrays, band strings), so gated
+    * pairs are bit-identical either way — CurationSpec pins memoized ≡
+    * fresh, and q148's DuckDB oracle (a full recompute over the union
+    * graph) gates the composed result regardless of posture. */
+  private[graft] object GateIndexTable {
+    private val memo =
+      scala.collection.mutable.HashMap.empty[(String, Option[String]), (String, String)]
+
+    /** The index build itself — the universe is corpus + its planted
+      * re-crawls + the ingest batch (a batch doc near-duping another
+      * batch doc is an edge a full recompute would see). */
+    private[graft] def fresh(spark: SparkSession, dir: String): DataFrame = {
+      val universe = docsWithNearDups(spark, dir)
+        .select(col("doc_id"), col("text"))
+        .unionByName(q148Batch(spark, dir))
+      graft.streaming.NearDupGate.index(spark, universe, geom)
+    }
+
+    def of(spark: SparkSession, dir: String): DataFrame =
+      of(spark, dir, sys.env.get("GRAFT_LABEL_DIR"))
+
+    private[graft] def of(spark: SparkSession, dir: String,
+        base: Option[String]): DataFrame =
+      if (sys.env.get("GRAFT_LABEL_MEMO").contains("0")) fresh(spark, dir)
+      else {
+        val path = memo.synchronized {
+          val fp = fingerprint(java.nio.file.Paths.get(dir, "documents.parquet"))
+          memo.get((dir, base)) match {
+            case Some((`fp`, p)) => p
+            case stale =>
+              stale.foreach { case (_, old) =>
+                deleteTree(java.nio.file.Paths.get(old))
+              }
+              val p = base match {
+                case Some(b) =>
+                  val d = java.nio.file.Paths.get(b, s"gateindex_$fp")
+                  if (!java.nio.file.Files.exists(d.resolve("_SUCCESS"))) {
+                    java.nio.file.Files.createDirectories(d)
+                    fresh(spark, dir).write.mode("overwrite").parquet(d.toString)
+                  }
+                  d.toString
+                case None =>
+                  val d = java.nio.file.Files.createTempDirectory("graft_gateindex_")
+                  fresh(spark, dir).write.mode("overwrite").parquet(d.toString)
+                  d.toString
+              }
+              memo.put((dir, base), (fp, p))
+              p
+          }
+        }
+        spark.read.parquet(path)
       }
   }
 
@@ -792,7 +858,7 @@ object LlmOps {
     val ckptDir = Checkpoints.dirFromEnv()
     // consumed three times (affected set, star edges, pass-through)
     val old = LabelTable.of(spark, dir).scopedPersist
-    val delta = q148Delta(spark, dir, q148Batch(spark, dir))
+    val delta = q148Delta(spark, dir)
       .scopedPersist // consumed by the endpoint set and the edge union
     val ends = delta.select(col("d1").as("doc_id"))
       .unionByName(delta.select(col("d2").as("doc_id"))).distinct()
@@ -828,17 +894,18 @@ object LlmOps {
           .as("text"))
   }
 
-  /** q148's verified Δ-pairs: the batch gated against an index of the
-    * FULL node universe (corpus + its planted re-crawls + the batch
-    * itself) — a batch doc near-duping another batch doc is an edge a
-    * full recompute would see, so the delta must carry it. Self-matches
-    * (a batch doc finding itself in the index at j = 1) are dropped. */
-  private[graft] def q148Delta(spark: SparkSession, dir: String,
-      batch: DataFrame): DataFrame = {
-    val universe = docsWithNearDups(spark, dir)
-      .select(col("doc_id"), col("text")).unionByName(batch)
-    val index = graft.streaming.NearDupGate.index(spark, universe, geom)
-      .scopedPersist
+  /** q148's verified Δ-pairs: the batch gated against the materialized
+    * [[GateIndexTable]] — an index of the FULL node universe (corpus +
+    * its planted re-crawls + the batch itself; a batch doc near-duping
+    * another batch doc is an edge a full recompute would see, so the
+    * delta must carry it). Self-matches (a batch doc finding itself in
+    * the index at j = 1) are dropped. The scopedPersist serves the
+    * index's two consumers (band probe + verify join) in EITHER
+    * posture: a cached parquet scan when memoized, the cached fresh
+    * build under GRAFT_LABEL_MEMO=0. */
+  private[graft] def q148Delta(spark: SparkSession, dir: String): DataFrame = {
+    val batch = q148Batch(spark, dir)
+    val index = GateIndexTable.of(spark, dir).scopedPersist
     graft.streaming.NearDupGate.verifiedPairs(spark, batch, index, geom)
       .filter(col("b_id") =!= col("c_id"))
       .select(col("b_id").as("d1"), col("c_id").as("d2"))

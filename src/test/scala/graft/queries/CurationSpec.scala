@@ -113,6 +113,26 @@ class CurationSpec extends SparkSpec {
     assert(t2.head != t1.head, "corpus rebuild did not move the fingerprint key")
   }
 
+  test("GateIndexTable: the materialized gate index yields exactly a fresh build's verified pairs") {
+    // the q148 index memo's legitimacy mirrors LabelTable's: the index
+    // is a pure function of the corpus, and the parquet round-trip
+    // (bigint shingle arrays, band strings) must hand the gate exactly
+    // what a fresh build computes — pinned on the DERIVED artifact (the
+    // verified pair set), which is what q148 actually consumes
+    import graft.streaming.NearDupGate
+    def pairs(index: org.apache.spark.sql.DataFrame) =
+      NearDupGate.verifiedPairs(spark, LlmOps.q148Batch(spark, sf),
+          index, LlmOps.geom)
+        .filter(col("b_id") =!= col("c_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val fresh = pairs(LlmOps.GateIndexTable.fresh(spark, sf))
+    val memo1 = pairs(LlmOps.GateIndexTable.of(spark, sf))
+    val memo2 = pairs(LlmOps.GateIndexTable.of(spark, sf))
+    assert(fresh.nonEmpty, "the gate found no pairs — the fixture pin is vacuous")
+    assert(memo1 == fresh, "materialized index diverges from a fresh build")
+    assert(memo2 == fresh, "second read diverges — the index memo is not stable")
+  }
+
   test("q148: incremental label maintenance ≡ a full connected-components recompute over corpus ∪ batch") {
     // the memo-equality argument extended to deltas: merging the new
     // batch's pairs into the existing table via the affected-subgraph
@@ -123,7 +143,7 @@ class CurationSpec extends SparkSpec {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(r => (r._1, r._2)).toSeq
     val inc = rows(LlmOps.q148LabelIncremental(spark, sf))
-    val delta = LlmOps.q148Delta(spark, sf, LlmOps.q148Batch(spark, sf))
+    val delta = LlmOps.q148Delta(spark, sf)
     val pairs = LlmOps.q81Pairs(spark, sf).select(col("d1"), col("d2"))
       .unionByName(delta)
     val edges = CacheScope.trackCheckpoint(Checkpoints.truncate(
