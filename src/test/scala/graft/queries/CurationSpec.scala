@@ -113,6 +113,49 @@ class CurationSpec extends SparkSpec {
     assert(t2.head != t1.head, "corpus rebuild did not move the fingerprint key")
   }
 
+  test("GateIndexTable: warehouse posture — stable gateindex_<fp> table, corpus rebuild supersedes and deletes") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    // the LabelTable warehouse contract replayed on the gate index:
+    // same fingerprint key, same adopt-on-_SUCCESS, same
+    // supersede-and-delete when the corpus regenerates
+    val corpus = tmpDir("graft_gateidx_corpus_")
+    val base = tmpDir("graft_gateidx_base_")
+    def regen(): Unit = spark.read.parquet(s"$sf/documents.parquet")
+      .write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+    def tables = {
+      val s = Files.list(Paths.get(base))
+      try s.iterator().asScala.toVector finally s.close()
+    }
+    def pairs(index: org.apache.spark.sql.DataFrame) =
+      graft.streaming.NearDupGate.verifiedPairs(spark,
+          LlmOps.q148Batch(spark, corpus), index, LlmOps.geom)
+        .filter(col("b_id") =!= col("c_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    regen()
+    val fresh = pairs(LlmOps.GateIndexTable.fresh(spark, corpus))
+    assert(fresh.nonEmpty, "no gated pairs — the warehouse pin is vacuous")
+    assert(pairs(LlmOps.GateIndexTable.of(spark, corpus, Some(base))) == fresh,
+      "warehouse-path index diverges from a fresh build")
+    val t1 = tables
+    assert(t1.size == 1 && t1.head.getFileName.toString.startsWith("gateindex_"),
+      s"expected one gateindex_<fp> table, got $t1")
+    val success = t1.head.resolve("_SUCCESS")
+    assert(Files.exists(success), "no _SUCCESS marker — later JVMs could not adopt the table")
+    val written = Files.getLastModifiedTime(success)
+    // unchanged corpus → same fingerprint → the table is READ, not rebuilt
+    assert(pairs(LlmOps.GateIndexTable.of(spark, corpus, Some(base))) == fresh)
+    assert(Files.getLastModifiedTime(success) == written,
+      "unchanged corpus re-wrote the index — the fingerprint key is unstable")
+    // corpus rebuild: fingerprint moves, the superseded table is deleted
+    regen()
+    assert(pairs(LlmOps.GateIndexTable.of(spark, corpus, Some(base))) == fresh,
+      "index after corpus rebuild diverges (same data, new files)")
+    val t2 = tables
+    assert(t2.size == 1, s"superseded index table not deleted: $t2")
+    assert(t2.head != t1.head, "corpus rebuild did not move the fingerprint key")
+  }
+
   test("GateIndexTable: the materialized gate index yields exactly a fresh build's verified pairs") {
     // the q148 index memo's legitimacy mirrors LabelTable's: the index
     // is a pure function of the corpus, and the parquet round-trip
