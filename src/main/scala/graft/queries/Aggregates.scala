@@ -135,6 +135,33 @@ object Aggregates {
         col("N").as("qty_n"), col("R").as("qty_r")))
   }
 
+  /** q153 [EXT]: unpivot — q27's inverse, closing the wide↔long pair
+    * (every reporting pipeline needs both directions: pivot to publish
+    * a cross-tab, unpivot to bring a published cross-tab back into the
+    * long form joins and aggregates want). Spark's `Dataset.unpivot`
+    * plans as a map-side Expand over the aggregated (tiny) wide frame —
+    * the unpivot itself never shuffles; the only exchange is q27's own
+    * grouping. NULL cells (status×flag combinations absent from the
+    * data, e.g. TPC-H's O×A) are coalesced to 0 BEFORE unpivoting so
+    * both engines see the same rows regardless of their UNPIVOT
+    * null-exclusion defaults (SQL UNPIVOT drops NULLs, Dataset.unpivot
+    * keeps them — the coalesce makes the question moot). Mirrored in
+    * DuckDB as the portable UNION ALL spelling. */
+  val q153Unpivot: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+    val wide = li.groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(dsum(col("l_quantity")))
+      .select(col("l_linestatus"),
+        coalesce(col("A"), lit(0.0)).as("qty_a"),
+        coalesce(col("N"), lit(0.0)).as("qty_n"),
+        coalesce(col("R"), lit(0.0)).as("qty_r"))
+    orderAll(wide.unpivot(
+      Array(col("l_linestatus")),
+      Array(col("qty_a"), col("qty_n"), col("qty_r")),
+      "measure", "sum_qty"))
+  }
+
   /** q106: mergeable-sketch rollup — the pre-aggregation pattern that
     * makes distinct-count dashboards affordable at 100 TB: per
     * (day, hour) bucket an Apache DataSketches HLL sketch of user_id is
@@ -180,6 +207,7 @@ object Aggregates {
     "q25_agg_approx_distinct" -> q25ApproxDistinct,
     "q26_agg_percentile" -> q26Percentile,
     "q27_agg_pivot" -> q27Pivot,
+    "q153_unpivot" -> q153Unpivot,
     "q28_agg_approx_percentile" -> q28ApproxPercentile,
     "q29_agg_stats" -> q29AggStats)
 
@@ -201,6 +229,19 @@ object Aggregates {
         |FROM lineitem
         |GROUP BY l_linestatus
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
+    "q153_unpivot" ->
+      // the portable UNION ALL spelling of UNPIVOT (engine defaults on
+      // NULL exclusion differ; cells are coalesced to 0 on both sides)
+      """WITH w AS (
+        |  SELECT l_linestatus,
+        |    coalesce(CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE), 0.0) AS qty_a,
+        |    coalesce(CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE), 0.0) AS qty_n,
+        |    coalesce(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE), 0.0) AS qty_r
+        |  FROM lineitem GROUP BY l_linestatus)
+        |SELECT l_linestatus, 'qty_a' AS measure, qty_a AS sum_qty FROM w
+        |UNION ALL SELECT l_linestatus, 'qty_n', qty_n FROM w
+        |UNION ALL SELECT l_linestatus, 'qty_r', qty_r FROM w
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "q26_agg_percentile" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.25), 6) AS p25,

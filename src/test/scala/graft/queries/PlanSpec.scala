@@ -419,6 +419,27 @@ class PlanSpec extends SparkSpec {
       s"the two scores should share one documents scan:\n$p")
   }
 
+  test("q153: unpivot plans as a map-side Expand — only the pivot's own exchanges remain") {
+    // the wide->long transform must not shuffle: Expand multiplies the
+    // (tiny, post-aggregate) wide rows locally. The two hash exchanges
+    // in the plan are the PIVOT's own two-stage shape — partial sum on
+    // (status, flag), then pivotfirst on status — both shrinking;
+    // q27 plans identically. A third would be the unpivot shuffling.
+    val p = plan("q153_unpivot")
+    assert(p.contains("Expand"), s"unpivot did not plan as Expand:\n$p")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 2, s"unpivot added an exchange beyond the pivot's ($hashEx):\n$p")
+    // the Expand sits ABOVE every hash exchange: nothing re-partitions
+    // the long rows after they multiply
+    val lines = p.linesIterator.toVector
+    val expandAt = lines.indexWhere(_.contains("Expand"))
+    assert(lines.take(expandAt).forall(!_.contains("Exchange hashpartitioning")),
+      s"a hash exchange sits above the Expand — the long rows moved:\n$p")
+    Seq("CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+      "ShuffledHashJoin", "BroadcastNestedLoopJoin").foreach(j =>
+      assert(!p.contains(j), s"unexpected $j in the unpivot plan:\n$p"))
+  }
+
   test("q145: the composed rewrite's final plan stays inside its shuffle budget") {
     // the composition's 100 TB contract: the whole DAG shuffles on
     // exactly TWO key families — doc_id (verdict attach + audit
