@@ -23,7 +23,7 @@ object SparkEntry {
       SortSetOps.defs ++ Subqueries.defs ++ Functions.defs ++
       StreamWindows.defs ++ LlmOps.defs ++ MultiModal.defs ++ Curation.defs ++
       CorpusOps.defs ++ Profiling.defs ++ GraphOps.defs ++ TokenStats.defs ++
-      SegmentOps.defs ++ Composition.defs
+      SegmentOps.defs ++ Composition.defs ++ CorpusAudit.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +33,5 @@ object SparkEntry {
       Functions.oracles ++ StreamWindows.oracles ++ LlmOps.oracles ++
       MultiModal.oracles ++ Curation.oracles ++ CorpusOps.oracles ++
       Profiling.oracles ++ GraphOps.oracles ++ TokenStats.oracles ++
-      SegmentOps.oracles ++ Composition.oracles
+      SegmentOps.oracles ++ Composition.oracles ++ CorpusAudit.oracles
 }
