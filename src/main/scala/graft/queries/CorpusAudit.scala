@@ -64,6 +64,14 @@ object CorpusAudit {
     val d = t(spark, dir, "documents")
     val uni = d.select(col("doc_id"))
       .unionByName(d.select((col("doc_id") + 1000000).as("doc_id")))
+    orderAll(splitLeakage(labels, uni))
+  }
+
+  /** q154's core over explicit (doc_id, cluster_id) labels and a
+    * (doc_id) universe — spec-drivable on hand graphs (the q144/q149
+    * factoring pattern). */
+  private[graft] def splitLeakage(labels: DataFrame,
+      uni: DataFrame): DataFrame = {
     val asg = uni.join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), col("cluster_id").isNotNull.as("clustered"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster"))
@@ -96,7 +104,7 @@ object CorpusAudit {
         col("tr_c").as("n_train"), col("va_c").as("n_val"),
         col("te_c").as("n_test"), col("n_clusters"),
         col("leak_c").as("n_leaky_clusters")))
-    orderAll(out)
+    out
   }
 
   /** q155 [EXT]: inter-source contamination matrix — pairwise shingle
@@ -126,8 +134,12 @@ object CorpusAudit {
     * modulo a ~2e-11 birthday collision (q81/q88's argument). FULLY
     * ORACLED: distinct string shingles per source, exact intersection
     * counts, same rounding. */
-  val q155SourceOverlap: Q = (spark, dir) => {
-    val d = t(spark, dir, "documents")
+  val q155SourceOverlap: Q = (spark, dir) =>
+    orderAll(sourceOverlap(t(spark, dir, "documents")))
+
+  /** q155's core over any (source, text) frame — spec-drivable on hand
+    * corpora. */
+  private[graft] def sourceOverlap(d: DataFrame): DataFrame = {
     val docs = d.select(col("source"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
     val sh = docs.select(col("source"),
@@ -159,7 +171,7 @@ object CorpusAudit {
         col("n_common"),
         round(col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
-    orderAll(out)
+    out
   }
 
   /** q156 [EXT]: per-source duplication report — WHERE the duplicates
@@ -188,7 +200,15 @@ object CorpusAudit {
     val uni = d.select(col("doc_id"), col("source"), nTok.as("n_toks"))
       .unionByName(d.select((col("doc_id") + 1000000).as("doc_id"),
         col("source"), (nTok - 1).as("n_toks")))
-      .scopedPersist
+    orderAll(dupBySource(labels, uni))
+  }
+
+  /** q156's core over an explicit (doc_id, cluster_id, cluster_size)
+    * label table and a (doc_id, source, n_toks) universe —
+    * spec-drivable on hand graphs. */
+  private[graft] def dupBySource(labels: DataFrame,
+      uniRaw: DataFrame): DataFrame = {
+    val uni = uniRaw.scopedPersist
     val verdicts = LlmOps.q131WithLabels(labels,
       uni.select(col("doc_id"), col("n_toks")))
     val joined = uni.join(verdicts.select(col("doc_id"), col("keep")),
@@ -199,10 +219,10 @@ object CorpusAudit {
       sum(when(col("keep") === false, 1L).otherwise(0L)).as("n_dropped"),
       sum(when(col("keep") === false, col("n_toks")).otherwise(0L))
         .as("n_toks_dropped"))
-    orderAll(agg.select(col("source"), col("n_docs"), col("n_clustered"),
+    agg.select(col("source"), col("n_docs"), col("n_clustered"),
       col("n_dropped"), col("n_toks_dropped"),
       round(col("n_dropped").cast("double") / col("n_docs"), 6)
-        .as("drop_rate")))
+        .as("drop_rate"))
   }
 
   val defs: Map[String, Q] = Map(

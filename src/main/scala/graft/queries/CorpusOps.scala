@@ -1099,6 +1099,95 @@ object CorpusOps {
     sb.toString
   }
 
+  /** q157 [EXT]: tokenizer round-trip audit — the DECODE side, and the
+    * losslessness check every shipped tokenizer owes its corpus: decode
+    * (split each merged symbol back on the 0x01 seam, rejoin the stream
+    * with spaces) must reproduce the whitespace-normalized original for
+    * every document, or the vocabulary is silently destroying data
+    * (the classic failure: a raw token that already contains the merge
+    * separator collides with a merge product and detokenizes to the
+    * wrong text — CorpusOpsSpec plants exactly that byte and pins the
+    * audit flags it). q157 learns the merge list as q149 does, encodes,
+    * decodes, and emits the per-doc audit: raw token count, encoded
+    * symbol count, decoded character count, and the round-trip verdict.
+    * TOTAL (q103's contract): empty/short docs round-trip trivially.
+    *
+    * 100 TB: the learn loop is q149's (driver holds R string pairs);
+    * encode, decode, and the comparison are ONE row-local projection —
+    * `translate` on the single separator byte is codegen'd char work,
+    * no shuffle beyond the dump sort. In production the merge list
+    * ships as an artifact and this audit is a map-only pass a tokenizer
+    * release gate runs over a sample shard. FULLY ORACLED: q149's
+    * unrolled CTE chain, plus a decode rollup (string_agg over the
+    * final positional stream with chr(1) → space) compared against the
+    * same normalized text. */
+  val q157BpeRoundtrip: Q = (spark, dir) => {
+    val docs = t(spark, dir, "documents")
+    orderAll(bpeRoundTrip(docs, learnMerges(docs, BpeRounds)))
+  }
+
+  /** q157's core against an explicit merge list, spec-drivable on hand
+    * corpora (the bpeEncode factoring pattern). Each layer is BOUND via
+    * the element_at∘transform∘array trick before the next applies —
+    * [[graft.streaming.BpeEncoder]]'s no-CSE argument. */
+  private[graft] def bpeRoundTrip(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    def bind(c: Column)(f: Column => Column): Column =
+      element_at(transform(array(c), f), 1)
+    val toks0 = filter(split(coalesce(col("text"), lit("")), " "),
+      x => x =!= "")
+    val report = bind(toks0) { t0 =>
+      val enc = merges.foldLeft(t0) { case (c, (p1, p2)) =>
+        bind(c)(v => applyMerge(v, p1, p2))
+      }
+      bind(enc) { e =>
+        val decoded = array_join(transform(e,
+          tk => translate(tk, BpeSep, " ")), " ")
+        bind(decoded) { dec =>
+          struct(
+            size(t0).cast("long").as("n_raw"),
+            size(e).cast("long").as("n_enc"),
+            length(dec).cast("long").as("n_dec_chars"),
+            (dec === array_join(t0, " ")).as("round_trip_ok"))
+        }
+      }
+    }
+    // two-step select: the struct is one expensive interpreted HOF fold
+    // — materialize it once, then project the fields
+    docs.select(col("doc_id"), report.as("r"))
+      .select(col("doc_id"), col("r.n_raw").as("n_raw"),
+        col("r.n_enc").as("n_enc"), col("r.n_dec_chars").as("n_dec_chars"),
+        col("r.round_trip_ok").as("round_trip_ok"))
+  }
+
+  /** q157's DuckDB mirror: q149's shared CTE chain, a decode rollup
+    * (merged symbols re-split on chr(1), the stream rejoined in
+    * position order), and the comparison against the whitespace-
+    * normalized original; short docs coalesce to the trivially-equal
+    * normalized text (q149's LEFT-join contract). */
+  private[graft] def q157Oracle(rounds: Int): String =
+    q149Ctes(rounds) + s""",
+        |dec AS (
+        |  SELECT doc_id,
+        |    string_agg(replace(tok, chr(1), ' '), ' ' ORDER BY pos)
+        |      AS decoded
+        |  FROM s${rounds + 1} GROUP BY doc_id),
+        |nrm AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_filter(string_split(coalesce(text, ''), ' '),
+        |                                x -> x <> ''), ' ') AS norm
+        |  FROM documents)
+        |SELECT r.doc_id, r.n_raw,
+        |  coalesce(e.n_enc, r.n_raw) AS n_enc,
+        |  CAST(length(coalesce(d.decoded, n.norm)) AS BIGINT) AS n_dec_chars,
+        |  coalesce(d.decoded, n.norm) = n.norm AS round_trip_ok
+        |FROM raw r
+        |JOIN nrm n ON n.doc_id = r.doc_id
+        |LEFT JOIN enc e ON e.doc_id = r.doc_id
+        |LEFT JOIN dec d ON d.doc_id = r.doc_id
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+        |  4 NULLS FIRST, 5 NULLS FIRST""".stripMargin
+
   /** q151 [EXT]: intra-document repetition profile — the Gopher/FineWeb
     * repetition quality signals (Rae et al. 2021 §A1.1: documents whose
     * content loops are low-quality regardless of vocabulary): per doc,
@@ -1524,6 +1613,7 @@ object CorpusOps {
     "q149_bpe_encode" -> q149BpeEncode,
     "q150_encode_by_lang" -> q150EncodeByLang,
     "q151_repetition_profile" -> q151RepetitionProfile,
+    "q157_bpe_roundtrip" -> q157BpeRoundtrip,
     "q100_knn_ivf" -> q100KnnIvf,
     "q101_knn_pq" -> q101KnnPq)
 
@@ -1849,6 +1939,7 @@ object CorpusOps {
     "q144_bpe_merge_loop" -> q144Oracle(BpeRounds, BpeTopK),
     "q149_bpe_encode" -> q149Oracle(BpeRounds),
     "q150_encode_by_lang" -> q150Oracle(BpeRounds),
+    "q157_bpe_roundtrip" -> q157Oracle(BpeRounds),
     "q151_repetition_profile" ->
       // run lengths via gaps-and-islands (q138's recipe: pos minus the
       // per-token row_number is constant within a run); the bigram mode

@@ -1463,34 +1463,15 @@ object LlmOps {
     * change the result. Per-pattern counts are measured on the raw
     * text; `clean` pins that NO pattern matches the final scrubbed
     * text — the property a redaction pass actually owes you.
-    * Row-local codegen'd projection, no shuffle at any scale. */
-  val q79PiiScrub: Q = (spark, dir) => {
-    val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val PhoneRe = "\\b\\d{3}[- ]\\d{3,4}[- ]\\d{4}\\b"
-    val IdRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
-    val raw = when(col("doc_id") % 10 === 0,
-      concat(col("text"), lit(" contact: user"), col("doc_id").cast("string"),
-        lit("@example.com now")))
-      .when(col("doc_id") % 10 === 3,
-        concat(col("text"), lit(" call 555-867-5309 today")))
-      .when(col("doc_id") % 10 === 6,
-        concat(col("text"), lit(" ssn 123-45-6789 on file")))
-      .otherwise(col("text"))
-    val scrubbed = regexp_replace(
-      regexp_replace(
-        regexp_replace(raw, EmailRe, "<EMAIL>"),
-        PhoneRe, "<PHONE>"),
-      IdRe, "<ID>")
-    orderAll(t(spark, dir, "documents").select(
-      col("doc_id"),
-      regexp_count(raw, lit(EmailRe)).as("n_email"),
-      regexp_count(raw, lit(PhoneRe)).as("n_phone"),
-      regexp_count(raw, lit(IdRe)).as("n_id"),
-      length(raw).as("n_raw"),
-      length(scrubbed).as("n_scrubbed"),
-      (!(scrubbed rlike EmailRe) && !(scrubbed rlike PhoneRe) &&
-        !(scrubbed rlike IdRe)) as "clean"))
-  }
+    * Row-local codegen'd projection, no shuffle at any scale. The
+    * plant, patterns, and report live in
+    * [[graft.streaming.PiiScrubber]] (the s82/s85/s93/s95 shared
+    * batch/stream code-object convention) so the s97 ingest-time
+    * scrub gate runs the IDENTICAL expression this oracle certifies —
+    * redaction belongs at ingest, before unredacted text lands
+    * anywhere downstream. */
+  val q79PiiScrub: Q = (spark, dir) =>
+    orderAll(graft.streaming.PiiScrubber.scrub(t(spark, dir, "documents")))
 
   /** q99: deterministic dataset mixture — the pretraining reweighting
     * primitive: each source gets a sampling rate (upweighted curated

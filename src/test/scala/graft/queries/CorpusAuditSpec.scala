@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Behavioral contracts for the corpus-governance audits (CorpusAudit).
+  * The DuckDB oracles pin exact values at the gate SF; these pin the
+  * semantics on hand graphs small enough to verify by JVM arithmetic. */
+class CorpusAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The spec's independent mirror of the package's Knuth split rule —
+    * plain JVM longs, no Spark, so an arithmetic slip in the Column
+    * spelling cannot hide. */
+  private def splitOf(id: Long): String = {
+    val b = math.floorMod(id, KnuthP) * KnuthC % KnuthP % 100
+    if (b < 80) "train" else if (b < 90) "val" else "test"
+  }
+
+  test("q154: doc-hash leaks exactly the clusters whose members split; cluster-hash leaks none") {
+    // hand graph: scan ids until we find a 2-doc cluster whose members'
+    // DOC-hash splits differ (the leak the op exists to measure) and
+    // one whose members agree — so both leak classes are present and
+    // the expected counts are computed independently below
+    val leakPair = (1L to 5000L).sliding(2).collectFirst {
+      case Seq(a, b) if splitOf(a) != splitOf(b) => (a, b)
+    }.get
+    val agreePair = (1L to 5000L).sliding(2).collectFirst {
+      case Seq(a, b) if splitOf(a) == splitOf(b) => (a, b)
+    }.get
+    val singles = Seq(9001L, 9002L, 9003L)
+    val labels = Seq(
+      (leakPair._1, leakPair._1), (leakPair._2, leakPair._1),
+      (agreePair._1, agreePair._1), (agreePair._2, agreePair._1))
+      .toDF("doc_id", "cluster_id")
+    val uniIds =
+      Seq(leakPair._1, leakPair._2, agreePair._1, agreePair._2) ++ singles
+    val uni = uniIds.toDF("doc_id")
+    val got = CorpusAudit.splitLeakage(labels, uni).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .sortBy(_._1).toSeq
+    // expected, by the JVM mirror: doc-hash splits per id; cluster-hash
+    // splits by the cluster min id (singletons hash their own id)
+    def counts(split: Long => String) = {
+      val assigns = uniIds.map(split)
+      (assigns.count(_ == "train").toLong, assigns.count(_ == "val").toLong,
+        assigns.count(_ == "test").toLong)
+    }
+    val clusterOf = Map(leakPair._1 -> leakPair._1, leakPair._2 -> leakPair._1,
+      agreePair._1 -> agreePair._1, agreePair._2 -> agreePair._1)
+    val (trD, vaD, teD) = counts(id => splitOf(id))
+    val (trC, vaC, teC) = counts(id => splitOf(clusterOf.getOrElse(id, id)))
+    assert(got == Seq(
+      ("cluster_hash", trC, vaC, teC, 2L, 0L),
+      ("doc_hash", trD, vaD, teD, 2L, 1L)),
+      s"split-leakage audit diverged:\n${got.mkString("\n")}")
+  }
+
+  test("q155: pairwise source Jaccard over distinct shingle sets, zero-overlap pairs absent") {
+    // srcA {w1w2w3, w2w3w4} (two docs, one shingle repeated across
+    // them — the DISTINCT is load-bearing), srcB {w1w2w3},
+    // srcC {z1z2z3} (overlaps nobody, must not appear)
+    val docs = Seq(
+      ("srcA", "w1 w2 w3 w4"),
+      ("srcA", "w1 w2 w3"),
+      ("srcB", "w1 w2 w3"),
+      ("srcC", "z1 z2 z3"),
+      ("srcC", "zz")) // sub-3-token doc contributes nothing
+      .toDF("source", "text")
+    val got = CorpusAudit.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+      .toSeq
+    assert(got == Seq(("srcA", "srcB", 2L, 1L, 1L, 0.5)),
+      s"source overlap diverged: $got")
+  }
+
+  test("q156: drops attribute to the source of the shorter member; clean sources report zero") {
+    // cluster 1: doc 1 (srcA, 5 toks, kept — longest) + doc 2 (srcB,
+    // 3 toks, dropped); doc 3 (srcA) is unclustered
+    val labels = Seq((1L, 1L, 2L), (2L, 1L, 2L))
+      .toDF("doc_id", "cluster_id", "cluster_size")
+    val uni = Seq((1L, "srcA", 5L), (2L, "srcB", 3L), (3L, "srcA", 4L))
+      .toDF("doc_id", "source", "n_toks")
+    val got = CorpusAudit.dupBySource(labels, uni).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("srcA", 2L, 1L, 0L, 0L, 0.0),
+      ("srcB", 1L, 1L, 1L, 3L, 1.0)),
+      s"dup attribution diverged:\n${got.mkString("\n")}")
+  }
+}

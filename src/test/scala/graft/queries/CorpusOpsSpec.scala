@@ -529,6 +529,46 @@ class CorpusOpsSpec extends SparkSpec {
       s"artifact encode diverged from the loop:\nartifact-only=${artifact -- loop}\nloop-only=${loop -- artifact}")
   }
 
+  test("q157: decode∘encode reproduces the normalized text; a raw separator byte is caught") {
+    // q149's hand corpus plus doc 6, whose RAW text carries the 0x01
+    // merge-seam byte — the collision class the round-trip audit exists
+    // to flag: its decode reads "q w x", not the original
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, "c c c c c"),
+      (3L, "a b c"),
+      (4L, "x"),
+      (5L, ""),
+      (6L, "q" + CorpusOps.BpeSep + "w x")).toDF("doc_id", "text")
+    val merges = CorpusOps.learnMerges(docs, rounds = 2)
+    assert(merges == Seq(("a", "b"), ("c", "c")), s"merge list: $merges")
+    val got = CorpusOps.bpeRoundTrip(docs, merges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+      .sortBy(_._1).toSeq
+    assert(got.filter(_._1 != 6L).forall(_._5),
+      s"a clean doc failed its round-trip:\n${got.mkString("\n")}")
+    assert(!got.find(_._1 == 6L).get._5,
+      "the planted separator collision went undetected")
+    // decoded char counts equal the normalized-text length everywhere —
+    // translate is 1:1 — including the flagged doc
+    val norm = Map(1L -> "a b a b a b", 2L -> "c c c c c", 3L -> "a b c",
+      4L -> "x", 5L -> "", 6L -> "q w x")
+    // raw token counts come from the RAW text (doc 6's 0x01-carrying
+    // token is ONE raw token; its decode expands to two words)
+    val nRawExp = Map(1L -> 6L, 2L -> 5L, 3L -> 3L, 4L -> 1L, 5L -> 0L,
+      6L -> 2L)
+    got.foreach { case (id, nRaw, _, nDec, _) =>
+      assert(nDec == norm(id).length.toLong, s"doc $id: n_dec_chars $nDec")
+      assert(nRaw == nRawExp(id), s"doc $id: n_raw $nRaw")
+    }
+    // and the encode side matches q149's loop on the shared docs
+    val enc = got.map(t => t._1 -> t._3).toMap
+    assert(enc(1L) == 3L && enc(2L) == 3L && enc(3L) == 2L &&
+      enc(4L) == 1L && enc(5L) == 0L && enc(6L) == 2L,
+      s"encoded symbol counts diverged: $enc")
+  }
+
   test("q150: per-language report groups the encode stats under q84's language verdict") {
     // round 1: all pairs count 1, smallest t1 is 'a' -> (a, of) merges
     // only inside doc 1; round 2: 'a<SEP>of' sorts before every plain

@@ -1328,6 +1328,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s97: the stateless PII scrub gate streams at ingest, row-identical to the oracled q79 batch") {
+    // redaction is the one gate that MUST run at ingest — scrubbing in
+    // a later batch sweep means unredacted text already landed in the
+    // lake. It is safe there because it is a pure projection
+    // (graft.streaming.PiiScrubber — the s82/s85/s93/s95 shared
+    // code-object convention): no state store, no watermark, each
+    // arriving doc carries its redaction report out of its own
+    // micro-batch. The pin: the real sf documents fixture streamed in
+    // three micro-batches must produce EXACTLY the DuckDB-oracled q79
+    // batch answer's rows.
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("q79_pii_scrub")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getBoolean(6)))
+      .toSet
+    // every pattern family must fire somewhere, or the scrub pin is
+    // vacuous; and every scrubbed doc must be clean
+    assert(batch.exists(_._2 > 0) && batch.exists(_._3 > 0) &&
+      batch.exists(_._4 > 0), "no plant fired — the scrub pin is vacuous")
+    assert(batch.forall(_._7), "a scrubbed doc still matches a PII pattern")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(docs.nonEmpty)
+    val chunks = docs.grouped((docs.length + 2) / 3).toSeq
+    val in = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.PiiScrubber.scrub(in.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("s97_out").start()
+    try {
+      chunks.foreach { c => in.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+      val got = spark.table("s97_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getInt(4), r.getInt(5), r.getBoolean(6)))
+        .toSet
+      assert(got == batch,
+        s"stream scrub diverged from the oracled batch answer:\n" +
+          s"stream-only=${(got -- batch).take(3)}\nbatch-only=${(batch -- got).take(3)}")
+      // and it really is stateless: no state operator in the progress
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "the scrub gate must not create a state operator")
+    } finally q.stop()
+  }
+
   test("s94: the minwise panel's CDC stream reconstructs exactly the oracled q137 batch answer") {
     // per-source K-minwise audit sample in transformWithState ListState,
     // emitted as an enter/evict event log (the evict row IS the
