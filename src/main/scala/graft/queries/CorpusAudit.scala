@@ -4,13 +4,12 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** [EXT] Corpus governance audits, round 14 of the declared surface
-  * (SURVEY.md §2.2): leakage-aware split assignment (q154), the
-  * inter-source contamination matrix (q155), and the per-source
-  * duplication report (q156). The reference forwards every row of every
-  * file blind (`app.py:128-139`); these are the reports a curation
-  * pipeline publishes before anyone trains on what landed — who
-  * overlaps with whom, where the duplicates come from, and whether the
-  * train/val boundary leaks near-duplicates.
+  * (SURVEY.md §2.2): leakage-aware split assignment (q154) and the
+  * per-source duplication report (q155). The reference forwards every
+  * row of every file blind (`app.py:128-139`); these are the reports a
+  * curation pipeline publishes before anyone trains on what landed —
+  * where the duplicates come from, and whether the train/val boundary
+  * leaks near-duplicates.
   *
   * Determinism: split assignment rides the package's exact-BIGINT Knuth
   * bucket (no RNG, no engine hash), duplicate verdicts come off the
@@ -107,74 +106,7 @@ object CorpusAudit {
     out
   }
 
-  /** q155 [EXT]: inter-source contamination matrix — pairwise shingle
-    * Jaccard between crawl sources, the diagnostic a multi-source
-    * corpus assembly publishes before weighting sources (q134/q135):
-    * two sources with high set overlap are re-crawls or mirrors of each
-    * other, and mixing them at independent weights double-counts the
-    * shared mass. Per source pair: each side's distinct 3-token shingle
-    * count, the intersection size, and Jaccard over the union — q81's
-    * shingle definition lifted from document granularity to source
-    * granularity.
-    *
-    * 100 TB: ONE shingle-keyed shuffle does all the set algebra — the
-    * exploded (shingle, source) stream group-aggregates to a per-shingle
-    * source SET (collect_set dedups, its partial side dedups map-side,
-    * and the state per key is bounded by the source count, so a
-    * stopword shingle shared by every source cannot skew a partition
-    * the way a doc-level hot key can); per-source set sizes and the
-    * pairwise intersection counts are then two SHRINKING rollups over
-    * that grouped table (≤ sources and ≤ sources²/2 rows). The
-    * alternative self-join on shingle would re-shuffle the full shingle
-    * table a second time and fan hot shingles quadratically in DOCS —
-    * this shape fans them quadratically in SOURCES, a constant. The
-    * pair-size enrichment joins broadcast (the sizes frame IS
-    * source-count-sized). Shingles ride as xxhash64 of the token
-    * triple; the oracle compares string shingles — set sizes agree
-    * modulo a ~2e-11 birthday collision (q81/q88's argument). FULLY
-    * ORACLED: distinct string shingles per source, exact intersection
-    * counts, same rounding. */
-  val q155SourceOverlap: Q = (spark, dir) =>
-    orderAll(sourceOverlap(t(spark, dir, "documents")))
-
-  /** q155's core over any (source, text) frame — spec-drivable on hand
-    * corpora. */
-  private[graft] def sourceOverlap(d: DataFrame): DataFrame = {
-    val docs = d.select(col("source"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 3)
-    val sh = docs.select(col("source"),
-      explode(array_distinct(transform(sequence(lit(1), size(col("toks")) - 2),
-        i => xxhash64(element_at(col("toks"), i),
-          element_at(col("toks"), i + 1),
-          element_at(col("toks"), i + 2))))).as("sh"))
-    // one shuffle on the shingle: per-shingle sorted source set (state
-    // bounded by the source count), persisted for the two rollups below
-    val bySh = sh.groupBy(col("sh"))
-      .agg(sort_array(collect_set(col("source"))).as("srcs"))
-      .scopedPersist
-    val sizes = bySh.select(explode(col("srcs")).as("source"))
-      .groupBy(col("source")).agg(count(lit(1)).as("n"))
-    // pairs from each shingle's source set: row-local nested transform
-    // (a < b by the sort), then a sources²-bounded shrinking count
-    val pairs = bySh.filter(size(col("srcs")) >= 2)
-      .select(explode(flatten(transform(col("srcs"), (a, i) =>
-        transform(slice(col("srcs"), i + 2, size(col("srcs"))),
-          b => struct(a.as("a"), b.as("b")))))).as("p"))
-      .groupBy(col("p.a").as("source_a"), col("p.b").as("source_b"))
-      .agg(count(lit(1)).as("n_common"))
-    val out = pairs
-      .join(broadcast(sizes.select(col("source").as("source_a"),
-        col("n").as("n_a"))), Seq("source_a"))
-      .join(broadcast(sizes.select(col("source").as("source_b"),
-        col("n").as("n_b"))), Seq("source_b"))
-      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
-        col("n_common"),
-        round(col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
-    out
-  }
-
-  /** q156 [EXT]: per-source duplication report — WHERE the duplicates
+  /** q155 [EXT]: per-source duplication report — WHERE the duplicates
     * come from, the attribution a dedup audit (q146 answers "how much")
     * owes the crawl team: per source, its planted-universe document
     * count, how many of its documents sit in a near-dup cluster, how
@@ -193,7 +125,7 @@ object CorpusAudit {
     * the source count. Bodies never move — token counts ride as
     * BIGINTs from the one documents scan. FULLY ORACLED: q131's
     * recursive CTE + keep verdicts, joined to source and rolled up. */
-  val q156DupBySource: Q = (spark, dir) => {
+  val q155DupBySource: Q = (spark, dir) => {
     val labels = LlmOps.LabelTable.of(spark, dir)
     val d = t(spark, dir, "documents")
     val nTok = size(split(col("text"), " ")).cast("long")
@@ -203,7 +135,7 @@ object CorpusAudit {
     orderAll(dupBySource(labels, uni))
   }
 
-  /** q156's core over an explicit (doc_id, cluster_id, cluster_size)
+  /** q155's core over an explicit (doc_id, cluster_id, cluster_size)
     * label table and a (doc_id, source, n_toks) universe —
     * spec-drivable on hand graphs. */
   private[graft] def dupBySource(labels: DataFrame,
@@ -227,10 +159,9 @@ object CorpusAudit {
 
   val defs: Map[String, Q] = Map(
     "q154_split_leakage" -> q154SplitLeakage,
-    "q155_source_overlap" -> q155SourceOverlap,
-    "q156_dup_by_source" -> q156DupBySource)
+    "q155_dup_by_source" -> q155DupBySource)
 
-  /** q68's recursive-CTE label derivation, shared by the q154/q156
+  /** q68's recursive-CTE label derivation, shared by the q154/q155
     * mirrors exactly as q131/q146/q148 carry it (same corpus plant,
     * same exact-Jaccard ≥ 0.5 pairs, min-reachable-id components). */
   private val labelCtes: String =
@@ -306,33 +237,7 @@ object CorpusAudit {
         |FROM cnt, lk
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
         |  4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""").stripMargin,
-    "q155_source_overlap" ->
-      // distinct STRING shingles per source (the engine hashes the
-      // triple — set sizes agree modulo q81's collision argument),
-      // exact intersection via the self-join, same rounding
-      """WITH docs AS (
-        |  SELECT source, string_split(text, ' ') AS toks FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 3),
-        |sh AS (
-        |  SELECT DISTINCT source,
-        |    toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS sh
-        |  FROM docs, unnest(range(1, len(toks) - 1)) AS t(i)),
-        |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n
-        |          FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT a.source AS source_a, b.source AS source_b,
-        |    CAST(count(*) AS BIGINT) AS n_common
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
-        |  GROUP BY 1, 2)
-        |SELECT source_a, source_b, sa.n AS n_a, sb.n AS n_b, n_common,
-        |  round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6)
-        |    AS jaccard
-        |FROM inter
-        |JOIN sizes sa ON sa.source = source_a
-        |JOIN sizes sb ON sb.source = source_b
-        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
-        |  4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""".stripMargin,
-    "q156_dup_by_source" ->
+    "q155_dup_by_source" ->
       // q131's keep verdicts (labels + keep-the-longest window) joined
       // to the source-carrying planted universe, rolled up per source;
       // sums CAST HUGEINT → BIGINT, empty-drop sources coalesce to 0

@@ -1099,7 +1099,7 @@ object CorpusOps {
     sb.toString
   }
 
-  /** q157 [EXT]: tokenizer round-trip audit — the DECODE side, and the
+  /** q156 [EXT]: tokenizer round-trip audit — the DECODE side, and the
     * losslessness check every shipped tokenizer owes its corpus: decode
     * (split each merged symbol back on the 0x01 seam, rejoin the stream
     * with spaces) must reproduce the whitespace-normalized original for
@@ -1107,7 +1107,7 @@ object CorpusOps {
     * (the classic failure: a raw token that already contains the merge
     * separator collides with a merge product and detokenizes to the
     * wrong text — CorpusOpsSpec plants exactly that byte and pins the
-    * audit flags it). q157 learns the merge list as q149 does, encodes,
+    * audit flags it). q156 learns the merge list as q149 does, encodes,
     * decodes, and emits the per-doc audit: raw token count, encoded
     * symbol count, decoded character count, and the round-trip verdict.
     * TOTAL (q103's contract): empty/short docs round-trip trivially.
@@ -1121,12 +1121,12 @@ object CorpusOps {
     * unrolled CTE chain, plus a decode rollup (string_agg over the
     * final positional stream with chr(1) → space) compared against the
     * same normalized text. */
-  val q157BpeRoundtrip: Q = (spark, dir) => {
+  val q156BpeRoundtrip: Q = (spark, dir) => {
     val docs = t(spark, dir, "documents")
     orderAll(bpeRoundTrip(docs, learnMerges(docs, BpeRounds)))
   }
 
-  /** q157's core against an explicit merge list, spec-drivable on hand
+  /** q156's core against an explicit merge list, spec-drivable on hand
     * corpora (the bpeEncode factoring pattern). Each layer is BOUND via
     * the element_at∘transform∘array trick before the next applies —
     * [[graft.streaming.BpeEncoder]]'s no-CSE argument. */
@@ -1160,12 +1160,12 @@ object CorpusOps {
         col("r.round_trip_ok").as("round_trip_ok"))
   }
 
-  /** q157's DuckDB mirror: q149's shared CTE chain, a decode rollup
+  /** q156's DuckDB mirror: q149's shared CTE chain, a decode rollup
     * (merged symbols re-split on chr(1), the stream rejoined in
     * position order), and the comparison against the whitespace-
     * normalized original; short docs coalesce to the trivially-equal
     * normalized text (q149's LEFT-join contract). */
-  private[graft] def q157Oracle(rounds: Int): String =
+  private[graft] def q156Oracle(rounds: Int): String =
     q149Ctes(rounds) + s""",
         |dec AS (
         |  SELECT doc_id,
@@ -1613,7 +1613,7 @@ object CorpusOps {
     "q149_bpe_encode" -> q149BpeEncode,
     "q150_encode_by_lang" -> q150EncodeByLang,
     "q151_repetition_profile" -> q151RepetitionProfile,
-    "q157_bpe_roundtrip" -> q157BpeRoundtrip,
+    "q156_bpe_roundtrip" -> q156BpeRoundtrip,
     "q100_knn_ivf" -> q100KnnIvf,
     "q101_knn_pq" -> q101KnnPq)
 
@@ -1939,7 +1939,7 @@ object CorpusOps {
     "q144_bpe_merge_loop" -> q144Oracle(BpeRounds, BpeTopK),
     "q149_bpe_encode" -> q149Oracle(BpeRounds),
     "q150_encode_by_lang" -> q150Oracle(BpeRounds),
-    "q157_bpe_roundtrip" -> q157Oracle(BpeRounds),
+    "q156_bpe_roundtrip" -> q156Oracle(BpeRounds),
     "q151_repetition_profile" ->
       // run lengths via gaps-and-islands (q138's recipe: pos minus the
       // per-token row_number is constant within a run); the bigram mode

@@ -56,26 +56,7 @@ class CorpusAuditSpec extends SparkSpec {
       s"split-leakage audit diverged:\n${got.mkString("\n")}")
   }
 
-  test("q155: pairwise source Jaccard over distinct shingle sets, zero-overlap pairs absent") {
-    // srcA {w1w2w3, w2w3w4} (two docs, one shingle repeated across
-    // them — the DISTINCT is load-bearing), srcB {w1w2w3},
-    // srcC {z1z2z3} (overlaps nobody, must not appear)
-    val docs = Seq(
-      ("srcA", "w1 w2 w3 w4"),
-      ("srcA", "w1 w2 w3"),
-      ("srcB", "w1 w2 w3"),
-      ("srcC", "z1 z2 z3"),
-      ("srcC", "zz")) // sub-3-token doc contributes nothing
-      .toDF("source", "text")
-    val got = CorpusAudit.sourceOverlap(docs).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getDouble(5)))
-      .toSeq
-    assert(got == Seq(("srcA", "srcB", 2L, 1L, 1L, 0.5)),
-      s"source overlap diverged: $got")
-  }
-
-  test("q156: drops attribute to the source of the shorter member; clean sources report zero") {
+  test("q155: drops attribute to the source of the shorter member; clean sources report zero") {
     // cluster 1: doc 1 (srcA, 5 toks, kept — longest) + doc 2 (srcB,
     // 3 toks, dropped); doc 3 (srcA) is unclustered
     val labels = Seq((1L, 1L, 2L), (2L, 1L, 2L))

@@ -529,7 +529,7 @@ class CorpusOpsSpec extends SparkSpec {
       s"artifact encode diverged from the loop:\nartifact-only=${artifact -- loop}\nloop-only=${loop -- artifact}")
   }
 
-  test("q157: decode∘encode reproduces the normalized text; a raw separator byte is caught") {
+  test("q156: decode∘encode reproduces the normalized text; a raw separator byte is caught") {
     // q149's hand corpus plus doc 6, whose RAW text carries the 0x01
     // merge-seam byte — the collision class the round-trip audit exists
     // to flag: its decode reads "q w x", not the original
