@@ -73,7 +73,10 @@ class PlanSpec extends SparkSpec {
     // SOURCE-COUNT-sized aggregates (~hundreds of rows at any corpus
     // scale) — the one place a BroadcastNestedLoopJoin is the right
     // plan; the corpus-sized work is all equi-keyed on the shingle
-    val exempt = Set("q82_similarity_topk", "q73_cluster_assign",
+    // q154 cross-joins its TWO 1-ROW aggregate frames (split counts ×
+    // leak counts) — the scalar-attach pattern (q132's class); the
+    // corpus-sized work is the one broadcast label join + shrinking aggs
+    val exempt = Set("q154_split_leakage", "q82_similarity_topk", "q73_cluster_assign",
       "q74_cluster_balanced_sample", "q100_knn_ivf", "q101_knn_pq",
       "q108_kmeans_refine", "q110_semantic_dedup", "q118_collocations",
       "q123_rfm_segments", "q124_heavy_hitters", "q125_dsir_weights",
@@ -438,6 +441,72 @@ class PlanSpec extends SparkSpec {
     Seq("CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
       "ShuffledHashJoin", "BroadcastNestedLoopJoin").foreach(j =>
       assert(!p.contains(j), s"unexpected $j in the unpivot plan:\n$p"))
+  }
+
+  test("q154: broadcast label attach, cache-served assignment, shrinking rollups only") {
+    // the split audit's 100 TB contract: the corpus-id stream joins the
+    // (small, materialized) label table by BROADCAST, the assignment
+    // frame is computed once and cache-served to both rollups, and
+    // every aggregate shrinks — the only hash exchanges are the
+    // per-cluster leak rollup's. A SortMergeJoin here means the corpus
+    // re-sorted for a label-table-sized side; a missing
+    // InMemoryTableScan means the corpus is scanned once per rollup.
+    val p = plan("q154_split_leakage")
+    assert(p.contains("BroadcastHashJoin"),
+      s"label attach did not broadcast:\n${p.take(3000)}")
+    assert(p.contains("InMemoryTableScan"),
+      s"assignment frame recomputed per rollup:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus-sized shuffle join crept in:\n${p.take(3000)}")
+    // the cached 1-row product prints once per union arm, so count
+    // exchange FAMILIES (normalized keys), not raw lines: the leak
+    // rollup's two-stage countDistinct is the only hash-keyed shuffle
+    val keys = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .map(l => l.substring(l.indexOf("Exchange"))
+        .replaceAll("#\\d+", "#").replaceAll("plan_id=\\d+", "")
+        .replaceAll(", \\d+\\)", ")"))
+      .toSeq.distinct
+    assert(keys.size <= 2,
+      s"exchange families exceeded (${keys.size}):\n${keys.mkString("\n")}")
+  }
+
+  test("q155: doc_id-keyed equi joins only; the source rollup is two-phase and shrinking") {
+    // the attribution's 100 TB contract: verdicts attach to the
+    // source-carrying id frame by an equi join on doc_id (label-table-
+    // sized side — AQE broadcasts it in practice; pre-AQE SMJ is
+    // acceptable, a nested loop is not), the universe is cache-served
+    // to the verdict input and the attribution join, and the per-source
+    // rollup partial-aggregates before its exchange.
+    val p = plan("q155_dup_by_source")
+    Seq("CartesianProduct", "BroadcastNestedLoopJoin").foreach(j =>
+      assert(!p.contains(j), s"unexpected $j in the attribution plan:\n${p.take(3000)}"))
+    assert(p.contains("InMemoryTableScan"),
+      s"universe recomputed per consumer:\n${p.take(3000)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"source rollup is not partial-aggregated:\n${p.take(3000)}")
+    // exchange keys: doc_id (join sides), cluster_id (verdict window),
+    // source (rollup) — anything beyond re-partitions the corpus twice
+    val keys = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .map(l => l.substring(l.indexOf("Exchange"))
+        .replaceAll("#\\d+", "#").replaceAll("plan_id=\\d+", "")
+        .replaceAll(", \\d+\\)", ")"))
+      .toSeq.distinct
+    assert(keys.size <= 3,
+      s"exchange families exceeded (${keys.size}):\n${keys.mkString("\n")}")
+  }
+
+  test("q156: the round-trip audit is map-only — no exchange but the dump sort, no join") {
+    // q149's contract extended through decode: once the merge list is
+    // in hand, encode + decode + the comparison are ONE row-local
+    // projection; a hash exchange or a join means document bodies moved
+    val p = plan("q156_bpe_roundtrip")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"round-trip pass shuffled on a key:\n${p.take(3000)}")
+    Seq("CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+      "ShuffledHashJoin", "BroadcastNestedLoopJoin").foreach(j =>
+      assert(!p.contains(j), s"unexpected $j in the round-trip plan:\n${p.take(3000)}"))
   }
 
   test("q145: the composed rewrite's final plan stays inside its shuffle budget") {
