@@ -31,10 +31,10 @@ object CorpusAudit {
     * dedup and training that q94's per-document split gets subtly
     * wrong: hashing the DOC id scatters near-duplicate cluster members
     * across splits, so validation sees paraphrases of training
-    * documents and the eval number is contaminated (the
-    * train-test-leakage failure mode the decontamination family
-    * q63/q103 exists to catch — here prevented structurally instead of
-    * detected after the fact). The fix is one substitution: hash the
+    * documents and the eval number is contaminated — exactly the
+    * internal leakage q133 DETECTS (shingle-overlap audit of eval docs
+    * against the train set); q154 is the PREVENTION side of that pair,
+    * fixing the assignment so the audit has nothing to find. The fix is one substitution: hash the
     * CLUSTER id (q68's connected-component label, every unclustered doc
     * its own singleton), so a near-dup cluster moves as a unit. q154
     * runs BOTH assignments over the planted near-dup corpus (originals
@@ -57,19 +57,19 @@ object CorpusAudit {
     * two 5-char splits) — fingerprint rows, not bodies. FULLY ORACLED:
     * q68's recursive-CTE labels + the package's knuthBucketSql
     * arithmetic, rolled up identically. */
-  val q154SplitLeakage: Q = (spark, dir) => {
+  val q154SplitClusterAware: Q = (spark, dir) => {
     val labels = LlmOps.LabelTable.of(spark, dir)
       .select(col("doc_id"), col("cluster_id"))
     val d = t(spark, dir, "documents")
     val uni = d.select(col("doc_id"))
       .unionByName(d.select((col("doc_id") + 1000000).as("doc_id")))
-    orderAll(splitLeakage(labels, uni))
+    orderAll(clusterAwareSplit(labels, uni))
   }
 
   /** q154's core over explicit (doc_id, cluster_id) labels and a
     * (doc_id) universe — spec-drivable on hand graphs (the q144/q149
     * factoring pattern). */
-  private[graft] def splitLeakage(labels: DataFrame,
+  private[graft] def clusterAwareSplit(labels: DataFrame,
       uni: DataFrame): DataFrame = {
     val asg = uni.join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), col("cluster_id").isNotNull.as("clustered"),
@@ -158,7 +158,7 @@ object CorpusAudit {
   }
 
   val defs: Map[String, Q] = Map(
-    "q154_split_leakage" -> q154SplitLeakage,
+    "q154_split_cluster_aware" -> q154SplitClusterAware,
     "q155_dup_by_source" -> q155DupBySource)
 
   /** q68's recursive-CTE label derivation, shared by the q154/q155
@@ -195,7 +195,7 @@ object CorpusAudit {
       |lbl AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n)""".stripMargin
 
   val oracles: Map[String, String] = Map(
-    "q154_split_leakage" ->
+    "q154_split_cluster_aware" ->
       // q68's labels + the package knuthBucketSql arithmetic on both
       // hash inputs, rolled up per method; the UNION ALL's two rows are
       // the two methods and the ORDER BY is the dump sort

@@ -35,7 +35,7 @@ class CorpusAuditSpec extends SparkSpec {
     val uniIds =
       Seq(leakPair._1, leakPair._2, agreePair._1, agreePair._2) ++ singles
     val uni = uniIds.toDF("doc_id")
-    val got = CorpusAudit.splitLeakage(labels, uni).collect()
+    val got = CorpusAudit.clusterAwareSplit(labels, uni).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5)))
       .sortBy(_._1).toSeq

@@ -76,7 +76,7 @@ class PlanSpec extends SparkSpec {
     // q154 cross-joins its TWO 1-ROW aggregate frames (split counts ×
     // leak counts) — the scalar-attach pattern (q132's class); the
     // corpus-sized work is the one broadcast label join + shrinking aggs
-    val exempt = Set("q154_split_leakage", "q82_similarity_topk", "q73_cluster_assign",
+    val exempt = Set("q154_split_cluster_aware", "q82_similarity_topk", "q73_cluster_assign",
       "q74_cluster_balanced_sample", "q100_knn_ivf", "q101_knn_pq",
       "q108_kmeans_refine", "q110_semantic_dedup", "q118_collocations",
       "q123_rfm_segments", "q124_heavy_hitters", "q125_dsir_weights",
@@ -451,7 +451,7 @@ class PlanSpec extends SparkSpec {
     // per-cluster leak rollup's. A SortMergeJoin here means the corpus
     // re-sorted for a label-table-sized side; a missing
     // InMemoryTableScan means the corpus is scanned once per rollup.
-    val p = plan("q154_split_leakage")
+    val p = plan("q154_split_cluster_aware")
     assert(p.contains("BroadcastHashJoin"),
       s"label attach did not broadcast:\n${p.take(3000)}")
     assert(p.contains("InMemoryTableScan"),
