@@ -366,8 +366,87 @@ object TokenStats {
       (meterAfter <= lit(quota)).as("admitted")))
   }
 
+  /** q157's vocab budgets — a powers-of-4 ladder (1 … 256 k): a
+    * tokenizer sizing decision reads coverage at each candidate budget,
+    * and the geometric spacing keeps the ladder meaningful from the
+    * fixture's ~31-type vocabulary up to a web-scale multi-million-type
+    * one (a decade ladder starting at 10 saturates the fixture after
+    * one step and would leave the greedy-consumption arithmetic
+    * untested below the cut). */
+  private[graft] val CoverageBudgets: Seq[Long] =
+    Seq.iterate(1L, 10)(_ * 4) // 1, 4, 16, …, 262144
+
+  /** Exact floor(10⁶·c/t) for 0 ≤ c ≤ t without the 10⁶·c wrap at web
+    * scale (10⁶ · 2.5e13 tokens > 2⁶³): split the multiplier as
+    * 1000·1000 — 10⁶c = 1000·(a·t + r) with a = (1000c) div t,
+    * r = (1000c) mod t, so floor(10⁶c/t) = 1000a + (1000r) div t, and
+    * every intermediate is ≤ 1000·t < 2⁶³ for t up to 9.2e15 tokens.
+    * DuckDB mirror spelled identically with `//`/`%`. Column names are
+    * interpolated (Spark's Column API has no integral divide). */
+  private def ppmSql(c: String, t: String): String =
+    s"((($c * 1000) div $t) * 1000) + (((($c * 1000) % $t) * 1000) div $t)"
+
+  /** q157 [EXT]: vocabulary coverage curve — for each candidate vocab
+    * budget k, how much of the corpus's token mass the k most frequent
+    * types cover: the table a tokenizer sizing decision actually reads
+    * (Zipf coverage — "32k types cover 97%, 100k covers 98.4%" is what
+    * settles the vocab-size argument), and the whole-mass complement of
+    * q48's fixed-V OOV report and q119's log₂ spectrum.
+    *
+    * 100 TB — and why the vocab is NEVER globally sorted: coverage at
+    * budget k does not depend on WHICH types break a frequency tie,
+    * only on how much mass each frequency CLASS carries — so the curve
+    * is computed from the count-of-counts table (q119's spectrum at
+    * exact resolution): one token-keyed two-phase count builds the
+    * vocab, one SHRINKING ct-keyed rollup builds the classes, and the
+    * only window is a running type-count over the classes ordered by
+    * ct desc — a frame whose size is provably ≤ √(2N) (D distinct
+    * frequencies need Σ≥1+2+…+D ≤ N total tokens), so the
+    * single-partition window q118's rule bans for corpus-sized frames
+    * is value-domain-bounded here (~6 k rows at 10¹³ tokens). Budgets
+    * attach as a 5-row broadcast literal (the q132 scalar-attach
+    * class); greedy consumption from the highest class down is exact
+    * integer arithmetic: used(k, class) = min(n_types, max(0, k −
+    * types_before)). Coverage rides the wrap-safe split-multiplier ppm
+    * ([[ppmExpr]]). FULLY ORACLED: same classes, same window, same
+    * arithmetic in DuckDB. */
+  val q157VocabCoverage: Q = (spark, dir) =>
+    orderAll(vocabCoverage(spark,
+      t(spark, dir, "documents"), CoverageBudgets))
+
+  /** q157's core over any (doc_id, text) frame and explicit budgets —
+    * spec-drivable on hand corpora (tie classes verify the
+    * order-invariance argument). */
+  private[graft] def vocabCoverage(spark: SparkSession, docs: DataFrame,
+      budgetLadder: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    val vocab = CorpusOps.tokenStream(docs)
+      .groupBy("tok").agg(count(lit(1)).as("ct"))
+    val classes = vocab.groupBy("ct")
+      .agg(count(lit(1)).as("n_types"))
+      .withColumn("mass", col("ct") * col("n_types"))
+    val w = Window.orderBy(col("ct").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = classes
+      .withColumn("types_before", coalesce(sum(col("n_types")).over(w), lit(0L)))
+      .scopedPersist
+    val totals = cum.agg(sum(col("mass")).as("total_tokens"))
+    val budgets = budgetLadder.toDF("budget_k")
+    val used = least(col("n_types"),
+      greatest(lit(0L), col("budget_k") - col("types_before")))
+    val perBudget = cum.crossJoin(broadcast(budgets))
+      .groupBy(col("budget_k"))
+      .agg(sum(used).as("n_types_used"),
+        sum(col("ct") * used).as("covered_tokens"))
+    perBudget.crossJoin(broadcast(totals))
+      .select(col("budget_k"), col("n_types_used"), col("covered_tokens"),
+        col("total_tokens"),
+        expr(ppmSql("covered_tokens", "total_tokens")).as("coverage_ppm"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q129_token_budget" -> q129TokenBudget,
+    "q157_vocab_coverage" -> q157VocabCoverage,
     "q118_collocations" -> q118Collocations,
     "q119_freq_spectrum" -> q119FreqSpectrum,
     "q120_bigram_lm" -> q120BigramLm,
@@ -410,6 +489,43 @@ object TokenStats {
       |  FROM documents d LEFT JOIN perdoc ON d.doc_id = perdoc.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q157_vocab_coverage" ->
+      // same classes → running type count → greedy budget consumption;
+      // budgets CAST to BIGINT so the dtype-sensitive hash gate agrees,
+      // sums CAST HUGEINT → BIGINT, ppm via the same split-multiplier
+      s"""WITH toks AS (
+        |  SELECT t.tok FROM documents,
+        |    unnest(string_split(text, ' ')) AS t(tok)
+        |  WHERE t.tok <> ''),
+        |vocab AS (SELECT tok, count(*) AS ct FROM toks GROUP BY 1),
+        |classes AS (
+        |  SELECT ct, CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(ct * count(*) AS BIGINT) AS mass
+        |  FROM vocab GROUP BY 1),
+        |cum AS (
+        |  SELECT ct, n_types, mass,
+        |    CAST(coalesce(sum(n_types) OVER (ORDER BY ct DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS types_before
+        |  FROM classes),
+        |tot AS (SELECT CAST(sum(mass) AS BIGINT) AS total_tokens
+        |        FROM classes),
+        |b AS (SELECT CAST(x AS BIGINT) AS budget_k
+        |      FROM (VALUES (${CoverageBudgets.mkString("), (")})) v(x)),
+        |per AS (
+        |  SELECT budget_k,
+        |    CAST(sum(least(n_types, greatest(0, budget_k - types_before)))
+        |      AS BIGINT) AS n_types_used,
+        |    CAST(sum(ct * least(n_types, greatest(0, budget_k - types_before)))
+        |      AS BIGINT) AS covered_tokens
+        |  FROM cum CROSS JOIN b GROUP BY 1)
+        |SELECT budget_k, n_types_used, covered_tokens, total_tokens,
+        |  CAST((((covered_tokens * 1000) // total_tokens) * 1000)
+        |    + ((((covered_tokens * 1000) % total_tokens) * 1000)
+        |       // total_tokens) AS BIGINT) AS coverage_ppm
+        |FROM per CROSS JOIN tot
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+        |  4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
     "q129_token_budget" ->
       s"""SELECT doc_id, lang, n_tokens, meter_after,
         |  meter_after <= ${graft.streaming.TokenBudget.Quota} AS admitted

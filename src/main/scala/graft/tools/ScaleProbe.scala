@@ -171,7 +171,22 @@ object ScaleProbe {
     "q151_repetition_profile",
     // q152 is two row-local score folds into a <=4-group rollup (the
     // q147/q139 map-only class plus one shrinking exchange)
-    "q152_filter_agreement")
+    "q152_filter_agreement",
+    // round 14 additions: q154 rides the memoized label table (q146's
+    // class) — its own work is one broadcast label join over the k×
+    // id stream plus two SHRINKING rollups, so wall must track the
+    // scan; q155 adds q131's bounded per-cluster verdict window and a
+    // source-keyed rollup (sources constant — salted copies multiply
+    // docs per source, not sources); q156 is q149's learn loop plus a
+    // row-local decode/compare projection — its wall must track
+    // q149's, superlinearity would mean decode stopped being per-row
+    "q154_split_cluster_aware", "q155_dup_by_source",
+    "q156_bpe_roundtrip",
+    // q157's corpus-sized work is ONE two-phase token count; the class
+    // table grows with distinct frequencies (salted copies multiply
+    // types k× but frequencies stay base-shaped), so wall must track
+    // the token stream and the class window must stay negligible
+    "q157_vocab_coverage")
   private val Ks = Seq(1, 4, 8)
   private val Shift = 9700000L // lcm(97, 10) × 10,000 — residue-preserving
   private val GrowthFactor = 1.5

@@ -76,7 +76,12 @@ class PlanSpec extends SparkSpec {
     // q154 cross-joins its TWO 1-ROW aggregate frames (split counts ×
     // leak counts) — the scalar-attach pattern (q132's class); the
     // corpus-sized work is the one broadcast label join + shrinking aggs
-    val exempt = Set("q154_split_cluster_aware", "q82_similarity_topk", "q73_cluster_assign",
+    // q157 cross-joins the VALUE-DOMAIN-bounded frequency-class table
+    // (≤ √(2N) rows) against its broadcast budget-ladder literal and
+    // 1-row total — q135's aggregate×aggregate class; the corpus-sized
+    // work is one two-phase token count
+    val exempt = Set("q154_split_cluster_aware", "q157_vocab_coverage",
+      "q82_similarity_topk", "q73_cluster_assign",
       "q74_cluster_balanced_sample", "q100_knn_ivf", "q101_knn_pq",
       "q108_kmeans_refine", "q110_semantic_dedup", "q118_collocations",
       "q123_rfm_segments", "q124_heavy_hitters", "q125_dsir_weights",
@@ -507,6 +512,28 @@ class PlanSpec extends SparkSpec {
     Seq("CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
       "ShuffledHashJoin", "BroadcastNestedLoopJoin").foreach(j =>
       assert(!p.contains(j), s"unexpected $j in the round-trip plan:\n${p.take(3000)}"))
+  }
+
+  test("q157: the vocab is never globally sorted — the only unpartitioned window rides the class table") {
+    // the coverage curve's 100 TB contract: one token-keyed two-phase
+    // count, a SHRINKING ct-keyed class rollup, and the single-partition
+    // running count only over the value-domain-bounded class table
+    // (≤ √(2N) rows) — never over the vocab. A Sort above the token or
+    // vocab frames, or a fourth hash family, means the curve started
+    // ranking types globally.
+    val p = plan("q157_vocab_coverage")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"token/class counts are not two-phase:\n${p.take(3000)}")
+    val keys = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .map(l => l.substring(l.indexOf("Exchange"))
+        .replaceAll("#\\d+", "#").replaceAll("plan_id=\\d+", "")
+        .replaceAll(", \\d+\\)", ")"))
+      .toSeq.distinct
+    assert(keys.size <= 3,
+      s"exchange families exceeded (${keys.size}):\n${keys.mkString("\n")}")
+    Seq("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct").foreach(j =>
+      assert(!p.contains(j), s"unexpected $j in the coverage plan:\n${p.take(3000)}"))
   }
 
   test("q145: the composed rewrite's final plan stays inside its shuffle budget") {

@@ -179,4 +179,24 @@ class TokenStatsSpec extends SparkSpec {
       2L -> ((4L, 1L, 0L)),
       3L -> ((4L, 2L, 1000L))), s"got $got")
   }
+
+  test("q157: coverage is exact, tie-invariant, and saturates past the vocab size") {
+    import spark.implicits._
+    // vocab: a×4, b×2, c×2, d×1 — b and c TIE at ct 2: coverage at any
+    // budget must not depend on which of them the cut "takes" (the
+    // count-of-counts argument that lets the engine skip the global
+    // vocab sort); total mass 9
+    val docs = Seq((1L, "a a a a b b"), (2L, "c c d")).toDF("doc_id", "text")
+    val got = TokenStats.vocabCoverage(spark, docs, Seq(1L, 2L, 3L, 10L))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 1L, 4L, 9L, 444444L),          // top-1 = a
+      (2L, 2L, 6L, 9L, 666666L),          // a + ONE of {b, c} — mass 2 either way
+      (3L, 3L, 8L, 9L, 888888L),          // a + both tied types
+      (10L, 4L, 9L, 9L, 1000000L)),       // budget past V: full mass, 4 types
+      s"coverage curve diverged:\n${got.mkString("\n")}")
+  }
 }
