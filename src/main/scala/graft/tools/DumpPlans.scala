@@ -83,7 +83,11 @@ object DumpPlans {
       "q140_curriculum_order" -> "curriculum order: per-lang length HISTOGRAM aggregated two-phase, tercile windows over the bounded histogram only, (lang, dl)->phase map broadcast back — corpus rows touched map-side only",
       "q144_bpe_merge_loop" -> "bpe merge loop: per round a row-local pair Generate, two-phase pair count, TakeOrderedAndProject bounded cut (rank window sees <= topK rows); merge rewrite a row-local HOF projection; rounds stitched from persisted candidate tables",
       "q145_corpus_rewrite" -> "corpus rewrite: materialized label table joined doc_id-keyed, canonical window per cluster, line rebuild + decon gate pure row-local probe projections (chrome head + eval set ride as probe arrays), audit assembly doc_id-keyed — two shuffle key families total",
-      "q146_dedup_audit" -> "dedup audit: materialized label table joined doc_id-keyed, q131's per-cluster verdict window, then two SHRINKING rollups (cluster-count-sized, multiplicity-count-sized) — every exchange smaller than the last")
+      "q146_dedup_audit" -> "dedup audit: materialized label table joined doc_id-keyed, q131's per-cluster verdict window, then two SHRINKING rollups (cluster-count-sized, multiplicity-count-sized) — every exchange smaller than the last",
+      "q154_split_cluster_aware" -> "cluster-aware split: materialized label table BROADCAST onto the 2x-corpus id stream, split buckets row-local Knuth arithmetic, cached assignment served to the 6-way conditional count and the per-cluster leak rollup (both shrinking), 1-row products cross-joined",
+      "q155_dup_by_source" -> "dup attribution: q131's per-cluster verdict window off the materialized labels, verdicts re-joined doc_id-keyed to the cached source-carrying universe, per-source rollup two-phase shrinking to |sources| rows",
+      "q156_bpe_roundtrip" -> "bpe round-trip: learn loop's pair counts run in their own actions; the audited pass is ONE row-local projection (encode fold + translate decode + compare) with zero hash exchanges and zero joins — q149's map-only class through decode",
+      "q157_vocab_coverage" -> "vocab coverage: token-keyed two-phase count, ct-keyed SHRINKING class rollup, running type-count window over the <= sqrt(2N)-row class table only, budget ladder + 1-row total broadcast cross — the vocab is never globally sorted")
 
     val sb = new StringBuilder
     sb.append("# PLANS — finalized physical plans for headline queries\n\n")
