@@ -18,14 +18,15 @@ import org.apache.spark.sql.functions._
   */
 object CorpusAudit {
 
-  /** q94's 80/10/10 split rule over an arbitrary BIGINT key — factored
-    * so q154 can apply the IDENTICAL arithmetic to a doc id and to a
-    * cluster id (that identity is the point: moving the hash input from
-    * doc to cluster is the whole fix). */
-  private def splitOf(k: Column): Column = {
-    val b = knuthBucket(k, 100L)
-    when(b < 80, lit("train")).when(b < 90, lit("val")).otherwise(lit("test"))
-  }
+  /** q94's 80/10/10 split rule over an arbitrary BIGINT key — q154
+    * applies the IDENTICAL arithmetic to a doc id and to a cluster id
+    * (that identity is the point: moving the hash input from doc to
+    * cluster is the whole fix). Lives in
+    * [[graft.streaming.SplitRouter]] (the shared batch/stream
+    * code-object convention) so the s98 ingest-time router runs the
+    * same expression q158's oracle certifies. */
+  private def splitOf(k: Column): Column =
+    graft.streaming.SplitRouter.splitOf(k)
 
   /** q154 [EXT]: leakage-aware train/val/test split — the step between
     * dedup and training that q94's per-document split gets subtly
@@ -157,9 +158,35 @@ object CorpusAudit {
         .as("drop_rate"))
   }
 
+  /** q158 [EXT]: the SHIPPED cluster-aware assignment — q154 compares
+    * the two split methods and argues for the cluster hash; q158 emits
+    * what a training job actually consumes: the per-document
+    * (doc_id, cluster, clustered, split) table over the planted
+    * universe, TOTAL (unlabeled docs are their own singleton cluster
+    * and still get a split). The projection lives in
+    * [[graft.streaming.SplitRouter]] (the s82/s85/s95/s97 shared
+    * batch/stream code-object convention), so the s98 ingest-time
+    * router — the label table riding as a static dimension under a
+    * stream-static broadcast join — produces row-identically what this
+    * oracle certifies.
+    *
+    * 100 TB: one broadcast join of the pair-graph-sized materialized
+    * [[LlmOps.LabelTable]] onto the corpus-id stream plus row-local
+    * Knuth bucket arithmetic — no aggregation, no corpus shuffle
+    * beyond the dump sort. FULLY ORACLED: q68's recursive-CTE labels +
+    * knuthBucketSql, per doc. */
+  val q158SplitAssign: Q = (spark, dir) => {
+    val labels = LlmOps.LabelTable.of(spark, dir)
+    val d = t(spark, dir, "documents")
+    val uni = d.select(col("doc_id"))
+      .unionByName(d.select((col("doc_id") + 1000000).as("doc_id")))
+    orderAll(graft.streaming.SplitRouter.assign(uni, labels))
+  }
+
   val defs: Map[String, Q] = Map(
     "q154_split_cluster_aware" -> q154SplitClusterAware,
-    "q155_dup_by_source" -> q155DupBySource)
+    "q155_dup_by_source" -> q155DupBySource,
+    "q158_split_assign" -> q158SplitAssign)
 
   /** q68's recursive-CTE label derivation, shared by the q154/q155
     * mirrors exactly as q131/q146/q148 carry it (same corpus plant,
@@ -269,5 +296,22 @@ object CorpusAudit {
         |  round(CAST(n_dropped AS DOUBLE) / n_docs, 6) AS drop_rate
         |FROM ag
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
-        |  4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""").stripMargin)
+        |  4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""").stripMargin,
+    "q158_split_assign" ->
+      // q68's labels + the package knuthBucketSql arithmetic on the
+      // cluster id, per document — q154's asg CTEs without the rollups
+      (labelCtes + s""",
+        |uni AS (SELECT doc_id FROM documents
+        |        UNION ALL SELECT doc_id + 1000000 FROM documents),
+        |asg0 AS (
+        |  SELECT u.doc_id, coalesce(l.cluster_id, u.doc_id) AS cluster,
+        |    l.cluster_id IS NOT NULL AS clustered
+        |  FROM uni u LEFT JOIN lbl l ON l.doc_id = u.doc_id)
+        |SELECT doc_id, cluster, clustered,
+        |  CASE WHEN ${knuthBucketSql("cluster", 100)} < 80 THEN 'train'
+        |       WHEN ${knuthBucketSql("cluster", 100)} < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM asg0
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+        |  4 NULLS FIRST""").stripMargin)
 }

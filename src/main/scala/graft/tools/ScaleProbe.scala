@@ -186,7 +186,11 @@ object ScaleProbe {
     // table grows with distinct frequencies (salted copies multiply
     // types k× but frequencies stay base-shaped), so wall must track
     // the token stream and the class window must stay negligible
-    "q157_vocab_coverage")
+    "q157_vocab_coverage",
+    // q158 is one broadcast label join + row-local bucket arithmetic
+    // over the k× id stream — the label table grows k× but stays
+    // pair-graph-sized (broadcast territory at every k here)
+    "q158_split_assign")
   private val Ks = Seq(1, 4, 8)
   private val Shift = 9700000L // lcm(97, 10) × 10,000 — residue-preserving
   private val GrowthFactor = 1.5

@@ -536,6 +536,24 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains(j), s"unexpected $j in the coverage plan:\n${p.take(3000)}"))
   }
 
+  test("q158: the shipped assignment is one broadcast join + row-local buckets — no agg, no corpus shuffle") {
+    // the router's 100 TB contract (s98 runs the identical projection
+    // at ingest): the label table broadcasts onto the id stream, the
+    // split is codegen'd Knuth arithmetic, and the only exchange is
+    // the dump sort — an aggregate or a hash exchange here means the
+    // assignment stopped being a pure enrichment
+    val p = plan("q158_split_assign")
+    assert(p.contains("BroadcastHashJoin"),
+      s"label attach did not broadcast:\n${p.take(3000)}")
+    assert(!p.contains("HashAggregate"),
+      s"assignment grew an aggregate:\n${p.take(3000)}")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"assignment shuffled on a key:\n${p.take(3000)}")
+    Seq("CartesianProduct", "SortMergeJoin", "ShuffledHashJoin",
+      "BroadcastNestedLoopJoin").foreach(j =>
+      assert(!p.contains(j), s"unexpected $j in the assignment plan:\n${p.take(3000)}"))
+  }
+
   test("q145: the composed rewrite's final plan stays inside its shuffle budget") {
     // the composition's 100 TB contract: the whole DAG shuffles on
     // exactly TWO key families — doc_id (verdict attach + audit

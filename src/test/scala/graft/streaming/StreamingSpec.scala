@@ -1373,6 +1373,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s98: the split router assigns at ingest against the static label table, row-identical to the oracled q158 batch") {
+    // the label table (the nightly materialized artifact) rides as a
+    // STATIC dimension; each arriving doc stream-static-broadcast-joins
+    // it and leaves with its cluster-aware split — placement decided
+    // BEFORE the doc lands in any shard (the s95/s97 gate-at-ingest
+    // argument applied to routing). Stateless: a stream-static
+    // broadcast join keeps no state store. The pin: the planted
+    // universe streamed in three micro-batches must produce EXACTLY
+    // the DuckDB-oracled q158 batch answer's rows.
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("q158_split_assign")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getString(3)))
+      .toSet
+    // the routing must be non-trivial: clustered docs exist (at this
+    // fixture every planted doc pairs with its re-crawl, so ALL rows
+    // are clustered — the singleton arm is CorpusAuditSpec's hand
+    // graph), every split class occurs, and at least one cluster id
+    // differs from its member's doc id (a label actually moved an
+    // assignment)
+    assert(batch.exists(_._3))
+    assert(Set("train", "val", "test").subsetOf(batch.map(_._4)))
+    assert(batch.exists(t => t._2 != t._1),
+      "no doc inherited a foreign cluster id — the router pin is vacuous")
+    val labels = graft.queries.LlmOps.LabelTable.of(spark, sf)
+    val ids = batch.toSeq.map(_._1).sorted
+    val chunks = ids.grouped((ids.length + 2) / 3).toSeq
+    val in = MemoryStream[Long](spark)
+    val q = graft.streaming.SplitRouter.assign(in.toDF().toDF("doc_id"), labels)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("s98_out").start()
+    try {
+      chunks.foreach { c => in.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+      val got = spark.table("s98_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getString(3)))
+        .toSet
+      assert(got == batch,
+        s"stream router diverged from the oracled batch answer:\n" +
+          s"stream-only=${(got -- batch).take(3)}\nbatch-only=${(batch -- got).take(3)}")
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "the split router must not create a state operator")
+    } finally q.stop()
+  }
+
   test("s94: the minwise panel's CDC stream reconstructs exactly the oracled q137 batch answer") {
     // per-source K-minwise audit sample in transformWithState ListState,
     // emitted as an enter/evict event log (the evict row IS the
