@@ -183,10 +183,180 @@ object CorpusAudit {
     orderAll(graft.streaming.SplitRouter.assign(uni, labels))
   }
 
+  /** q159 [EXT]: split token-balance audit — the distributional check a
+    * split method owes its consumers AFTER q154 settles the leakage
+    * question: a cluster-aware split that parks one giant near-dup
+    * cluster in val can be leak-free and still unrepresentative, and
+    * the number that decides is how far each split's unigram
+    * distribution sits from the others. Per split pair (train/val,
+    * train/test, val/test): each side's token mass and vocabulary
+    * size, the shared-type count, and the TOTAL-VARIATION distance
+    * between the two unigram distributions in ppm — TV = ½·Σ|p_a −
+    * p_b|, the standard "how different are these corpora" metric with
+    * an exact rational form: Σ_tok |c_a·N_b − c_b·N_a| over 2·N_a·N_b.
+    *
+    * Determinism contract (how a DISTANCE gets hash-oracled): no float
+    * division until nothing follows it — the whole computation is
+    * exact integer arithmetic. Cross-multiplied counts ride as
+    * DECIMAL(38,0) (c ≤ N ≤ ~10¹³ tokens at 100 TB ⇒ products ≤ 10²⁶,
+    * the summed numerator ≤ 2·N_a·N_b ≤ 2·10²⁶, and ×10⁶ stays inside
+    * 38 digits); the final ppm is one integral division (Spark `div` =
+    * DuckDB `//` — exact floor on non-negative operands), emitted
+    * BIGINT.
+    *
+    * 100 TB: the audit runs over q158's SHIPPED assignment (the
+    * planted universe, labels from the materialized
+    * [[LlmOps.LabelTable]], broadcast — the s98 router's exact
+    * projection), so it certifies the artifact training actually
+    * reads. ONE corpus-scale shuffle: the (tok)-keyed pivot
+    * `sum(when(split = s))` — partial aggregation collapses each
+    * partition's token runs before the exchange, and the pivot
+    * REPLACES the 3 per-pair full-outer joins a naive spelling would
+    * shuffle (absent-in-one-side types fall out as c = 0 rows of the
+    * same pivot). Everything downstream is vocabulary-sized: one
+    * 1-row totals frame broadcast back, one SHRINKING agg to 12
+    * scalars, three 1-row select arms. FULLY ORACLED: q68's
+    * recursive-CTE labels + knuthBucketSql + the same pivot and
+    * HUGEINT cross-multiplication in DuckDB. */
+  val q159SplitBalance: Q = (spark, dir) => {
+    val labels = LlmOps.LabelTable.of(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val d = t(spark, dir, "documents")
+    // the planted universe WITH text: originals + last-token-dropped
+    // re-crawls (q104's class-1 spelling), so the token stream covers
+    // exactly the docs q158 routes
+    val toks = split(col("text"), " ")
+    val uni = d.select(col("doc_id"), col("text"))
+      .unionByName(d.select((col("doc_id") + 1000000).as("doc_id"),
+        array_join(slice(toks, lit(1), size(toks) - 1), " ").as("text")))
+    val asg = graft.streaming.SplitRouter.assign(
+      uni.select(col("doc_id")), labels)
+      .select(col("doc_id"), col("split"))
+    orderAll(splitBalance(CorpusOps.tokenStream(uni), asg))
+  }
+
+  /** q159's core over an explicit (doc_id, tok) stream and a (doc_id,
+    * split) assignment — spec-drivable on hand corpora where the TV
+    * distances are checkable by hand. */
+  private[graft] def splitBalance(toks: DataFrame,
+      asg: DataFrame): DataFrame = {
+    def c(s: String) = sum(when(col("split") === s, 1L).otherwise(0L))
+    val pivot = toks.join(asg, Seq("doc_id"))
+      .groupBy(col("tok"))
+      .agg(c("train").as("c_tr"), c("val").as("c_va"), c("test").as("c_te"))
+    // totals ride ON the pivot agg via a second SHRINKING agg — the
+    // cross-multiplication needs them per row, so they come back as a
+    // broadcast of one row
+    val totals = pivot.agg(sum(col("c_tr")).as("n_tr"),
+      sum(col("c_va")).as("n_va"), sum(col("c_te")).as("n_te"))
+    val dec = "decimal(38,0)"
+    def sTerm(a: String, b: String) =
+      sum(abs(col(s"c_$a").cast(dec) * col(s"n_$b")
+        - col(s"c_$b").cast(dec) * col(s"n_$a")))
+    def tyTerm(a: String) = sum(when(col(s"c_$a") > 0, 1L).otherwise(0L))
+    def shTerm(a: String, b: String) =
+      sum(when(col(s"c_$a") > 0 && col(s"c_$b") > 0, 1L).otherwise(0L))
+    val agged = pivot.crossJoin(broadcast(totals)).agg(
+      max(col("n_tr")).as("n_tr"), max(col("n_va")).as("n_va"),
+      max(col("n_te")).as("n_te"),
+      tyTerm("tr").as("ty_tr"), tyTerm("va").as("ty_va"),
+      tyTerm("te").as("ty_te"),
+      shTerm("tr", "va").as("sh_tr_va"), shTerm("tr", "te").as("sh_tr_te"),
+      shTerm("va", "te").as("sh_va_te"),
+      sTerm("tr", "va").as("s_tr_va"), sTerm("tr", "te").as("s_tr_te"),
+      sTerm("va", "te").as("s_va_te")).scopedPersist
+    def arm(a: String, b: String, an: String, bn: String) =
+      agged.select(lit(a).as("split_a"), lit(b).as("split_b"),
+        col(s"n_$an").as("n_tok_a"), col(s"n_$bn").as("n_tok_b"),
+        col(s"ty_$an").as("n_types_a"), col(s"ty_$bn").as("n_types_b"),
+        col(s"sh_${an}_$bn").as("n_types_shared"),
+        expr(s"""CASE WHEN n_$an = 0 OR n_$bn = 0 THEN NULL
+                 ELSE (s_${an}_$bn * 1000000)
+                   div (2 * cast(n_$an as $dec) * n_$bn) END""")
+          .as("tv_ppm"))
+    arm("train", "val", "tr", "va")
+      .unionByName(arm("train", "test", "tr", "te"))
+      .unionByName(arm("val", "test", "va", "te"))
+  }
+
+  /** q160 [EXT]: k-anonymity audit — the metadata-privacy report q79's
+    * in-text PII scrub cannot produce: even with every email and card
+    * number redacted, a document whose QUASI-IDENTIFIER tuple (lang,
+    * source, n_chars length band — the columns any downstream join can
+    * see) is shared with fewer than k−1 other documents is
+    * re-identifiable by metadata alone (Sweeney's k-anonymity, the
+    * standard release-audit frame). Per candidate k in
+    * [[AnonymityKs]]: the occupied-class count, corpus size, how many
+    * classes and documents sit below k, the at-risk fraction in ppm
+    * (exact, the q157 split-multiplier spelling), and the smallest /
+    * largest class — the table that decides which k the release can
+    * honestly claim and how much suppression it would cost (q162 is
+    * the per-document verdict; s99 applies it at ingest).
+    *
+    * 100 TB: the class table is ONE shrinking two-phase aggregate over
+    * a 3-column projection (occupied QI cells ≪ corpus — the pivot
+    * never sees text); the ladder attaches as a broadcast literal
+    * (q157's budget pattern) and the per-k rollup SHRINKS to
+    * |ladder| rows. FULLY ORACLED: same grouping, same conditional
+    * counts, same ppm arithmetic in DuckDB. */
+  val q160AnonymityAudit: Q = (spark, dir) => {
+    import spark.implicits._
+    orderAll(anonymityAudit(
+      graft.streaming.QiGate.classTable(t(spark, dir, "documents")),
+      AnonymityKs.toDF("k")))
+  }
+
+  /** The audit ladder — spans "any duplicate metadata at all" (k = 2)
+    * to "small-crowd" (k = 25); interpolated into the oracle. */
+  private[graft] val AnonymityKs: Seq[Long] = Seq(2L, 5L, 10L, 25L)
+
+  /** q160's core over an explicit (…, class_size) class table and a
+    * (k) ladder — spec-drivable on hand class tables. */
+  private[graft] def anonymityAudit(classes: DataFrame,
+      ladder: DataFrame): DataFrame =
+    classes.crossJoin(broadcast(ladder))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("class_size")).as("n_docs"),
+        sum(when(col("class_size") < col("k"), 1L).otherwise(0L))
+          .as("n_classes_at_risk"),
+        sum(when(col("class_size") < col("k"), col("class_size"))
+          .otherwise(0L)).as("n_docs_at_risk"),
+        min(col("class_size")).as("min_class"),
+        max(col("class_size")).as("max_class"))
+      .select(col("k"), col("n_classes"), col("n_docs"),
+        col("n_classes_at_risk"), col("n_docs_at_risk"),
+        expr(TokenStats.ppmSql("n_docs_at_risk", "n_docs")).as("risk_ppm"),
+        col("min_class"), col("max_class"))
+
+  /** q162 [EXT]: the per-document suppression verdict q160's ladder
+    * argues about — each document joined to its own quasi-identifier
+    * class and admitted iff the class holds at least k = 5 members
+    * (GRAFT_QI_K-dialed; the dial is parsed per call so a bad value
+    * fails only this query, the ADVICE-r12 lazy-dial rule). The
+    * projection lives in [[graft.streaming.QiGate]] (the s82/s85/s95/
+    * s97/s98 shared batch/stream code-object convention), so the s99
+    * ingest-time gate — the class table riding as a static broadcast
+    * dimension — produces row-identically what this oracle certifies.
+    *
+    * 100 TB: the class table is q160's shrinking aggregate; the
+    * verdict is one broadcast join on the 3-column QI tuple plus a
+    * row-local compare — no corpus shuffle beyond the dump sort.
+    * FULLY ORACLED: same grouping, same join, same compare in
+    * DuckDB. */
+  val q162AnonymityGate: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+    orderAll(graft.streaming.QiGate.gate(d,
+      graft.streaming.QiGate.classTable(d), graft.streaming.QiGate.kDial))
+  }
+
   val defs: Map[String, Q] = Map(
     "q154_split_cluster_aware" -> q154SplitClusterAware,
     "q155_dup_by_source" -> q155DupBySource,
-    "q158_split_assign" -> q158SplitAssign)
+    "q158_split_assign" -> q158SplitAssign,
+    "q159_split_balance" -> q159SplitBalance,
+    "q160_anonymity_audit" -> q160AnonymityAudit,
+    "q162_anonymity_gate" -> q162AnonymityGate)
 
   /** q68's recursive-CTE label derivation, shared by the q154/q155
     * mirrors exactly as q131/q146/q148 carry it (same corpus plant,
@@ -313,5 +483,120 @@ object CorpusAudit {
         |       ELSE 'test' END AS split
         |FROM asg0
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
-        |  4 NULLS FIRST""").stripMargin)
+        |  4 NULLS FIRST""").stripMargin,
+    "q159_split_balance" ->
+      // q158's assignment CTEs over the text-carrying planted universe,
+      // one (tok, split) pivot, then the exact HUGEINT
+      // cross-multiplication — `//` mirrors Spark's `div` (both exact
+      // floor on non-negative operands)
+      (labelCtes + s""",
+        |uni AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, array_to_string(
+        |    string_split(text, ' ')[1:len(string_split(text, ' ')) - 1], ' ')
+        |  FROM documents),
+        |asg AS (
+        |  SELECT u.doc_id,
+        |    CASE WHEN ${knuthBucketSql("coalesce(l.cluster_id, u.doc_id)", 100)} < 80 THEN 'train'
+        |         WHEN ${knuthBucketSql("coalesce(l.cluster_id, u.doc_id)", 100)} < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM uni u LEFT JOIN lbl l ON l.doc_id = u.doc_id),
+        |utoks AS (
+        |  SELECT u.doc_id, t.tok
+        |  FROM uni u, unnest(string_split(u.text, ' ')) AS t(tok)
+        |  WHERE t.tok <> ''),
+        |pv AS (
+        |  SELECT tok,
+        |    CAST(count(*) FILTER (WHERE split = 'train') AS BIGINT) AS c_tr,
+        |    CAST(count(*) FILTER (WHERE split = 'val') AS BIGINT) AS c_va,
+        |    CAST(count(*) FILTER (WHERE split = 'test') AS BIGINT) AS c_te
+        |  FROM utoks JOIN asg USING (doc_id) GROUP BY tok),
+        |tot AS (SELECT CAST(sum(c_tr) AS BIGINT) AS n_tr,
+        |               CAST(sum(c_va) AS BIGINT) AS n_va,
+        |               CAST(sum(c_te) AS BIGINT) AS n_te FROM pv),
+        |ag AS (SELECT
+        |    CAST(count(*) FILTER (WHERE c_tr > 0) AS BIGINT) AS ty_tr,
+        |    CAST(count(*) FILTER (WHERE c_va > 0) AS BIGINT) AS ty_va,
+        |    CAST(count(*) FILTER (WHERE c_te > 0) AS BIGINT) AS ty_te,
+        |    CAST(count(*) FILTER (WHERE c_tr > 0 AND c_va > 0) AS BIGINT)
+        |      AS sh_tr_va,
+        |    CAST(count(*) FILTER (WHERE c_tr > 0 AND c_te > 0) AS BIGINT)
+        |      AS sh_tr_te,
+        |    CAST(count(*) FILTER (WHERE c_va > 0 AND c_te > 0) AS BIGINT)
+        |      AS sh_va_te,
+        |    sum(abs(CAST(c_tr AS HUGEINT) * n_va
+        |      - CAST(c_va AS HUGEINT) * n_tr)) AS s_tr_va,
+        |    sum(abs(CAST(c_tr AS HUGEINT) * n_te
+        |      - CAST(c_te AS HUGEINT) * n_tr)) AS s_tr_te,
+        |    sum(abs(CAST(c_va AS HUGEINT) * n_te
+        |      - CAST(c_te AS HUGEINT) * n_va)) AS s_va_te
+        |  FROM pv, tot)
+        |SELECT 'train' AS split_a, 'val' AS split_b, n_tr AS n_tok_a,
+        |  n_va AS n_tok_b, ty_tr AS n_types_a, ty_va AS n_types_b,
+        |  sh_tr_va AS n_types_shared,
+        |  CASE WHEN n_tr = 0 OR n_va = 0 THEN NULL
+        |       ELSE CAST((s_tr_va * 1000000)
+        |         // (2 * CAST(n_tr AS HUGEINT) * n_va) AS BIGINT)
+        |  END AS tv_ppm
+        |FROM ag, tot
+        |UNION ALL
+        |SELECT 'train', 'test', n_tr, n_te, ty_tr, ty_te, sh_tr_te,
+        |  CASE WHEN n_tr = 0 OR n_te = 0 THEN NULL
+        |       ELSE CAST((s_tr_te * 1000000)
+        |         // (2 * CAST(n_tr AS HUGEINT) * n_te) AS BIGINT) END
+        |FROM ag, tot
+        |UNION ALL
+        |SELECT 'val', 'test', n_va, n_te, ty_va, ty_te, sh_va_te,
+        |  CASE WHEN n_va = 0 OR n_te = 0 THEN NULL
+        |       ELSE CAST((s_va_te * 1000000)
+        |         // (2 * CAST(n_va AS HUGEINT) * n_te) AS BIGINT) END
+        |FROM ag, tot
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+        |  4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST,
+        |  8 NULLS FIRST""").stripMargin,
+    "q160_anonymity_audit" ->
+      // QiGate's class grouping (n_chars // 100 = Spark's `div` on
+      // non-negative lengths), the interpolated ladder, the q157 ppm
+      // split-multiplier spelling
+      s"""WITH cls AS (
+        |  SELECT lang, source, n_chars // 100 AS len_band,
+        |    CAST(count(*) AS BIGINT) AS class_size
+        |  FROM documents GROUP BY 1, 2, 3),
+        |b AS (SELECT CAST(unnest([${AnonymityKs.mkString(", ")}]) AS BIGINT)
+        |        AS k),
+        |ag AS (
+        |  SELECT k, CAST(count(*) AS BIGINT) AS n_classes,
+        |    CAST(sum(class_size) AS BIGINT) AS n_docs,
+        |    CAST(count(*) FILTER (WHERE class_size < k) AS BIGINT)
+        |      AS n_classes_at_risk,
+        |    CAST(coalesce(sum(class_size) FILTER (WHERE class_size < k), 0)
+        |      AS BIGINT) AS n_docs_at_risk,
+        |    min(class_size) AS min_class, max(class_size) AS max_class
+        |  FROM cls CROSS JOIN b GROUP BY 1)
+        |SELECT k, n_classes, n_docs, n_classes_at_risk, n_docs_at_risk,
+        |  CAST((((n_docs_at_risk * 1000) // n_docs) * 1000)
+        |    + ((((n_docs_at_risk * 1000) % n_docs) * 1000) // n_docs)
+        |    AS BIGINT) AS risk_ppm,
+        |  min_class, max_class
+        |FROM ag
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+        |  4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST,
+        |  8 NULLS FIRST""".stripMargin,
+    "q162_anonymity_gate" ->
+      // the same class grouping joined back per document; the k dial is
+      // interpolated so engine and oracle read the same env
+      s"""WITH cls AS (
+        |  SELECT lang, source, n_chars // 100 AS len_band,
+        |    CAST(count(*) AS BIGINT) AS class_size
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars // 100 AS len_band,
+        |  coalesce(c.class_size, 0) AS class_size,
+        |  coalesce(c.class_size, 0) >= ${graft.streaming.QiGate.kDial}
+        |    AS admit
+        |FROM documents d
+        |LEFT JOIN cls c ON c.lang = d.lang AND c.source = d.source
+        |  AND c.len_band = d.n_chars // 100
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+        |  4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""".stripMargin)
 }

@@ -72,4 +72,57 @@ class CorpusAuditSpec extends SparkSpec {
       ("srcB", 1L, 1L, 1L, 3L, 1.0)),
       s"dup attribution diverged:\n${got.mkString("\n")}")
   }
+
+  test("q159: TV distance is the exact cross-multiplied rational, disjoint splits measure exactly 1") {
+    // hand corpus: train = d1 [a a b] (N=3), val = d2 [a c] (N=2),
+    // test = d3 [b] (N=1). By hand:
+    //   TV(tr,va) = (|2·2−1·3| + |1·2−0| + |0−1·3|) / (2·3·2) = 6/12 → 500000
+    //   TV(tr,te) = (|2·1−0| + |1·1−1·3| + 0) / (2·3·1) = 4/6 → 666666 (floor)
+    //   TV(va,te): disjoint type sets except none shared → 4/4 = 1 → 1000000
+    val toks = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "a"), (2L, "c"),
+      (3L, "b")).toDF("doc_id", "tok")
+    val asg = Seq((1L, "train"), (2L, "val"), (3L, "test"))
+      .toDF("doc_id", "split")
+    val got = CorpusAudit.splitBalance(toks, asg).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == Seq(
+      ("train", "test", 3L, 1L, 2L, 1L, 1L, 666666L),
+      ("train", "val", 3L, 2L, 2L, 2L, 1L, 500000L),
+      ("val", "test", 2L, 1L, 2L, 1L, 0L, 1000000L)),
+      s"TV audit diverged:\n${got.mkString("\n")}")
+  }
+
+  test("q160: the ladder counts classes and docs below each k; ppm is the exact floor") {
+    // class sizes [1, 3, 7] (11 docs): k=2 → 1 class / 1 doc at risk
+    // (ppm floor(1e6/11) = 90909); k=5 → 2 classes / 4 docs (363636)
+    val classes = Seq(("en", "web", 0L, 1L), ("en", "web", 1L, 3L),
+      ("de", "book", 0L, 7L))
+      .toDF("lang", "source", "len_band", "class_size")
+    val got = CorpusAudit.anonymityAudit(classes, Seq(2L, 5L).toDF("k"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (2L, 3L, 11L, 1L, 1L, 90909L, 1L, 7L),
+      (5L, 3L, 11L, 2L, 4L, 363636L, 1L, 7L)),
+      s"anonymity ladder diverged:\n${got.mkString("\n")}")
+  }
+
+  test("q162/QiGate: unseen classes suppress (size 0), the k compare is >=") {
+    val classes = Seq(("en", "web", 2L, 5L), ("de", "book", 1L, 4L))
+      .toDF("lang", "source", "len_band", "class_size")
+    val docs = Seq(
+      (1L, "en", "web", 250L), // class size 5 ≥ 5 → admit
+      (2L, "de", "book", 150L), // class size 4 < 5 → suppress
+      (3L, "fr", "news", 10L)) // unseen class → size 0, suppress
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val got = graft.streaming.QiGate.gate(docs, classes, 5L).collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getBoolean(5)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, 5L, true), (2L, 4L, false), (3L, 0L, false)),
+      s"QI gate diverged:\n${got.mkString("\n")}")
+  }
 }

@@ -1417,6 +1417,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s99: the QI suppression gate admits at ingest against the static class table, row-identical to the oracled q162 batch") {
+    // the class-size table (q160's grouping — the nightly artifact)
+    // rides as a STATIC dimension; each arriving doc stream-static-
+    // broadcast-joins its own quasi-identifier class and leaves with
+    // its suppression verdict — the s95/s97 gate-at-ingest argument
+    // applied to metadata privacy. Stateless: no state store, no
+    // watermark. The pin: the real sf corpus streamed in three
+    // micro-batches must produce EXACTLY the DuckDB-oracled q162
+    // batch answer's rows.
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("q162_anonymity_gate")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+      .toSet
+    // the verdict must be non-trivial: both admit classes occur
+    assert(batch.exists(_._6) && batch.exists(!_._6),
+      "fixture must exercise both admit and suppress verdicts")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    val classes = graft.streaming.QiGate.classTable(
+      spark.read.parquet(s"$sf/documents.parquet"))
+    val chunks = docs.grouped((docs.length + 2) / 3).toSeq
+    val in = MemoryStream[(Long, String, String, Long)](spark)
+    val q = graft.streaming.QiGate.gate(
+      in.toDF().toDF("doc_id", "lang", "source", "n_chars"),
+      classes, graft.streaming.QiGate.kDial)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("s99_out").start()
+    try {
+      chunks.foreach { c => in.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+      val got = spark.table("s99_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+          r.getLong(4), r.getBoolean(5)))
+        .toSet
+      assert(got == batch,
+        s"stream gate diverged from the oracled batch answer:\n" +
+          s"stream-only=${(got -- batch).take(3)}\nbatch-only=${(batch -- got).take(3)}")
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "the QI gate must not create a state operator")
+    } finally q.stop()
+  }
+
   test("s94: the minwise panel's CDC stream reconstructs exactly the oracled q137 batch answer") {
     // per-source K-minwise audit sample in transformWithState ListState,
     // emitted as an enter/evict event log (the evict row IS the
