@@ -290,7 +290,7 @@ object CorpusAudit {
     * classes and documents sit below k, the at-risk fraction in ppm
     * (exact, the q157 split-multiplier spelling), and the smallest /
     * largest class — the table that decides which k the release can
-    * honestly claim and how much suppression it would cost (q162 is
+    * honestly claim and how much suppression it would cost (q161 is
     * the per-document verdict; s99 applies it at ingest).
     *
     * 100 TB: the class table is ONE shrinking two-phase aggregate over
@@ -329,7 +329,7 @@ object CorpusAudit {
         expr(TokenStats.ppmSql("n_docs_at_risk", "n_docs")).as("risk_ppm"),
         col("min_class"), col("max_class"))
 
-  /** q162 [EXT]: the per-document suppression verdict q160's ladder
+  /** q161 [EXT]: the per-document suppression verdict q160's ladder
     * argues about — each document joined to its own quasi-identifier
     * class and admitted iff the class holds at least k = 5 members
     * (GRAFT_QI_K-dialed; the dial is parsed per call so a bad value
@@ -344,7 +344,7 @@ object CorpusAudit {
     * row-local compare — no corpus shuffle beyond the dump sort.
     * FULLY ORACLED: same grouping, same join, same compare in
     * DuckDB. */
-  val q162AnonymityGate: Q = (spark, dir) => {
+  val q161AnonymityGate: Q = (spark, dir) => {
     val d = t(spark, dir, "documents")
     orderAll(graft.streaming.QiGate.gate(d,
       graft.streaming.QiGate.classTable(d), graft.streaming.QiGate.kDial))
@@ -356,7 +356,7 @@ object CorpusAudit {
     "q158_split_assign" -> q158SplitAssign,
     "q159_split_balance" -> q159SplitBalance,
     "q160_anonymity_audit" -> q160AnonymityAudit,
-    "q162_anonymity_gate" -> q162AnonymityGate)
+    "q161_anonymity_gate" -> q161AnonymityGate)
 
   /** q68's recursive-CTE label derivation, shared by the q154/q155
     * mirrors exactly as q131/q146/q148 carry it (same corpus plant,
@@ -583,7 +583,7 @@ object CorpusAudit {
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
         |  4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST,
         |  8 NULLS FIRST""".stripMargin,
-    "q162_anonymity_gate" ->
+    "q161_anonymity_gate" ->
       // the same class grouping joined back per document; the k dial is
       // interpolated so engine and oracle read the same env
       s"""WITH cls AS (

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Quasi-identifier suppression gate — q162's verdict as a shared
+/** Quasi-identifier suppression gate — q161's verdict as a shared
   * batch/stream code object (the s82/s85/s95/s97/s98 convention: ONE
   * function, so the oracled batch answer and the ingest-time gate
   * cannot drift). The privacy mechanism behind q160's k-anonymity
@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * scrub — has fewer than k members is re-identifiable by its
   * metadata alone, and the standard remedy is SUPPRESSION (hold the
   * row back, or strip its metadata) until its class fills up. q160
-  * reports how much of the corpus sits below each k; q162/s99 apply
+  * reports how much of the corpus sits below each k; q161/s99 apply
   * the verdict per document.
   *
   * Stateless by construction: the class-size table is a nightly
@@ -50,7 +50,7 @@ object QiGate {
   }
 
   /** The quasi-identifier projection — one spelling for the audit
-    * (q160), the gate (q162), its oracle, and the stream (s99). */
+    * (q160), the gate (q161), its oracle, and the stream (s99). */
   def qiCols: Seq[Column] = Seq(col("lang"), col("source"),
     expr(s"n_chars div $BandWidth").as("len_band"))
 

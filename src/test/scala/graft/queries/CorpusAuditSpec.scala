@@ -111,7 +111,7 @@ class CorpusAuditSpec extends SparkSpec {
       s"anonymity ladder diverged:\n${got.mkString("\n")}")
   }
 
-  test("q162/QiGate: unseen classes suppress (size 0), the k compare is >=") {
+  test("q161/QiGate: unseen classes suppress (size 0), the k compare is >=") {
     val classes = Seq(("en", "web", 2L, 5L), ("de", "book", 1L, 4L))
       .toDF("lang", "source", "len_band", "class_size")
     val docs = Seq(

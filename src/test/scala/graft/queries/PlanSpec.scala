@@ -80,7 +80,15 @@ class PlanSpec extends SparkSpec {
     // (≤ √(2N) rows) against its broadcast budget-ladder literal and
     // 1-row total — q135's aggregate×aggregate class; the corpus-sized
     // work is one two-phase token count
+    // q159 attaches its 1-ROW split-totals aggregate onto the
+    // VOCABULARY-sized pivot (q132's scalar-attach class) before the
+    // final shrinking 12-scalar agg — the corpus-sized work is the one
+    // (tok)-keyed pivot exchange
+    // q160 cross-joins the occupied-QI-CLASS table (≪ corpus — a
+    // shrinking 3-column aggregate) against its broadcast 4-row
+    // k-ladder literal — q157's budget-ladder class
     val exempt = Set("q154_split_cluster_aware", "q157_vocab_coverage",
+      "q159_split_balance", "q160_anonymity_audit",
       "q82_similarity_topk", "q73_cluster_assign",
       "q74_cluster_balanced_sample", "q100_knn_ivf", "q101_knn_pq",
       "q108_kmeans_refine", "q110_semantic_dedup", "q118_collocations",

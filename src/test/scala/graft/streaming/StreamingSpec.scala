@@ -1417,17 +1417,17 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("s99: the QI suppression gate admits at ingest against the static class table, row-identical to the oracled q162 batch") {
+  test("s99: the QI suppression gate admits at ingest against the static class table, row-identical to the oracled q161 batch") {
     // the class-size table (q160's grouping — the nightly artifact)
     // rides as a STATIC dimension; each arriving doc stream-static-
     // broadcast-joins its own quasi-identifier class and leaves with
     // its suppression verdict — the s95/s97 gate-at-ingest argument
     // applied to metadata privacy. Stateless: no state store, no
     // watermark. The pin: the real sf corpus streamed in three
-    // micro-batches must produce EXACTLY the DuckDB-oracled q162
+    // micro-batches must produce EXACTLY the DuckDB-oracled q161
     // batch answer's rows.
     val sf = "/root/testdata/sf0.001"
-    val batch = graft.SparkEntry.queries("q162_anonymity_gate")(spark, sf)
+    val batch = graft.SparkEntry.queries("q161_anonymity_gate")(spark, sf)
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
         r.getLong(4), r.getBoolean(5)))
