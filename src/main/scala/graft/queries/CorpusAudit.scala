@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** [EXT] Corpus governance audits, round 14 of the declared surface
@@ -350,13 +351,215 @@ object CorpusAudit {
       graft.streaming.QiGate.classTable(d), graft.streaming.QiGate.kDial))
   }
 
+  /** q162 [EXT]: the curation-pipeline YIELD FUNNEL — the one-page
+    * report every gate family in the surface feeds: per source, how
+    * many documents enter and how many survive each gate applied in
+    * pipeline order (repetition → heuristic quality → learned
+    * classifier → decontamination → k-anonymity), with the final yield
+    * in exact ppm. This is the number a data lead actually asks for
+    * ("how much of crawl X survives curation, and which stage eats
+    * it?") and the cross-gate composition none of the per-gate reports
+    * (q64/q85/q147/q103/q160) publishes. Every stage verdict is its
+    * parent's EXACT spelling — [[LlmOps.repetitionFlag]] (q64's rule on
+    * the raw corpus; the spam plant stays q64's own observability
+    * fixture — 8 natural flags at sf0.01 keep the stage observable),
+    * [[LlmOps.qualityExpr]] ≥ 0.5 (q152's calibration threshold),
+    * [[graft.streaming.ClassifierGate.scoreExpr]] ≥ 0 (q147),
+    * [[graft.streaming.Decontaminator]]'s shingle-probe ≥ 0.5 flag
+    * against the doc_id % 97 eval set (q103's fixture convention —
+    * eval docs found in the corpus self-flag, the correct verdict),
+    * and [[graft.streaming.QiGate]]'s class-size ≥ k admit (q161) —
+    * so the funnel counts are derivable by joining the parents, and
+    * drift in any stage is a CORRECTNESS failure here too.
+    *
+    * 100 TB: ONE corpus scan pays all four row-local verdicts (the
+    * q152 one-scan-two-scores design extended — repetition/quality/
+    * classifier are codegen'd HOF folds, decon is the q103 broadcast
+    * set-probe); the only join is the broadcast QI class table (q160's
+    * shrinking aggregate), and the rollup SHRINKS to one row per
+    * source. The eval-shingle collect is benchmark-bounded by q103's
+    * contract. FULLY ORACLED: composes the five parents' oracle CTEs
+    * (string shingles for decon — q88's membership-invariance
+    * argument). */
+  val q162GateFunnel: Q = (spark, dir) => {
+    val n = LlmOps.geom.deconShingleN
+    val k = graft.streaming.QiGate.kDial
+    val d = t(spark, dir, "documents")
+    val withToks = d.withColumn("toks", split(col("text"), " "))
+    val evalSh = withToks.filter(col("doc_id") % 97 === 0)
+      .select(explode(graft.streaming.Decontaminator
+        .shingleFingerprints(col("toks"), n)).as("sh"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    val classes = graft.streaming.QiGate.classTable(d)
+    // one scan: sha rides its own projection (the Decontaminator HOF
+    // rule), every verdict is a row-local fold over it / toks / text
+    val scored = withToks
+      .withColumn("sha", graft.streaming.Decontaminator
+        .shingleFingerprints(col("toks"), n))
+      .withColumn("n_sh", size(col("sha")))
+      .withColumn("n_hit",
+        graft.functions.SetHitCount(col("sha"), evalSh))
+      .withColumn("keep_rep", !LlmOps.repetitionFlag(col("toks")))
+      .withColumn("keep_q", LlmOps.qualityExpr >= 0.5)
+      .withColumn("keep_c",
+        graft.streaming.ClassifierGate.scoreExpr >= 0L)
+      .withColumn("keep_d", !coalesce(
+        when(col("n_sh") > 0,
+          round(col("n_hit").cast("double") / col("n_sh"), 6)) >= 0.5,
+        lit(false)))
+      .withColumn("len_band",
+        expr(s"n_chars div ${graft.streaming.QiGate.BandWidth}"))
+      .join(broadcast(classes), Seq("lang", "source", "len_band"), "left")
+      .withColumn("keep_a", coalesce(col("class_size"), lit(0L)) >= k)
+    orderAll(gateFunnel(scored))
+  }
+
+  /** q162's funnel rollup over an explicit (source, keep_rep, keep_q,
+    * keep_c, keep_d, keep_a) verdict frame — spec-drivable on hand
+    * verdicts where every cumulative count is checkable by eye. */
+  private[graft] def gateFunnel(scored: DataFrame): DataFrame = {
+    def surv(c: Column) = sum(when(c, 1L).otherwise(0L))
+    scored.groupBy(col("source")).agg(
+      count(lit(1)).as("n_in"),
+      surv(col("keep_rep")).as("n_rep"),
+      surv(col("keep_rep") && col("keep_q")).as("n_quality"),
+      surv(col("keep_rep") && col("keep_q") && col("keep_c"))
+        .as("n_classifier"),
+      surv(col("keep_rep") && col("keep_q") && col("keep_c") &&
+        col("keep_d")).as("n_decon"),
+      surv(col("keep_rep") && col("keep_q") && col("keep_c") &&
+        col("keep_d") && col("keep_a")).as("n_anon"))
+      .select(col("source"), col("n_in"), col("n_rep"),
+        col("n_quality"), col("n_classifier"), col("n_decon"),
+        col("n_anon"),
+        expr(TokenStats.ppmSql("n_anon", "n_in")).as("yield_ppm"))
+  }
+
+  /** q163's context-length ladder — DOUBLING by construction: the
+    * hierarchical pack rollup below leans on floor nesting
+    * (⌊cum/2L⌋ = ⌊⌊cum/L⌋/2⌋ for non-negative cum), so each coarser
+    * level's packs are exact unions of two finer packs and the corpus
+    * crosses the wire ONCE. Interpolated into the oracle. */
+  private[graft] val PackLens: Seq[Long] = Seq(256L, 512L, 1024L, 2048L)
+
+  /** q163 [EXT]: sequence-packing efficiency audit — the sizing table
+    * behind q97's packing and q129's budget meter: for each candidate
+    * context length L, how many packs q97's floor-of-prefix-sum rule
+    * produces, how full they are (utilization in exact ppm of
+    * capacity), how much mass OVERRUNS the window (q97's documented
+    * may-overrun-by-one-doc slack — the tokens a trainer truncates or
+    * spills), and the fill extremes. A pipeline reads this once per
+    * corpus build to pick L: too small and overflow_tokens explode
+    * (every long doc overruns), too large and slack_tokens do (tail
+    * packs of every shard ride mostly empty).
+    *
+    * 100 TB: the corpus pays ONE exchange — the per-source prefix-sum
+    * window (q97's shard parallelism) feeding the FINEST-L pack
+    * aggregate; every coarser L rolls up from the previous PACK table
+    * (pack_id div 2 — exact by the doubling ladder's floor nesting),
+    * so ladder width multiplies pack-table work (≪ corpus), not scans
+    * or corpus shuffles. The naive spelling — corpus × ladder cross
+    * then one giant (L, source, pack) aggregate — moves the token
+    * stream |ladder|× through one exchange; this one never moves it
+    * twice. FULLY ORACLED: the oracle takes the naive spelling (the
+    * floor-nesting identity makes them equal — which is itself the
+    * correctness argument for the rollup). */
+  val q163PackEfficiency: Q = (spark, dir) =>
+    orderAll(packEfficiency(t(spark, dir, "documents")))
+
+  /** q163's core over any (doc_id, source, text) frame — spec-drivable
+    * on hand corpora where the pack fills are checkable by hand, and
+    * where the hierarchical rollup can be pinned equal to the naive
+    * corpus × ladder spelling (the floor-nesting identity). */
+  private[graft] def packEfficiency(d: DataFrame): DataFrame = {
+    val tok = size(split(col("text"), " ")).cast("long")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = coalesce(sum(tok).over(w), lit(0L))
+    val finest = d.select(col("source"), tok.as("n_tok"), cum.as("cum"))
+      .groupBy(col("source"),
+        expr(s"cum div ${PackLens.head}").as("pack_id"))
+      .agg(sum(col("n_tok")).as("fill"))
+      .scopedPersist
+    val levels = PackLens.tail.scanLeft((PackLens.head, finest)) {
+      case ((_, prev), l) =>
+        (l, prev.groupBy(col("source"),
+          expr("pack_id div 2").as("pack_id"))
+          .agg(sum(col("fill")).as("fill")).scopedPersist)
+    }
+    val stats = levels.map { case (l, packs) =>
+      packs.agg(
+        count(lit(1)).as("n_packs"),
+        sum(col("fill")).as("total_tokens"),
+        sum(when(col("fill") > l, 1L).otherwise(0L)).as("overflow_packs"),
+        sum(when(col("fill") > l, col("fill") - l).otherwise(0L))
+          .as("overflow_tokens"),
+        sum(when(col("fill") < l, lit(l) - col("fill")).otherwise(0L))
+          .as("slack_tokens"),
+        max(col("fill")).as("max_fill"),
+        min(col("fill")).as("min_fill"))
+        .select(lit(l).as("ctx_len"), col("n_packs"), col("total_tokens"),
+          (col("n_packs") * l).as("capacity"),
+          col("overflow_packs"), col("overflow_tokens"),
+          col("slack_tokens"),
+          expr(TokenStats.ppmSql("(total_tokens - overflow_tokens)",
+            s"(n_packs * $l)")).as("util_ppm"),
+          col("max_fill"), col("min_fill"))
+    }.reduce(_ unionByName _)
+    stats
+  }
+
+  /** q164 [EXT]: PII prevalence report — the per-source exposure table
+    * q79's per-document scrub report rolls up to for the crawl and
+    * compliance teams: per source, how many documents carry any PII
+    * instance, the per-category instance counts (emails / phone
+    * numbers / SSN-shaped IDs — [[graft.streaming.PiiScrubber]]'s
+    * exact patterns on the exact q79 planted fixture, so this report
+    * and the scrub it motivates cannot disagree), the token base, and
+    * the combined instance rate per MILLION tokens (the unit PII
+    * audits actually quote) in exact integer arithmetic.
+    *
+    * 100 TB: pure row-local regexp_count folds in one scan (q79's
+    * no-shuffle argument) into a per-source SHRINKING rollup — sources
+    * ≪ corpus. FULLY ORACLED: q79's plant + RE2-identical patterns,
+    * the q157 ppm split-multiplier spelling on the token base. */
+  val q164PiiPrevalence: Q = (spark, dir) =>
+    orderAll(piiPrevalence(t(spark, dir, "documents")))
+
+  /** q164's core over any (doc_id, source, text) frame — spec-drivable
+    * on hand docs with known pattern counts. */
+  private[graft] def piiPrevalence(d: DataFrame): DataFrame = {
+    import graft.streaming.PiiScrubber.{plant, EmailRe, PhoneRe, IdRe}
+    val raw = plant(col("text"), col("doc_id"))
+    val scored = d.select(col("source"),
+      size(split(raw, " ")).cast("long").as("n_tok"),
+      regexp_count(raw, lit(EmailRe)).cast("long").as("n_email"),
+      regexp_count(raw, lit(PhoneRe)).cast("long").as("n_phone"),
+      regexp_count(raw, lit(IdRe)).cast("long").as("n_id"))
+    val g = scored.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("n_email") + col("n_phone") + col("n_id") > 0L, 1L)
+        .otherwise(0L)).as("n_docs_pii"),
+      sum(col("n_email")).as("n_email"),
+      sum(col("n_phone")).as("n_phone"),
+      sum(col("n_id")).as("n_id"),
+      sum(col("n_tok")).as("n_tokens"))
+    g.select(col("source"), col("n_docs"), col("n_docs_pii"),
+      col("n_email"), col("n_phone"), col("n_id"), col("n_tokens"),
+      expr(TokenStats.ppmSql("(n_email + n_phone + n_id)", "n_tokens"))
+        .as("pii_per_mtok"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q154_split_cluster_aware" -> q154SplitClusterAware,
     "q155_dup_by_source" -> q155DupBySource,
     "q158_split_assign" -> q158SplitAssign,
     "q159_split_balance" -> q159SplitBalance,
     "q160_anonymity_audit" -> q160AnonymityAudit,
-    "q161_anonymity_gate" -> q161AnonymityGate)
+    "q161_anonymity_gate" -> q161AnonymityGate,
+    "q162_gate_funnel" -> q162GateFunnel,
+    "q163_pack_efficiency" -> q163PackEfficiency,
+    "q164_pii_prevalence" -> q164PiiPrevalence)
 
   /** q68's recursive-CTE label derivation, shared by the q154/q155
     * mirrors exactly as q131/q146/q148 carry it (same corpus plant,
@@ -598,5 +801,188 @@ object CorpusAudit {
         |LEFT JOIN cls c ON c.lang = d.lang AND c.source = d.source
         |  AND c.len_band = d.n_chars // 100
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
-        |  4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""".stripMargin)
+        |  4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""".stripMargin,
+    "q162_gate_funnel" -> {
+      // the five parents' oracle CTEs composed: q64's dup fractions
+      // (string grams — q88's collision argument), q85's quality, q147's
+      // re-derived weight fold, q103's string-shingle decon probe (width
+      // interpolated), q160/q161's QI class table (k interpolated); the
+      // funnel is conditional counts + the q157 ppm spelling
+      val n = LlmOps.geom.deconShingleN
+      val sh = (0 until n).map(o => s"toks[i + $o]").mkString(" || ' ' || ")
+      val code = "CAST(length(t) * 17 + ascii(substr(t, 1, 1)) AS BIGINT)"
+      val w = s"(${knuthMix2Sql(knuthBucket2Sql(code, LlmOps.QcBuckets.toLong))} % 21 - 10)"
+      val bw = graft.streaming.QiGate.BandWidth
+      s"""WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |rep AS (
+        |  SELECT doc_id,
+        |    round(CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+        |      / len(toks), 6) AS dw,
+        |    CASE WHEN len(toks) - 1 > 0 THEN round(CAST((len(toks) - 1)
+        |      - len(list_distinct(list_transform(range(1, len(toks)),
+        |          i -> toks[i] || ' ' || toks[i + 1]))) AS DOUBLE)
+        |      / (len(toks) - 1), 6) ELSE 0.0 END AS d2,
+        |    CASE WHEN len(toks) - 2 > 0 THEN round(CAST((len(toks) - 2)
+        |      - len(list_distinct(list_transform(range(1, len(toks) - 1),
+        |          i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])))
+        |      AS DOUBLE) / (len(toks) - 2), 6) ELSE 0.0 END AS d3
+        |  FROM tk),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+        |    CAST(length(text) - length(regexp_replace(text, '[.!?,;]', '', 'g')) AS INT) AS n_punct,
+        |    CAST(len(list_filter(string_split(text,' '), x -> list_contains(['the','a','of','and'], x))) AS DOUBLE) AS n_stop,
+        |    CAST(length(text) AS INT) AS n_chars
+        |  FROM documents),
+        |qq AS (
+        |  SELECT doc_id,
+        |    round(0.4 * coalesce(n_stop / nullif(n_tok, 0), 0.0)
+        |        + 0.3 * least(1.0, CAST(n_tok AS DOUBLE) / 100.0)
+        |        + 0.3 * (1.0 - coalesce(CAST(n_punct AS DOUBLE) / nullif(n_chars, 0), 0.0)), 6) AS quality
+        |  FROM f),
+        |cs AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(text, ' '),
+        |          t -> $w)),
+        |      (a, b) -> a + b) AS score
+        |  FROM documents),
+        |csh AS (
+        |  SELECT DISTINCT doc_id, $sh AS sh
+        |  FROM tk, unnest(range(1, len(toks) - ${n - 2})) AS t(i)),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS INT) AS n_sh FROM csh GROUP BY 1),
+        |esh AS (SELECT DISTINCT sh FROM csh WHERE doc_id % 97 = 0),
+        |hits AS (
+        |  SELECT c2.doc_id, CAST(count(*) AS INT) AS n_hit
+        |  FROM csh c2 JOIN esh e USING (sh) GROUP BY 1),
+        |cls AS (
+        |  SELECT lang, source, n_chars // $bw AS len_band,
+        |    CAST(count(*) AS BIGINT) AS class_size
+        |  FROM documents GROUP BY 1, 2, 3),
+        |v AS (
+        |  SELECT d.source,
+        |    NOT (r.dw > 0.7 OR r.d2 > 0.3 OR r.d3 > 0.25) AS keep_rep,
+        |    qq.quality >= 0.5 AS keep_q,
+        |    cs.score >= 0 AS keep_c,
+        |    NOT coalesce(CASE WHEN coalesce(s.n_sh, 0) > 0
+        |      THEN round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / s.n_sh, 6)
+        |      END >= 0.5, FALSE) AS keep_d,
+        |    coalesce(cl.class_size, 0) >= ${graft.streaming.QiGate.kDial}
+        |      AS keep_a
+        |  FROM documents d
+        |  JOIN rep r USING (doc_id)
+        |  JOIN qq USING (doc_id)
+        |  JOIN cs USING (doc_id)
+        |  LEFT JOIN sizes s USING (doc_id)
+        |  LEFT JOIN hits h USING (doc_id)
+        |  LEFT JOIN cls cl ON cl.lang = d.lang AND cl.source = d.source
+        |    AND cl.len_band = d.n_chars // $bw),
+        |ag AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_in,
+        |    CAST(count(*) FILTER (WHERE keep_rep) AS BIGINT) AS n_rep,
+        |    CAST(count(*) FILTER (WHERE keep_rep AND keep_q) AS BIGINT)
+        |      AS n_quality,
+        |    CAST(count(*) FILTER (WHERE keep_rep AND keep_q AND keep_c)
+        |      AS BIGINT) AS n_classifier,
+        |    CAST(count(*) FILTER (WHERE keep_rep AND keep_q AND keep_c
+        |      AND keep_d) AS BIGINT) AS n_decon,
+        |    CAST(count(*) FILTER (WHERE keep_rep AND keep_q AND keep_c
+        |      AND keep_d AND keep_a) AS BIGINT) AS n_anon
+        |  FROM v GROUP BY 1)
+        |SELECT source, n_in, n_rep, n_quality, n_classifier, n_decon,
+        |  n_anon,
+        |  CAST(${ppmDuck("n_anon", "n_in")} AS BIGINT) AS yield_ppm
+        |FROM ag
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+        |  4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST,
+        |  8 NULLS FIRST""".stripMargin
+    },
+    "q163_pack_efficiency" ->
+      // the NAIVE corpus × ladder spelling — equal to the engine's
+      // hierarchical rollup by the floor-nesting identity
+      // ⌊cum/2L⌋ = ⌊⌊cum/L⌋/2⌋, which is exactly what this oracle
+      // certifies; `//` on non-negative cum ≡ Spark's `div`
+      s"""WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, n_tok,
+        |    COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM d),
+        |l AS (SELECT CAST(unnest([${PackLens.mkString(", ")}]) AS BIGINT)
+        |        AS ctx_len),
+        |p AS (
+        |  SELECT ctx_len, source, cum // ctx_len AS pack_id,
+        |    CAST(SUM(n_tok) AS BIGINT) AS fill
+        |  FROM c CROSS JOIN l GROUP BY 1, 2, 3),
+        |a AS (
+        |  SELECT ctx_len,
+        |    CAST(count(*) AS BIGINT) AS n_packs,
+        |    CAST(sum(fill) AS BIGINT) AS total_tokens,
+        |    CAST(count(*) FILTER (WHERE fill > ctx_len) AS BIGINT)
+        |      AS overflow_packs,
+        |    CAST(coalesce(sum(fill - ctx_len) FILTER (WHERE fill > ctx_len),
+        |      0) AS BIGINT) AS overflow_tokens,
+        |    CAST(coalesce(sum(ctx_len - fill) FILTER (WHERE fill < ctx_len),
+        |      0) AS BIGINT) AS slack_tokens,
+        |    max(fill) AS max_fill, min(fill) AS min_fill
+        |  FROM p GROUP BY 1)
+        |SELECT ctx_len, n_packs, total_tokens,
+        |  n_packs * ctx_len AS capacity,
+        |  overflow_packs, overflow_tokens, slack_tokens,
+        |  CAST(${ppmDuck("(total_tokens - overflow_tokens)", "(n_packs * ctx_len)")}
+        |    AS BIGINT) AS util_ppm,
+        |  max_fill, min_fill
+        |FROM a
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+        |  4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST,
+        |  8 NULLS FIRST, 9 NULLS FIRST, 10 NULLS FIRST""".stripMargin,
+    "q164_pii_prevalence" ->
+      // q79's plant and RE2-identical patterns (interpolated from the
+      // PiiScrubber constants so report and scrub cannot drift), rolled
+      // up per source with the q157 ppm spelling on the token base
+      s"""WITH p AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 10 = 0
+        |      THEN text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+        |         WHEN doc_id % 10 = 3
+        |      THEN text || ' call 555-867-5309 today'
+        |         WHEN doc_id % 10 = 6
+        |      THEN text || ' ssn 123-45-6789 on file'
+        |      ELSE text END AS raw
+        |  FROM documents),
+        |s AS (
+        |  SELECT source,
+        |    CAST(len(string_split(raw, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(len(regexp_extract_all(raw, '${graft.streaming.PiiScrubber.EmailRe}')) AS BIGINT) AS n_email,
+        |    CAST(len(regexp_extract_all(raw, '${graft.streaming.PiiScrubber.PhoneRe}')) AS BIGINT) AS n_phone,
+        |    CAST(len(regexp_extract_all(raw, '${graft.streaming.PiiScrubber.IdRe}')) AS BIGINT) AS n_id
+        |  FROM p),
+        |ag AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(*) FILTER (WHERE n_email + n_phone + n_id > 0)
+        |      AS BIGINT) AS n_docs_pii,
+        |    CAST(sum(n_email) AS BIGINT) AS n_email,
+        |    CAST(sum(n_phone) AS BIGINT) AS n_phone,
+        |    CAST(sum(n_id) AS BIGINT) AS n_id,
+        |    CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |  FROM s GROUP BY 1)
+        |SELECT source, n_docs, n_docs_pii, n_email, n_phone, n_id,
+        |  n_tokens,
+        |  CAST(${ppmDuck("(n_email + n_phone + n_id)", "n_tokens")}
+        |    AS BIGINT) AS pii_per_mtok
+        |FROM ag
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+        |  4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST,
+        |  8 NULLS FIRST""".stripMargin)
+
+  /** DuckDB twin of [[TokenStats.ppmSql]] — the q157 split-multiplier
+    * spelling with `//` (DuckDB's flooring division; arguments are
+    * non-negative everywhere it's used, where `//` ≡ Spark's `div`). */
+  private def ppmDuck(c: String, t: String): String =
+    s"(((($c * 1000) // $t) * 1000) + (((($c * 1000) % $t) * 1000) // $t))"
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1695,6 +1695,35 @@ object LlmOps {
     * for a 100 TB quality pass: reads the corpus once, writes flags).
     * N-grams are counted as xxhash64 fingerprints; the oracle counts the
     * string forms (q88's collision argument). */
+  /** q64's duplicate-fraction kernels over a MATERIALIZED toks column —
+    * factored so q162's funnel stage runs the IDENTICAL rule (the
+    * shared-spelling convention; q64's own CORRECTNESS row certifies
+    * the arithmetic for both consumers). Pass a toks column that rides
+    * its own projection, not an inline `split` (the HOF re-evaluation
+    * defect class q64's body documents). */
+  private[queries] def dupWordFrac(toks: Column): Column = {
+    val n1 = size(toks)
+    round((n1 - size(array_distinct(toks))).cast("double") / n1, 6)
+  }
+
+  private[queries] def dupGramFrac(toks: Column, k: Int): Column = {
+    val n = size(toks) - (k - 1)
+    // guarded: sequence(1, n) with n ≤ 0 yields a DESCENDING range in
+    // Spark, so the gram array is only built under the n > 0 branch
+    val grams = transform(sequence(lit(1), n),
+      i => xxhash64((0 until k).map(o => element_at(toks, i + o)): _*))
+    when(n > 0,
+      round((n - size(array_distinct(grams))).cast("double") / n, 6))
+      .otherwise(lit(0.0))
+  }
+
+  /** q64's flag: any duplicate fraction past its Gopher-shaped
+    * threshold. The ROUNDED fractions are compared, mirroring the
+    * oracle. */
+  private[queries] def repetitionFlag(toks: Column): Column =
+    dupWordFrac(toks) > 0.7 || dupGramFrac(toks, 2) > 0.3 ||
+      dupGramFrac(toks, 3) > 0.25
+
   val q64RepetitionFilter: Q = (spark, dir) => {
     val d = t(spark, dir, "documents")
     val text = when(col("doc_id") % 10 === 0,
@@ -1709,19 +1738,9 @@ object LlmOps {
     val withToks = d.withColumn("toks", split(text, " "))
     val toks = col("toks")
     val n1 = size(toks)
-    def gramFrac(k: Int) = {
-      val n = size(toks) - (k - 1)
-      // guarded: sequence(1, n) with n ≤ 0 yields a DESCENDING range in
-      // Spark, so the gram array is only built under the n > 0 branch
-      val grams = transform(sequence(lit(1), n),
-        i => xxhash64((0 until k).map(o => element_at(toks, i + o)): _*))
-      when(n > 0,
-        round((n - size(array_distinct(grams))).cast("double") / n, 6))
-        .otherwise(lit(0.0))
-    }
-    val dupWord = round((n1 - size(array_distinct(toks))).cast("double") / n1, 6)
-    val dup2 = gramFrac(2)
-    val dup3 = gramFrac(3)
+    val dupWord = dupWordFrac(toks)
+    val dup2 = dupGramFrac(toks, 2)
+    val dup3 = dupGramFrac(toks, 3)
     orderAll(withToks.select(
       col("doc_id"),
       n1.as("n_tok"),

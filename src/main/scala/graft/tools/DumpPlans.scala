@@ -88,7 +88,13 @@ object DumpPlans {
       "q155_dup_by_source" -> "dup attribution: q131's per-cluster verdict window off the materialized labels, verdicts re-joined doc_id-keyed to the cached source-carrying universe, per-source rollup two-phase shrinking to |sources| rows",
       "q156_bpe_roundtrip" -> "bpe round-trip: learn loop's pair counts run in their own actions; the audited pass is ONE row-local projection (encode fold + translate decode + compare) with zero hash exchanges and zero joins — q149's map-only class through decode",
       "q157_vocab_coverage" -> "vocab coverage: token-keyed two-phase count, ct-keyed SHRINKING class rollup, running type-count window over the <= sqrt(2N)-row class table only, budget ladder + 1-row total broadcast cross — the vocab is never globally sorted",
-      "q158_split_assign" -> "shipped cluster-aware split: materialized label table BROADCAST onto the id stream, split a codegen'd Knuth bucket over the cluster id — no aggregate, no hash exchange; s98 runs the identical projection as a stream-static join at ingest")
+      "q158_split_assign" -> "shipped cluster-aware split: materialized label table BROADCAST onto the id stream, split a codegen'd Knuth bucket over the cluster id — no aggregate, no hash exchange; s98 runs the identical projection as a stream-static join at ingest",
+      "q159_split_balance" -> "split balance: token stream joined to the broadcast assignment, ONE (tok)-keyed pivot exchange (per-split conditional sums — replaces three full-outer joins), 1-row totals crossed back onto the vocab-sized pivot, shrinking 12-scalar agg, DECIMAL(38,0) cross-multiplication row-local",
+      "q160_anonymity_audit" -> "anonymity audit: one shrinking two-phase aggregate over the 3-column QI projection (text never scanned), 4-row k-ladder broadcast cross, per-k rollup shrinks to |ladder| rows, ppm arithmetic row-local BIGINT",
+      "q161_anonymity_gate" -> "anonymity gate: q160's class table built once (shrinking agg), BROADCAST back onto the corpus's QI projection, verdict a row-local >=k compare — no corpus shuffle beyond the dump sort; s99 runs the identical projection as a stream-static join at ingest",
+      "q162_gate_funnel" -> "gate funnel: ONE corpus scan pays all five verdicts (three dup folds + quality + classifier weight fold row-local, decon a broadcast set-probe, QI class a broadcast join), per-source rollup two-phase shrinking to |sources| rows — no doc_id re-key anywhere",
+      "q163_pack_efficiency" -> "pack efficiency: per-source prefix-sum window + finest-L pack aggregate are the ONLY corpus-scale exchanges (run once, cached); each coarser ladder level rolls up pack_id div 2 from the previous PACK table (floor nesting makes it exact), stats aggs 1-row over cached pack tables",
+      "q164_pii_prevalence" -> "pii prevalence: row-local regexp_count folds on the planted raw text (q79's patterns), per-source rollup two-phase shrinking to |sources| rows, per-Mtok rates row-local BIGINT ppm arithmetic")
 
     val sb = new StringBuilder
     sb.append("# PLANS — finalized physical plans for headline queries\n\n")

@@ -190,7 +190,36 @@ object ScaleProbe {
     // q158 is one broadcast label join + row-local bucket arithmetic
     // over the k× id stream — the label table grows k× but stays
     // pair-graph-sized (broadcast territory at every k here)
-    "q158_split_assign")
+    "q158_split_assign",
+    // q159's corpus-sized work is the (tok)-keyed split pivot over the
+    // k× token stream (the q142 class: salted copies multiply counts
+    // AND types; both pivot input and vocabulary grow k×, so wall must
+    // track the stream while the scalar-attach stays a 1-row cross)
+    "q159_split_balance",
+    // q160's class table is a shrinking 3-column aggregate (salted
+    // copies multiply docs per QI cell k× via the shared band, and add
+    // new source cells — either way occupied cells ≪ corpus); the
+    // ladder rollup is |ladder|-row work at every k
+    "q160_anonymity_audit",
+    // q161 joins each doc back to its own QI class — the class table
+    // must stay broadcast-sized as docs grow k× and the verdict stays
+    // one row-local compare per doc
+    "q161_anonymity_gate",
+    // round 15 additions: q162's five verdicts are row-local folds /
+    // broadcast probes on one scan (superlinearity means a fold
+    // stopped being row-local or the class table left broadcast
+    // territory); the eval probe set grows k× here (salted eval docs)
+    // but stays benchmark-sized by the %97 contract
+    "q162_gate_funnel",
+    // q163's corpus-scale work is the per-source window + finest pack
+    // agg — packs grow k× (token mass does), every coarser level is
+    // pack-sized; superlinearity would mean a rollup stopped shrinking
+    // or the window degenerated
+    "q163_pack_efficiency",
+    // q164 is the q147 map-only class (row-local regexp folds) into a
+    // sources-sized rollup — sources are construction-constant, salted
+    // copies multiply docs per source
+    "q164_pii_prevalence")
   private val Ks = Seq(1, 4, 8)
   private val Shift = 9700000L // lcm(97, 10) × 10,000 — residue-preserving
   private val GrowthFactor = 1.5

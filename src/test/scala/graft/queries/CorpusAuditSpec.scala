@@ -125,4 +125,99 @@ class CorpusAuditSpec extends SparkSpec {
     assert(got == Seq((1L, 5L, true), (2L, 4L, false), (3L, 0L, false)),
       s"QI gate diverged:\n${got.mkString("\n")}")
   }
+
+  test("q162: the funnel is cumulative-AND per stage; yield is the exact ppm floor") {
+    // srcA: 3 docs — one survives everything, one dies at the FIRST
+    // gate only (must not resurrect downstream), one dies at the LAST;
+    // srcB: 1 doc dies mid-funnel. Counts are checkable by eye.
+    val scored = Seq(
+      ("srcA", true, true, true, true, true),   // survives all
+      ("srcA", false, true, true, true, true),  // dies at repetition
+      ("srcA", true, true, true, true, false),  // dies at anonymity
+      ("srcB", true, true, false, true, true))  // dies at classifier
+      .toDF("source", "keep_rep", "keep_q", "keep_c", "keep_d", "keep_a")
+    val got = CorpusAudit.gateFunnel(scored).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("srcA", 3L, 2L, 2L, 2L, 2L, 1L, 333333L),
+      ("srcB", 1L, 1L, 1L, 0L, 0L, 0L, 0L)),
+      s"funnel diverged:\n${got.mkString("\n")}")
+  }
+
+  test("q163: hand fills at every ladder level; hierarchical rollup equals the naive cross spelling") {
+    // one source, docs in id order with token counts 200, 100, 300,
+    // 2200 (a 2200-token doc overruns every L). cum = 0/200/300/600.
+    // L=256: packs ⌊cum/256⌋ = 0,0,1,2 → fills [300, 300, 2200]
+    // L=512: packs 0,0,0,1 → fills [600, 2200]
+    // L=1024/2048: all in pack 0 except the giant at cum 600 → at
+    // L=1024 packs 0,0,0,0 → [2800]; L=2048 same [2800]
+    def text(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq((1L, "s", text(200)), (2L, "s", text(100)),
+      (3L, "s", text(300)), (4L, "s", text(2200)))
+      .toDF("doc_id", "source", "text")
+    val got = CorpusAudit.packEfficiency(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8), r.getLong(9)))
+      .sortBy(_._1).toSeq
+    // (ctx, n_packs, total, capacity, ovf_packs, ovf_toks, slack,
+    //  util_ppm, max, min) — util = (total - ovf) * 1e6 / capacity
+    assert(got == Seq(
+      (256L, 3L, 2800L, 768L, 3L, 2032L, 0L, 1000000L, 2200L, 300L),
+      (512L, 2L, 2800L, 1024L, 2L, 1776L, 0L, 1000000L, 2200L, 600L),
+      (1024L, 1L, 2800L, 1024L, 1L, 1776L, 0L, 1000000L, 2800L, 2800L),
+      (2048L, 1L, 2800L, 2048L, 1L, 752L, 0L, 1000000L, 2800L, 2800L)),
+      s"pack ladder diverged:\n${got.mkString("\n")}")
+    // the floor-nesting identity on a messier corpus: hierarchical
+    // rollup ≡ the naive per-L grouping, for every ladder level
+    val docs2 = (1L to 40L).map(i =>
+      (i, if (i % 3 == 0) "a" else "b", text((i * 37 % 450).toInt + 1)))
+      .toDF("doc_id", "source", "text")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val tok = size(split(col("text"), " ")).cast("long")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = coalesce(sum(tok).over(w), lit(0L))
+    val withCum = docs2.select(col("source"), tok.as("n_tok"),
+      cum.as("cum"))
+    val naive = CorpusAudit.PackLens.map { l =>
+      withCum.groupBy(col("source"), expr(s"cum div $l").as("pack_id"))
+        .agg(sum(col("n_tok")).as("fill"))
+        .agg(count(lit(1)), sum(col("fill")),
+          sum(when(col("fill") > l, col("fill") - l).otherwise(0L)))
+        .collect()(0)
+    }.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val hier = CorpusAudit.packEfficiency(docs2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+      .sortBy(_._1).toSeq
+    hier.zip(naive).foreach { case ((l, np, tot, ovf), (np2, tot2, ovf2)) =>
+      assert((np, tot, ovf) == (np2, tot2, ovf2),
+        s"hierarchical rollup diverged from naive at L=$l")
+    }
+  }
+
+  test("q164: per-category counts, any-PII doc count, and the per-Mtok rate on hand docs") {
+    // residues chosen so plants are OFF (ids 1, 2, 4): the patterns
+    // under test are the ones already in the text. doc 1 (srcX): one
+    // email + one phone in 10 tokens; doc 2 (srcX): clean, 5 tokens;
+    // doc 4 (srcY): two ids, 8 tokens.
+    val docs = Seq(
+      (1L, "srcX", "a b c d e f g h x@y.com 555-123-4567"),
+      (2L, "srcX", "a b c d e"),
+      (4L, "srcY", "a b c d e f 123-45-6789 987-65-4321"))
+      .toDF("doc_id", "source", "text")
+    val got = CorpusAudit.piiPrevalence(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .sortBy(_._1).toSeq
+    // srcX: 15 tokens, 1 email + 1 phone → floor(2e6/15) = 133333
+    // srcY: 8 tokens, 2 ids → 250000
+    assert(got == Seq(
+      ("srcX", 2L, 1L, 1L, 1L, 0L, 15L, 133333L),
+      ("srcY", 1L, 1L, 0L, 0L, 2L, 8L, 250000L)),
+      s"pii prevalence diverged:\n${got.mkString("\n")}")
+  }
 }

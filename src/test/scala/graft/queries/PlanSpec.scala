@@ -1131,6 +1131,57 @@ class PlanSpec extends SparkSpec {
     graft.core.CacheScope.drain()
   }
 
+  test("q162: the funnel is one scan, broadcast-only joins, and a shrinking rollup") {
+    val p = plan("q162_gate_funnel")
+    // the QI class attach must broadcast (the class table is a shrinking
+    // aggregate, ≪ corpus at any scale) — no shuffled join anywhere
+    assert(p.contains("BroadcastHashJoin"), s"class attach not broadcast:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"funnel shuffles a join:\n${p.take(2000)}")
+    // corpus-keyed exchanges: the per-source rollup's partial side
+    // collapses each partition to its source count, so the only hash
+    // exchange carries source-keyed partial rows (plus the class
+    // table's own tiny build-side agg), never per-doc rows on doc_id
+    assert(!p.contains("Exchange hashpartitioning(doc_id"),
+      s"funnel re-keys the corpus by doc:\n${p.take(2000)}")
+    assert(!p.contains("Generate"), s"funnel explodes tokens:\n${p.take(2000)}")
+  }
+
+  test("q163: every ladder level rolls up pack-sized from cache — the corpus window chain runs once") {
+    // the pre-execution plan replays the cached lineage per union
+    // branch, so pin the EXECUTED plan (the q20/q17 convention): after
+    // collect, every level and stats agg must read InMemoryTableScan —
+    // the corpus-scale window + finest pack agg ran exactly once, for
+    // the first branch that materialized the cache
+    val df = graft.SparkEntry.queries("q163_pack_efficiency")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"pack audit grew a join:\n${p.take(2000)}")
+    val finalPlan = p.split("== Initial Plan ==").head
+    // every stats branch serves from cache (AQE prints shared
+    // TableCacheQueryStages once): the final plan reads
+    // InMemoryTableScan, and neither the shard window nor the parquet
+    // corpus scan appears as a live node — the corpus chain ran once,
+    // for whichever branch materialized the finest cache
+    assert(finalPlan.contains("InMemoryTableScan"),
+      s"pack levels recompute the corpus chain:\n${finalPlan.take(2000)}")
+    assert("Window".r.findAllIn(finalPlan).size <= 1,
+      s"the shard window ran more than once:\n${finalPlan.take(2000)}")
+    assert("Scan parquet".r.findAllIn(finalPlan).size <= 1,
+      s"the corpus scan ran more than once:\n${finalPlan.take(2000)}")
+    graft.core.CacheScope.drain()
+  }
+
+  test("q164: the prevalence report is row-local folds into one shrinking source rollup") {
+    val p = plan("q164_pii_prevalence")
+    assert(!p.contains("Join"), s"prevalence grew a join:\n${p.take(2000)}")
+    assert(!p.contains("Generate"), s"prevalence explodes tokens:\n${p.take(2000)}")
+    // one partial+final hash aggregate pair on source, one dump sort —
+    // nothing else moves
+    assert("Exchange hashpartitioning\\(source".r.findAllIn(p).size == 1,
+      s"prevalence shuffles beyond the source rollup:\n${p.take(2000)}")
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     // AQE reports WholeStageCodegen spans only in the finalized plan
     val df = graft.SparkEntry.queries("q20_agg_hash")(spark, sf)
