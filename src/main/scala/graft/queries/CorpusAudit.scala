@@ -391,27 +391,10 @@ object CorpusAudit {
         .shingleFingerprints(col("toks"), n)).as("sh"))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
     val classes = graft.streaming.QiGate.classTable(d)
-    // one scan: sha rides its own projection (the Decontaminator HOF
-    // rule), every verdict is a row-local fold over it / toks / text
-    val scored = withToks
-      .withColumn("sha", graft.streaming.Decontaminator
-        .shingleFingerprints(col("toks"), n))
-      .withColumn("n_sh", size(col("sha")))
-      .withColumn("n_hit",
-        graft.functions.SetHitCount(col("sha"), evalSh))
-      .withColumn("keep_rep", !LlmOps.repetitionFlag(col("toks")))
-      .withColumn("keep_q", LlmOps.qualityExpr >= 0.5)
-      .withColumn("keep_c",
-        graft.streaming.ClassifierGate.scoreExpr >= 0L)
-      .withColumn("keep_d", !coalesce(
-        when(col("n_sh") > 0,
-          round(col("n_hit").cast("double") / col("n_sh"), 6)) >= 0.5,
-        lit(false)))
-      .withColumn("len_band",
-        expr(s"n_chars div ${graft.streaming.QiGate.BandWidth}"))
-      .join(broadcast(classes), Seq("lang", "source", "len_band"), "left")
-      .withColumn("keep_a", coalesce(col("class_size"), lit(0L)) >= k)
-    orderAll(gateFunnel(scored))
+    // ONE projection pays all five verdicts — the shared batch/stream
+    // code object (s100 streams the identical frame at ingest)
+    orderAll(gateFunnel(
+      graft.streaming.GateStack.verdicts(d, evalSh, n, classes, k)))
   }
 
   /** q162's funnel rollup over an explicit (source, keep_rep, keep_q,

@@ -1720,7 +1720,7 @@ object LlmOps {
   /** q64's flag: any duplicate fraction past its Gopher-shaped
     * threshold. The ROUNDED fractions are compared, mirroring the
     * oracle. */
-  private[queries] def repetitionFlag(toks: Column): Column =
+  private[graft] def repetitionFlag(toks: Column): Column =
     dupWordFrac(toks) > 0.7 || dupGramFrac(toks, 2) > 0.3 ||
       dupGramFrac(toks, 3) > 0.25
 

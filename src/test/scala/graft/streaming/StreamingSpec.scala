@@ -1461,6 +1461,69 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s100: the composed gate stack admits at ingest, row-identical to the frame whose funnel is the oracled q162 batch") {
+    // the production curation posture: ONE stream projection pays all
+    // five gate verdicts (repetition + quality + classifier row-local,
+    // decon a broadcast set probe, k-anonymity a stream-static join on
+    // the nightly class table) and the admit verdict is their
+    // conjunction — the s95/s97/s99 gates COMPOSED, still stateless.
+    // Two pins: (1) the streamed verdict frame is row-identical to the
+    // batch GateStack frame; (2) folding the streamed frame through
+    // q162's funnel reproduces EXACTLY the DuckDB-oracled q162 answer.
+    val sf = "/root/testdata/sf0.001"
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val n = graft.queries.LlmOps.geom.deconShingleN
+    val k = graft.streaming.QiGate.kDial
+    val withToks = d.withColumn("toks", split(col("text"), " "))
+    val evalSh = withToks.filter(col("doc_id") % 97 === 0)
+      .select(explode(graft.streaming.Decontaminator
+        .shingleFingerprints(col("toks"), n)).as("sh"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    val classes = graft.streaming.QiGate.classTable(d).cache()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6), r.getBoolean(7))
+    val batch = graft.streaming.GateStack
+      .verdicts(d, evalSh, n, classes, k).collect().map(key).toSet
+    // the fixture must exercise both admit classes and at least one
+    // drop per stage family (repetition flags are the rarest — 2+ at
+    // sf0.001 suffices for observability)
+    assert(batch.exists(_._8) && batch.exists(!_._8),
+      "fixture must exercise both admit and suppress verdicts")
+    val docs = d.select(col("doc_id"), col("text"), col("lang"),
+      col("source"), col("n_chars"))
+      .as[(Long, String, String, String, Long)].collect().sortBy(_._1)
+    val chunks = docs.grouped((docs.length + 2) / 3).toSeq
+    val in = MemoryStream[(Long, String, String, String, Long)](spark)
+    val q = graft.streaming.GateStack.verdicts(
+      in.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      evalSh, n, classes, k)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("s100_out").start()
+    try {
+      chunks.foreach { c => in.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+      val streamed = spark.table("s100_out")
+      val got = streamed.collect().map(key).toSet
+      assert(got == batch,
+        s"stream gate stack diverged from the batch frame:\n" +
+          s"stream-only=${(got -- batch).take(3)}\nbatch-only=${(batch -- got).take(3)}")
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "the gate stack must not create a state operator")
+      // (2) the streamed frame folds to the oracled q162 funnel
+      val funnelGot = graft.queries.CorpusAudit.gateFunnel(streamed)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7))).toSet
+      val funnelExp = graft.SparkEntry.queries("q162_gate_funnel")(spark, sf)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7))).toSet
+      assert(funnelGot == funnelExp,
+        s"streamed funnel diverged from the oracled batch funnel:\n" +
+          s"stream-only=${(funnelGot -- funnelExp).take(3)}")
+    } finally { q.stop(); classes.unpersist() }
+  }
+
   test("s94: the minwise panel's CDC stream reconstructs exactly the oracled q137 batch answer") {
     // per-source K-minwise audit sample in transformWithState ListState,
     // emitted as an enter/evict event log (the evict row IS the
