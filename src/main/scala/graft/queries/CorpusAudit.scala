@@ -876,7 +876,7 @@ object CorpusAudit {
         |  FROM v GROUP BY 1)
         |SELECT source, n_in, n_rep, n_quality, n_classifier, n_decon,
         |  n_anon,
-        |  CAST(${ppmDuck("n_anon", "n_in")} AS BIGINT) AS yield_ppm
+        |  CAST(${ppmDuckSql("n_anon", "n_in")} AS BIGINT) AS yield_ppm
         |FROM ag
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
         |  4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST,
@@ -917,7 +917,7 @@ object CorpusAudit {
         |SELECT ctx_len, n_packs, total_tokens,
         |  n_packs * ctx_len AS capacity,
         |  overflow_packs, overflow_tokens, slack_tokens,
-        |  CAST(${ppmDuck("(total_tokens - overflow_tokens)", "(n_packs * ctx_len)")}
+        |  CAST(${ppmDuckSql("(total_tokens - overflow_tokens)", "(n_packs * ctx_len)")}
         |    AS BIGINT) AS util_ppm,
         |  max_fill, min_fill
         |FROM a
@@ -956,16 +956,11 @@ object CorpusAudit {
         |  FROM s GROUP BY 1)
         |SELECT source, n_docs, n_docs_pii, n_email, n_phone, n_id,
         |  n_tokens,
-        |  CAST(${ppmDuck("(n_email + n_phone + n_id)", "n_tokens")}
+        |  CAST(${ppmDuckSql("(n_email + n_phone + n_id)", "n_tokens")}
         |    AS BIGINT) AS pii_per_mtok
         |FROM ag
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
         |  4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST,
         |  8 NULLS FIRST""".stripMargin)
 
-  /** DuckDB twin of [[TokenStats.ppmSql]] — the q157 split-multiplier
-    * spelling with `//` (DuckDB's flooring division; arguments are
-    * non-negative everywhere it's used, where `//` ≡ Spark's `div`). */
-  private def ppmDuck(c: String, t: String): String =
-    s"(((($c * 1000) // $t) * 1000) + (((($c * 1000) % $t) * 1000) // $t))"
 }

@@ -976,6 +976,187 @@ object LlmOps {
     orderAll(j.select(col("d1"), col("d2"), col("common"), col("jacc")))
   }
 
+  /** Winnowing geometry (Schleimer/Wilkerson/Aiken 2003, "Winnowing:
+    * Local Algorithms for Document Fingerprinting" — the MOSS
+    * algorithm): k-gram width and window size, env-dialed and parsed
+    * per call (the lazy-dial rule), interpolated into both oracles.
+    * The guarantee: any shared token run of length ≥ w + k − 1 SHARES
+    * at least one selected fingerprint — a detection floor q88's
+    * whole-index Jaccard pays ~(w+1)/2× more index mass to beat. */
+  private[queries] def winnowK: Int = {
+    val k = sys.env.getOrElse("GRAFT_WINNOW_K", "4").toInt
+    require(k >= 2, s"GRAFT_WINNOW_K=$k — a gram under 2 tokens is a typo")
+    k
+  }
+  private[queries] def winnowW: Int = {
+    val w = sys.env.getOrElse("GRAFT_WINNOW_W", "4").toInt
+    require(w >= 1, s"GRAFT_WINNOW_W=$w — the window must be at least 1")
+    w
+  }
+
+  /** The engine-portable token code winnowing folds into its gram
+    * hashes — 4 probes (length, first/mid/last chars) instead of q87's
+    * 2, because here the hash is VALUE-critical twice over: selection
+    * picks window MINIMA and q166 JOINS on the result, so token codes
+    * that merely collide on shape (same length + first char — measured:
+    * a `w1_5`/`w2_5`-style synthetic vocabulary made every doc's code
+    * sequence identical and every pair flag at overlap 1.0) would merge
+    * unrelated grams corpus-wide. The 4-probe code keeps the oracle
+    * EXACT (both engines compute the identical numbers — the whole
+    * reason a library hash like xxhash64 can't be used here) while
+    * pricing a false gram merge at a simultaneous 4-way collision.
+    * Empty tokens code to 0 in both spellings. */
+  private[queries] def winnowTokenCode(tk: Column): Column =
+    when(length(tk) === 0, lit(0L)).otherwise(
+      (length(tk) * 17 + ascii(substring(tk, 1, 1))
+        + lit(257L) * ascii(tk.substr(length(tk), lit(1)))
+        + lit(65537L) * ascii(tk.substr(
+          ((length(tk) + lit(1)) / lit(2)).cast("int"), lit(1))))
+        .cast("long"))
+
+  /** SQL twin of [[winnowTokenCode]] over a lambda variable `t` —
+    * `(length+1) // 2` ≡ the engine's truncating cast on the
+    * non-negative midpoint. */
+  private[queries] val winnowTokenCodeSql: String =
+    "CASE WHEN length(t) = 0 THEN CAST(0 AS BIGINT) ELSE " +
+      "CAST(length(t) * 17 + ascii(substr(t, 1, 1)) " +
+      "+ 257 * ascii(substr(t, length(t), 1)) " +
+      "+ 65537 * ascii(substr(t, (length(t) + 1) // 2, 1)) AS BIGINT) END"
+
+  /** The winnowed fingerprint set of a MATERIALIZED token-code array
+    * column: k-gram rolling hashes over [[winnowTokenCode]] values,
+    * then the distinct minima of every w-window. Rightmost tie-break
+    * is irrelevant for the VALUE set (ties select the same value), so
+    * the set is total-order-free and oracle-exact. Pure row-local HOF
+    * folds — O(n·(k+w)) per doc, no shuffle. */
+  private[queries] def gramHashes(codes: Column, k: Int): Column =
+    // guarded: sequence(1, n <= 0) DESCENDS (q64's gotcha) and the
+    // descending indices land element_at out of bounds
+    when(size(codes) >= k,
+      transform(sequence(lit(1), size(codes) - (k - 1)),
+        i => (0 until k).foldLeft(lit(0L))((h, o) =>
+          pmod(h * 31 + element_at(codes, i + o), lit(KnuthP)))))
+      .otherwise(array().cast("array<bigint>"))
+
+  /** Window-min selection over a MATERIALIZED grams column. BOTH
+    * inputs must ride their own projections: an inline [[gramHashes]]
+    * here re-evaluates the whole gram transform PER WINDOW START
+    * (lambda interiors evaluate interpretively, outside codegen CSE —
+    * the q135/q64 defect class; measured on this very op: 6.9 s solo
+    * at sf0.1 inlined vs the materialized spelling's q88-beating
+    * floor). A doc with fewer than k tokens has NO grams
+    * (sequence(1, n<=0) DESCENDS — q64's gotcha) and selects the empty
+    * set; with 1 <= n_grams < w the single truncated window selects
+    * the global min (slice truncates at the array edge). */
+  private[queries] def winnowSelect(grams: Column, w: Int): Column =
+    when(size(grams) >= 1,
+      array_distinct(transform(
+        sequence(lit(1), greatest(size(grams) - (w - 1), lit(1))),
+        i => array_min(slice(grams, i, lit(w))))))
+      .otherwise(array().cast("array<bigint>"))
+
+  /** The gram-fold + window-min oracle CTE pair over a `tk(doc_id,
+    * codes)` CTE — IDENTICAL arithmetic to [[winnowedFps]] (the hash is
+    * VALUE-critical here: selection picks minima, so the oracle must
+    * compute the same numbers, not merely distinct ones). Emits CTEs
+    * `g` (grams) and `sel` (n_grams, fps). */
+  private[queries] def winnowSelCte(k: Int, w: Int): String = {
+    val gh = (0 until k).foldLeft("CAST(0 AS BIGINT)")((h, o) =>
+      s"(($h * 31 + codes[i + $o]) % 1000000007)")
+    s"""g AS (
+       |  SELECT doc_id, codes,
+       |    list_transform(range(1, len(codes) - ${k - 2}), i -> $gh)
+       |      AS grams
+       |  FROM tk),
+       |sel AS (
+       |  SELECT doc_id, len(grams) AS n_grams,
+       |    CASE WHEN len(codes) >= $k THEN
+       |      list_distinct(list_transform(
+       |        range(1, greatest(len(grams) - ${w - 1}, 1) + 1),
+       |        i -> list_min(grams[i : least(i + ${w - 1}, len(grams))])))
+       |    ELSE CAST([] AS BIGINT[]) END AS fps
+       |  FROM g)"""
+  }
+
+  /** q165 [EXT]: winnowing fingerprint density — the per-document stats
+    * of the MOSS selection: gram count, selected-fingerprint count, and
+    * the realized density in exact ppm (theory: 2/(w+1) for random
+    * hashes — the number that prices the q166 index against q88's full
+    * inverted index). TOTAL: docs shorter than k tokens report 0/0/0.
+    *
+    * 100 TB: the ideal map-only shape — token codes, gram hashes, and
+    * window minima are three row-local HOF folds in one scan's codegen
+    * stage; no Generate, no join, no exchange before the dump sort
+    * (q139's class). FULLY ORACLED: the hash arithmetic is the
+    * portable 4-probe spelling ([[winnowTokenCode]]), so DuckDB
+    * selects the IDENTICAL fingerprint sets. */
+  val q165WinnowStats: Q = (spark, dir) => {
+    val (k, w) = (winnowK, winnowW)
+    val d = t(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("codes",
+        transform(col("toks"), tk => winnowTokenCode(tk)))
+      .withColumn("grams", gramHashes(col("codes"), k))
+    val nGrams = size(col("grams"))
+    val scored = d
+      .withColumn("fps", winnowSelect(col("grams"), w))
+      .select(col("doc_id"), nGrams.cast("long").as("n_grams"),
+        size(col("fps")).cast("long").as("n_selected"))
+    orderAll(scored.select(col("doc_id"), col("n_grams"), col("n_selected"),
+      when(col("n_grams") > 0,
+        expr(TokenStats.ppmSql("n_selected", "n_grams")))
+        .otherwise(lit(0L)).as("density_ppm")))
+  }
+
+  /** q166 [EXT]: winnowing overlap — partial-copy detection with a
+    * GUARANTEE: any two documents sharing a token run of length ≥
+    * w + k − 1 share at least one winnowed fingerprint, so the
+    * inverted index below cannot miss a copied span above the floor —
+    * the property q88's Jaccard (whole-doc similarity) and q69's
+    * containment probe (first-shingle heuristic) don't give. Pairs
+    * sharing fingerprints are scored by min-containment
+    * (common / min(|A|, |B|)) ≥ 0.5 — the mid-document quotation /
+    * boilerplate-splice class. Universe: the planted near-dup corpus
+    * (q68's originals + truncated re-crawls), so every planted pair is
+    * an observable guarantee witness.
+    *
+    * 100 TB: the index carries only the winnowed ~2/(w+1) of gram
+    * mass (the op's whole point — q165 prices it), fingerprints are
+    * 8-byte BIGINTs on every exchange, the df cap bounds bucket
+    * occupancy exactly as q88's (same dial, mirrored in the oracle),
+    * and candidate generation is the bucket self-join — never
+    * all-pairs. FULLY ORACLED — exactly, not collision-modulo: the
+    * portable hash makes DuckDB's selected sets identical, so the
+    * pair counts match by construction. */
+  val q166WinnowOverlap: Q = (spark, dir) => {
+    val (k, w) = (winnowK, winnowW)
+    val fps = docsWithNearDups(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("codes",
+        transform(col("toks"), tk => winnowTokenCode(tk)))
+      .withColumn("grams", gramHashes(col("codes"), k))
+      .select(col("doc_id"),
+        explode(winnowSelect(col("grams"), w)).as("fp"))
+      .scopedPersist
+    val informative = fps.groupBy("fp")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= ShingleDfCap)
+      .select("fp")
+    val kept = fps.join(informative, Seq("fp")).scopedPersist
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val pairs = kept.as("a").join(kept.as("b"), Seq("fp"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common"))
+    val j = pairs
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_fp", "s1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_fp", "s2"), "d2")
+      .withColumn("overlap",
+        round(col("common").cast("double") / least(col("s1"), col("s2")), 6))
+      .filter(col("overlap") >= 0.5)
+    orderAll(j.select(col("d1"), col("d2"), col("common"), col("overlap")))
+  }
+
   /** q89 banding geometry. Band width must grow ~log2(corpus size) for
     * the within-band join to stay sub-quadratic: non-dup docs collide on
     * a band with probability ~2^-SimhashBandBits, so expected bucket
@@ -1887,6 +2068,8 @@ object LlmOps {
     "q86_token_count" -> q86TokenCount,
     "q87_fingerprint" -> q87Fingerprint,
     "q88_dedup_ngram" -> q88DedupNgram,
+    "q165_winnow_stats" -> q165WinnowStats,
+    "q166_winnow_overlap" -> q166WinnowOverlap,
     "q89_dedup_simhash" -> q89DedupSimhash,
     "q91_similarity_ivf" -> q91SimilarityIvf,
     "q92_dedup_embedding" -> q92DedupEmbedding,
@@ -2644,6 +2827,60 @@ object LlmOps {
         |JOIN sizes s2 ON s2.doc_id = d2
         |WHERE CAST(common AS DOUBLE) / (s1.n_sh + s2.n_sh - common) >= 0.5
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    "q165_winnow_stats" -> {
+      val (k, w) = (winnowK, winnowW)
+      s"""WITH tk AS (
+        |  SELECT doc_id, list_transform(string_split(text, ' '),
+        |    t -> $winnowTokenCodeSql) AS codes
+        |  FROM documents),
+        |${winnowSelCte(k, w)}
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |  CAST(len(fps) AS BIGINT) AS n_selected,
+        |  CASE WHEN n_grams > 0
+        |    THEN CAST(${ppmDuckSql("len(fps)", "n_grams")} AS BIGINT)
+        |    ELSE 0 END AS density_ppm
+        |FROM sel
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+        |  4 NULLS FIRST""".stripMargin
+    },
+    "q166_winnow_overlap" -> {
+      val (k, w) = (winnowK, winnowW)
+      s"""WITH dd AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    string_split(text, ' ')[1:len(string_split(text, ' ')) - 1]
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, list_transform(toks,
+        |    t -> $winnowTokenCodeSql) AS codes
+        |  FROM dd),
+        |${winnowSelCte(k, w)},
+        |fpx AS (
+        |  SELECT DISTINCT doc_id, f.fp FROM sel, unnest(fps) AS f(fp)),
+        |keepf AS (
+        |  SELECT fp FROM (SELECT fp, count(*) AS df FROM fpx GROUP BY 1)
+        |  WHERE df <= ${geom.shingleDfCap}),
+        |kept AS (SELECT f.doc_id, f.fp FROM fpx f JOIN keepf USING (fp)),
+        |sizes AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+        |  FROM kept GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    CAST(count(*) AS BIGINT) AS common
+        |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, common,
+        |  round(CAST(common AS DOUBLE) / least(s1.n_fp, s2.n_fp), 6)
+        |    AS overlap
+        |FROM pairs
+        |JOIN sizes s1 ON s1.doc_id = d1
+        |JOIN sizes s2 ON s2.doc_id = d2
+        |WHERE round(CAST(common AS DOUBLE) / least(s1.n_fp, s2.n_fp), 6)
+        |  >= 0.5
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+        |  4 NULLS FIRST""".stripMargin
+    },
     "q88_dedup_ngram" ->
       s"""WITH dd AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

@@ -149,4 +149,10 @@ package object queries {
   /** SQL twin of [[knuthBucket2]]. */
   def knuthBucket2Sql(c: String, m: Long): String =
     s"(${knuthMix2Sql(c)} % $m + $m) % $m"
+
+  /** DuckDB twin of `TokenStats.ppmSql` — the q157 split-multiplier ppm
+    * spelling with `//` (DuckDB's flooring division; every use site
+    * feeds non-negative arguments, where `//` ≡ Spark's `div`). */
+  def ppmDuckSql(c: String, t: String): String =
+    s"(((($c * 1000) // $t) * 1000) + (((($c * 1000) % $t) * 1000) // $t))"
 }

@@ -219,7 +219,13 @@ object ScaleProbe {
     // q164 is the q147 map-only class (row-local regexp folds) into a
     // sources-sized rollup — sources are construction-constant, salted
     // copies multiply docs per source
-    "q164_pii_prevalence")
+    "q164_pii_prevalence",
+    // q165 is the q139 map-only class (three row-local HOF folds);
+    // q166's index carries the winnowed ~2/(w+1) of gram mass and its
+    // candidate join is fp-bucket-local — salted copies keep
+    // fingerprints disjoint (the 4-probe code reads token content), so
+    // pairs replay per copy and the df cap bounds any hot bucket
+    "q165_winnow_stats", "q166_winnow_overlap")
   private val Ks = Seq(1, 4, 8)
   private val Shift = 9700000L // lcm(97, 10) × 10,000 — residue-preserving
   private val GrowthFactor = 1.5

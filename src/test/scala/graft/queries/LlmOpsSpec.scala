@@ -536,6 +536,70 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("q165/q166: the winnowing guarantee — a shared run of >= w+k-1 tokens always shares a fingerprint") {
+    import spark.implicits._
+    val (k, w) = (LlmOps.winnowK, LlmOps.winnowW)
+    // two docs sharing EXACTLY the guarantee-floor run (w+k-1 tokens),
+    // embedded at different positions in otherwise-disjoint text; the
+    // selected sets must intersect — that is Schleimer/Wilkerson/
+    // Aiken's theorem, and the property q88's Jaccard threshold and
+    // q69's first-shingle probe do not give
+    val run = (1 to (w + k - 1)).map(i => s"shared$i").mkString(" ")
+    val a = s"alpha beta gamma delta $run"
+    val b = s"$run omega psi chi phi upsilon tau"
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+      .withColumn("codes", transform(split(col("text"), " "),
+        tk => LlmOps.winnowTokenCode(tk)))
+    val sets = docs
+      .withColumn("grams", LlmOps.gramHashes(col("codes"), k))
+      .select(col("doc_id"),
+        LlmOps.winnowSelect(col("grams"), w).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((sets(1L) intersect sets(2L)).nonEmpty,
+      s"guarantee violated: disjoint fingerprints for a ${w + k - 1}-token shared run")
+    // density: the selection keeps at most one fp per window start and
+    // at least one overall; short docs (< k tokens) select NOTHING
+    val short = Seq((3L, "a b")).toDF("doc_id", "text")
+      .withColumn("codes", transform(split(col("text"), " "),
+        tk => LlmOps.winnowTokenCode(tk)))
+    assert(short.withColumn("grams", LlmOps.gramHashes(col("codes"), k))
+      .select(LlmOps.winnowSelect(col("grams"), w))
+      .collect()(0).getSeq[Long](0).isEmpty, "sub-k doc must select nothing")
+  }
+
+  test("q166: overlap scores planted truncations near 1 and the stats density sits under the window bound") {
+    import spark.implicits._
+    val dir = tmpDir("q166docs")
+    // 40-token docs with distinct vocabularies per doc. The doc marker
+    // sits in the LAST char — one of the 4 code probes — because the
+    // portable code reads (length, first, mid, last), not the whole
+    // token: a marker the probes never see (the first fixture tried
+    // w{d}_{i}) makes all docs code-identical and every pair flag,
+    // which is exactly the shape-collision class the 4-probe code
+    // exists to price (see winnowTokenCode's scaladoc)
+    def body(d: Int) = (1 to 40).map(i => s"w${i}_$d").mkString(" ")
+    Seq((1L, body(1)), (2L, body(2)), (3L, body(3)))
+      .toDF("doc_id", "text")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/documents.parquet")
+    // universe = originals + last-token-dropped re-crawls: each pair
+    // (d, d+1e6) must flag with overlap ~1 (the truncation removes at
+    // most the final windows' fingerprints); no cross-doc pair may flag
+    val got = LlmOps.q166WinnowOverlap(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(got.map(p => (p._1, p._2)).toSet ==
+      Set((1L, 1000001L), (2L, 1000002L), (3L, 1000003L)),
+      s"pair set diverged: ${got.mkString(", ")}")
+    assert(got.forall(_._3 >= 0.9), s"truncation overlap too low: ${got.mkString(", ")}")
+    // q165 on the same corpus: density within (0, 1], guarantee >= one
+    // fp per doc, and n_selected <= n_grams
+    val stats = LlmOps.q165WinnowStats(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(stats.forall { case (g, s, _) => s >= 1 && s <= g },
+      s"selection out of bounds: ${stats.mkString(", ")}")
+    assert(stats.forall(_._3 <= 1000000L), "density over 1")
+  }
+
   test("q90 multimodal features are deterministic and complete") {
     val f1 = MultiModal.q90Multimodal(spark, sf).collect()
     val f2 = MultiModal.q90Multimodal(spark, sf).collect()

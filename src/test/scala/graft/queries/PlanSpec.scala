@@ -1182,6 +1182,30 @@ class PlanSpec extends SparkSpec {
       s"prevalence shuffles beyond the source rollup:\n${p.take(2000)}")
   }
 
+  test("q165: winnow stats is map-only — three HOF folds in the scan stage, dump sort the only exchange") {
+    val p = plan("q165_winnow_stats")
+    assert(!p.contains("Join"), s"winnow stats grew a join:\n${p.take(2000)}")
+    assert(!p.contains("Generate"), s"winnow stats explodes grams:\n${p.take(2000)}")
+    assert(!p.contains("HashAggregate"), s"winnow stats shuffles an aggregate:\n${p.take(2000)}")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"winnow stats shuffles beyond the dump sort:\n${p.take(2000)}")
+  }
+
+  test("q166: the winnow index never shuffles a document body — every hash exchange carries fp/doc_id only") {
+    val p = plan("q166_winnow_overlap")
+    // the candidate join is the fp-keyed bucket self-join over 8-byte
+    // fingerprints; text must be pruned at the scan (the q76/q109
+    // bodies-never-move contract)
+    val exchanged = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanged.nonEmpty, s"no hash exchange found:\n${p.take(1500)}")
+    assert(exchanged.forall(l => !l.contains("text")),
+      s"a winnow exchange carries the document body:\n${exchanged.mkString("\n")}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"winnow candidates degenerated to all-pairs:\n${p.take(2000)}")
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     // AQE reports WholeStageCodegen spans only in the finalized plan
     val df = graft.SparkEntry.queries("q20_agg_hash")(spark, sf)
