@@ -648,7 +648,7 @@ object LlmOps {
   /** Hex fold of every regular file's (relative path, size, mtime)
     * under `src`, sorted — the staleness key shared by [[LabelTable]]
     * and [[GateIndexTable]]. */
-  private def fingerprint(src: java.nio.file.Path): String = {
+  private[queries] def fingerprint(src: java.nio.file.Path): String = {
     import scala.jdk.CollectionConverters._
     val stream = java.nio.file.Files.walk(src)
     val files =

@@ -529,6 +529,30 @@ class CorpusOpsSpec extends SparkSpec {
       s"artifact encode diverged from the loop:\nartifact-only=${artifact -- loop}\nloop-only=${loop -- artifact}")
   }
 
+  test("BpeTable: memoized merges equal a fresh learn; a regenerated corpus invalidates the entry") {
+    import spark.implicits._
+    val dir = tmpDir("bpetable")
+    Seq((1L, "a b a b a b"), (2L, "c c c c c"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/documents.parquet")
+    val fresh = CorpusOps.learnMerges(
+      spark.read.parquet(s"$dir/documents.parquet"), rounds = 2)
+    val memo1 = CorpusOps.BpeTable.of(spark, dir, rounds = 2)
+    assert(memo1 == fresh, s"memoized $memo1 != fresh $fresh")
+    assert(CorpusOps.BpeTable.of(spark, dir, rounds = 2) == memo1)
+    // regenerate the corpus with a DIFFERENT dominant pair: the content
+    // fingerprint changes, so the memo must relearn, not serve stale
+    Thread.sleep(5) // mtime granularity guard for the size-equal case
+    Seq((1L, "x y x y x y"), (2L, "z z z z z"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/documents.parquet")
+    val memo3 = CorpusOps.BpeTable.of(spark, dir, rounds = 2)
+    assert(memo3.head == (("x", "y")),
+      s"stale merges served after corpus regeneration: $memo3")
+  }
+
   test("q156: decode∘encode reproduces the normalized text; a raw separator byte is caught") {
     // q149's hand corpus plus doc 6, whose RAW text carries the 0x01
     // merge-seam byte — the collision class the round-trip audit exists
