@@ -547,7 +547,7 @@ object CorpusAudit {
   /** q68's recursive-CTE label derivation, shared by the q154/q155
     * mirrors exactly as q131/q146/q148 carry it (same corpus plant,
     * same exact-Jaccard ≥ 0.5 pairs, min-reachable-id components). */
-  private val labelCtes: String =
+  private[queries] val labelCtes: String =
     """WITH RECURSIVE dd AS (
       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
       |  UNION ALL

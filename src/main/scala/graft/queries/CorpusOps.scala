@@ -388,6 +388,50 @@ object CorpusOps {
       .select(col("qid"), col("rnk"), col("nid"), col("cos6")))
   }
 
+  /** q168 [EXT]: ANN recall audit — the index-quality number every
+    * approximate-nearest-neighbor deployment publishes before anyone
+    * trusts its candidates (recall@k vs exact brute force, the
+    * FAISS-style evaluation): per probe query, how many of the exact
+    * top-3 neighbors (q82's brute-force baseline, the declared ground
+    * truth) the IVF index (q100, nProbe = 2) actually returned, and
+    * the recall in exact ppm. This is the audit that turns "the scale
+    * path is approximate" from a caveat into a measured number — and
+    * the table a geometry change (codebook size, nProbe) is judged by.
+    * Composes the two DECLARED ops' exact functions, so drift in
+    * either parent is a CORRECTNESS failure here too.
+    *
+    * 100 TB: the ground-truth arm is the q82 brute-force class —
+    * priced for a BENCHMARK query panel (10 queries here; audits
+    * sample, they don't sweep) against the corpus scan, while the IVF
+    * arm is the production bucketed path; the comparison itself is a
+    * panel-sized semi join + rollup (≪ everything). FULLY ORACLED:
+    * q100's deterministic IVF chain + q82's exact pairs, intersected
+    * with the same round-6/lower-id tie order. */
+  val q168AnnRecall: Q = (spark, dir) => annRecallWith(2)(spark, dir)
+
+  /** q168 with an explicit probe count — spec-drivable at the
+    * guarantee point: nProbe = codebook size probes EVERY cell, so the
+    * IVF arm degenerates to exhaustive search and recall must read
+    * exactly 1000000 ppm for every query (the property that certifies
+    * the audit itself measures what it claims). */
+  private[graft] def annRecallWith(nProbe: Int): Q = (spark, dir) => {
+    val ivf = q100WithCodebook(8, nProbe)(spark, dir)
+      .select(col("qid"), col("nid"))
+    val exact = LlmOps.q82SimilarityTopk(spark, dir)
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("nid"))
+      .scopedPersist
+    val hits = exact.join(ivf, Seq("qid", "nid"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    val out = exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .select(col("qid"), col("n_exact"), col("n_hit"),
+        expr(TokenStats.ppmSql("n_hit", "n_exact")).as("recall_ppm"))
+    orderAll(out)
+  }
+
   /** Squared L2 distance between two double arrays, rounded to exact
     * BIGINT micro-units (×1e6) — pure codegen'd higher-order functions,
     * summed left-to-right like DuckDB's list_dot_product expansion, so
@@ -1667,6 +1711,7 @@ object CorpusOps {
     "q151_repetition_profile" -> q151RepetitionProfile,
     "q156_bpe_roundtrip" -> q156BpeRoundtrip,
     "q100_knn_ivf" -> q100KnnIvf,
+    "q168_ann_recall" -> q168AnnRecall,
     "q101_knn_pq" -> q101KnnPq)
 
   // lazy: q144's oracle is GENERATED from the BPE dials, so building
@@ -2038,6 +2083,66 @@ object CorpusOps {
         |LEFT JOIN topbg t ON t.doc_id = s.doc_id
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
         |  4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
+    "q168_ann_recall" ->
+      // q100's deterministic IVF chain + q82's exact brute-force pairs,
+      // intersected per query; recall in the q157 ppm spelling
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cent AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT v.vec_id, c.c_id,
+        |    round(list_dot_product(v.e, c.ce) /
+        |      (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.ce, c.ce))), 6) AS cc6
+        |  FROM v, cent c),
+        |cells AS (
+        |  SELECT vec_id, c_id AS cell FROM (
+        |    SELECT vec_id, c_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cc6 DESC, c_id ASC) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |corpus AS (SELECT v.vec_id, v.e, cells.cell FROM v JOIN cells USING (vec_id)),
+        |probes AS (
+        |  SELECT s.vec_id AS qid, qv.e AS qe, s.c_id AS cell FROM (
+        |    SELECT vec_id, c_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cc6 DESC, c_id ASC) AS rn
+        |    FROM scored WHERE vec_id < 10) s
+        |  JOIN v qv ON qv.vec_id = s.vec_id
+        |  WHERE s.rn <= 2),
+        |cand AS (
+        |  SELECT p.qid, c.vec_id AS nid,
+        |    round(list_dot_product(p.qe, c.e) /
+        |      (sqrt(list_dot_product(p.qe, p.qe)) * sqrt(list_dot_product(c.e, c.e))), 6) AS cos6
+        |  FROM corpus c JOIN probes p ON c.cell = p.cell AND c.vec_id <> p.qid),
+        |ivf AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT qid, nid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid ASC) AS rnk
+        |    FROM cand) WHERE rnk <= 3),
+        |bf AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |    round(list_dot_product(q.e, c.e) /
+        |      (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 6) AS cos6
+        |  FROM v q JOIN v c ON c.vec_id != q.vec_id
+        |  WHERE q.vec_id < 10),
+        |exact AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT qid, nid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid ASC) AS rnk
+        |    FROM bf) WHERE rnk <= 3),
+        |hits AS (
+        |  SELECT e.qid, CAST(count(*) AS BIGINT) AS n_hit
+        |  FROM exact e JOIN ivf i ON i.qid = e.qid AND i.nid = e.nid
+        |  GROUP BY 1),
+        |ag AS (
+        |  SELECT e.qid, CAST(count(*) AS BIGINT) AS n_exact,
+        |    coalesce(any_value(h.n_hit), 0) AS n_hit
+        |  FROM exact e LEFT JOIN hits h ON h.qid = e.qid
+        |  GROUP BY 1)
+        |SELECT qid, n_exact, n_hit,
+        |  CAST((((n_hit * 1000) // n_exact) * 1000)
+        |    + ((((n_hit * 1000) % n_exact) * 1000) // n_exact) AS BIGINT)
+        |    AS recall_ppm
+        |FROM ag
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+        |  4 NULLS FIRST""".stripMargin,
     "q100_knn_ivf" ->
       // the coarse quantizer, cell assignment, nProbe=2 probe lists, and
       // exact re-rank are all deterministic arithmetic — round-6 cosine,

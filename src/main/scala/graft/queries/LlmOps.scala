@@ -853,6 +853,88 @@ object LlmOps {
     * but the anti-join's cluster_id. Nightly cost becomes
     * O(batch + touched clusters), while q68 stays the declared
     * full-rebuild benchmark. */
+  /** q167's negative-draw bucket count — small enough that every
+    * bucket is populated at any real SF (64 buckets over ≥10k universe
+    * ids), large enough that a bucket rarely sits inside one cluster;
+    * interpolated into the oracle. */
+  private[queries] val ContrastiveBuckets = 64L
+
+  /** q167 [EXT]: contrastive training-pair mining — the
+    * embedding-model TRAINING DATA the near-dup label table exists to
+    * feed (SimCSE/E5-style corpus mining): for every clustered
+    * document, a (anchor, positive, negative) triplet where the
+    * positive is a same-cluster near-duplicate and the negative is a
+    * deterministically drawn non-member. Positives: the cluster's
+    * minimum member id (the anchor that IS the minimum takes the
+    * second-minimum — every cluster has ≥ 2 members by construction).
+    * Negatives: the corpus universe is Knuth-bucketed
+    * ([[ContrastiveBuckets]] cells); each anchor draws cell
+    * knuthBucket2(anchor) (the quadratic scramble — per-anchor draws
+    * over a dense id band, q139/q141's coset rule) and takes the
+    * cell's minimum id, falling back to its second-minimum when the
+    * minimum shares the anchor's cluster; if both minima share it the
+    * negative is NULL (TOTAL output — a mining job must surface, not
+    * silently drop, the anchors it could not serve).
+    *
+    * 100 TB: labels come off the materialized [[LabelTable]]
+    * (pair-graph-sized); the positive attach is one cluster-keyed join
+    * of two label-table-sized frames; the negative table SHRINKS to
+    * 2·buckets rows and broadcasts; nothing corpus-sized shuffles —
+    * the corpus itself is touched only to enumerate universe ids.
+    * FULLY ORACLED: q68's recursive-CTE labels + the package knuth
+    * spellings + the same window minima. */
+  val q167ContrastivePairs: Q = (spark, dir) =>
+    orderAll(contrastivePairs(
+      LabelTable.of(spark, dir).select(col("doc_id"), col("cluster_id")),
+      docsWithNearDups(spark, dir).select(col("doc_id"))))
+
+  /** q167's core over an explicit (doc_id, cluster_id) label table and
+    * a (doc_id) universe — spec-drivable on hand graphs where every
+    * positive and negative is checkable by the JVM knuth mirror. */
+  private[graft] def contrastivePairs(labelsRaw: DataFrame,
+      uni: DataFrame): DataFrame = {
+    val labels = labelsRaw.scopedPersist
+    // cluster minima: rank members per cluster, take ids at rank 1/2
+    // (m2 always exists — every cluster has >= 2 members)
+    val wC = Window.partitionBy(col("cluster_id")).orderBy(col("doc_id").asc)
+    val ranked = labels.withColumn("rk", row_number().over(wC))
+    val m12 = ranked.filter(col("rk") <= 2)
+      .groupBy(col("cluster_id"))
+      .agg(min(when(col("rk") === 1, col("doc_id"))).as("m1"),
+        min(when(col("rk") === 2, col("doc_id"))).as("m2"))
+    // negative pool: per Knuth cell, the two smallest universe ids with
+    // their cluster labels (unlabeled ids are their own singleton)
+    val pool = uni.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("ncl"),
+        knuthBucket(col("doc_id"), ContrastiveBuckets).as("cell"))
+    val wB = Window.partitionBy(col("cell")).orderBy(col("doc_id").asc)
+    val cellMins = pool.withColumn("rk", row_number().over(wB))
+      .filter(col("rk") <= 2)
+      .groupBy(col("cell"))
+      .agg(min(when(col("rk") === 1, col("doc_id"))).as("n1"),
+        min(when(col("rk") === 1, col("ncl"))).as("ncl1"),
+        min(when(col("rk") === 2, col("doc_id"))).as("n2"),
+        min(when(col("rk") === 2, col("ncl"))).as("ncl2"))
+    val triplets = labels
+      .join(m12, Seq("cluster_id"))
+      .withColumn("positive_id",
+        when(col("doc_id") === col("m1"), col("m2")).otherwise(col("m1")))
+      .withColumn("cell", knuthBucket2(col("doc_id"), ContrastiveBuckets))
+      // LEFT: an anchor whose draw cell holds no universe ids (sparse
+      // id bands vs 64 cells) must still appear, with a NULL negative —
+      // the TOTAL contract; an inner join here silently dropped such
+      // anchors (caught by the hand-graph spec, invisible at sf scale
+      // where every cell is occupied)
+      .join(broadcast(cellMins), Seq("cell"), "left")
+      .withColumn("negative_id",
+        when(col("ncl1") =!= col("cluster_id"), col("n1"))
+          .when(col("ncl2") =!= col("cluster_id"), col("n2")))
+      .select(col("doc_id").as("anchor_id"), col("cluster_id"),
+        col("positive_id"), col("negative_id"))
+    triplets
+  }
+
   val q148LabelIncremental: Q = (spark, dir) => {
     import graft.core.Checkpoints
     val ckptDir = Checkpoints.dirFromEnv()
@@ -2049,6 +2131,7 @@ object LlmOps {
     "q131_dedup_canonical" -> q131DedupCanonical,
     "q146_dedup_audit" -> q146DedupAudit,
     "q148_label_incremental" -> q148LabelIncremental,
+    "q167_contrastive_pairs" -> q167ContrastivePairs,
     "q132_temperature_mix" -> q132TemperatureMix,
     "q80_dedup_exact" -> q80DedupExact,
     "q95_sample_hash" -> q95SampleHash,
@@ -2419,6 +2502,45 @@ object LlmOps {
         |SELECT l.doc_id, l.cluster_id, sz.cluster_size
         |FROM lbl l JOIN sz USING (cluster_id)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    "q167_contrastive_pairs" -> {
+      // q68's recursive-CTE labels + the package knuth spellings + the
+      // same rank-1/2 minima; buckets interpolated from the engine dial
+      val b = ContrastiveBuckets
+      CorpusAudit.labelCtes + s""",
+        |uni AS (SELECT doc_id FROM documents
+        |        UNION ALL SELECT doc_id + 1000000 FROM documents),
+        |m12 AS (
+        |  SELECT cluster_id,
+        |    min(CASE WHEN rk = 1 THEN doc_id END) AS m1,
+        |    min(CASE WHEN rk = 2 THEN doc_id END) AS m2
+        |  FROM (SELECT cluster_id, doc_id,
+        |          row_number() OVER (PARTITION BY cluster_id
+        |                             ORDER BY doc_id ASC) AS rk
+        |        FROM lbl) WHERE rk <= 2 GROUP BY 1),
+        |pool AS (
+        |  SELECT u.doc_id, coalesce(l.cluster_id, u.doc_id) AS ncl,
+        |    ${knuthBucketSql("u.doc_id", b)} AS cell
+        |  FROM uni u LEFT JOIN lbl l ON l.doc_id = u.doc_id),
+        |cellmins AS (
+        |  SELECT cell,
+        |    min(CASE WHEN rk = 1 THEN doc_id END) AS n1,
+        |    min(CASE WHEN rk = 1 THEN ncl END) AS ncl1,
+        |    min(CASE WHEN rk = 2 THEN doc_id END) AS n2,
+        |    min(CASE WHEN rk = 2 THEN ncl END) AS ncl2
+        |  FROM (SELECT cell, doc_id, ncl,
+        |          row_number() OVER (PARTITION BY cell
+        |                             ORDER BY doc_id ASC) AS rk
+        |        FROM pool) WHERE rk <= 2 GROUP BY 1)
+        |SELECT l.doc_id AS anchor_id, l.cluster_id,
+        |  CASE WHEN l.doc_id = m.m1 THEN m.m2 ELSE m.m1 END AS positive_id,
+        |  CASE WHEN c.ncl1 <> l.cluster_id THEN c.n1
+        |       WHEN c.ncl2 <> l.cluster_id THEN c.n2 END AS negative_id
+        |FROM lbl l
+        |JOIN m12 m USING (cluster_id)
+        |LEFT JOIN cellmins c ON c.cell = ${knuthBucket2Sql("l.doc_id", b)}
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+        |  4 NULLS FIRST""".stripMargin
+    },
     "q148_label_incremental" ->
       // the FULL recompute over corpus ∪ batch — exactly what the
       // incremental merge must equal row-identically: q68's recursive

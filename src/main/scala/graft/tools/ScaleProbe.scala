@@ -225,7 +225,17 @@ object ScaleProbe {
     // candidate join is fp-bucket-local — salted copies keep
     // fingerprints disjoint (the 4-probe code reads token content), so
     // pairs replay per copy and the df cap bounds any hot bucket
-    "q165_winnow_stats", "q166_winnow_overlap")
+    "q165_winnow_stats", "q166_winnow_overlap",
+    // q167 reads the memoized label table; its own work is two
+    // label-table-sized windows + a broadcast 2-per-cell negative
+    // table — wall must track the label join, and the negative table
+    // stays 2*buckets rows at every k
+    "q167_contrastive_pairs",
+    // q168's ground-truth arm is the q82 brute-force panel (10 queries
+    // x k-scaled corpus — linear in corpus per query by construction);
+    // the IVF arm is the bucketed path with cells held at 8, so its
+    // candidate work grows with occupancy exactly as q100's own row
+    "q168_ann_recall")
   private val Ks = Seq(1, 4, 8)
   private val Shift = 9700000L // lcm(97, 10) × 10,000 — residue-preserving
   private val GrowthFactor = 1.5

@@ -529,6 +529,26 @@ class CorpusOpsSpec extends SparkSpec {
       s"artifact encode diverged from the loop:\nartifact-only=${artifact -- loop}\nloop-only=${loop -- artifact}")
   }
 
+  test("q168: probing every cell collapses IVF to exhaustive search — recall reads exactly 1.0") {
+    // the audit's own calibration: at nProbe = codebook size the
+    // candidate set contains the whole corpus, so n_hit == n_exact and
+    // recall_ppm == 1000000 for EVERY query; a miss here would mean the
+    // audit compares against the wrong ground truth or breaks ties
+    // differently across arms
+    val rows = CorpusOps.annRecallWith(8)(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 10, s"expected the 10-query panel, got ${rows.length}")
+    rows.foreach { case (qid, nExact, nHit, ppm) =>
+      assert(nExact == 3L && nHit == 3L && ppm == 1000000L,
+        s"query $qid: full-probe recall not 1.0 ($nExact/$nHit/$ppm)")
+    }
+    // and the declared nProbe=2 audit is bounded + non-degenerate
+    val declared = CorpusOps.q168AnnRecall(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(2), r.getLong(1)))
+    assert(declared.forall { case (h, e) => h >= 0 && h <= e },
+      "n_hit out of [0, n_exact]")
+  }
+
   test("BpeTable: memoized merges equal a fresh learn; a regenerated corpus invalidates the entry") {
     import spark.implicits._
     val dir = tmpDir("bpetable")

@@ -600,6 +600,43 @@ class LlmOpsSpec extends SparkSpec {
     assert(stats.forall(_._3 <= 1000000L), "density over 1")
   }
 
+  test("q167: positives are cluster minima, negatives are knuth-drawn non-members, verified by a JVM mirror") {
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val uni = (1L to 20L).toDF("doc_id")
+    val got = LlmOps.contrastivePairs(labels, uni).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .sortBy(_._1).toSeq
+    // JVM mirror of the package knuth spellings
+    val P = KnuthP; val C = KnuthC
+    def mix(c: Long) = math.floorMod(c, P) * C % P
+    def bucket(c: Long) = mix(c) % LlmOps.ContrastiveBuckets
+    def bucket2(c: Long) = math.floorMod(knuthMix2Jvm(c), LlmOps.ContrastiveBuckets)
+    val clusterOf = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L)
+    val pool = (1L to 20L).map(d => (bucket(d), d, clusterOf.getOrElse(d, d)))
+    def expNeg(anchor: Long, cl: Long): Long = {
+      val cell = bucket2(anchor)
+      val mins = pool.filter(_._1 == cell).sortBy(_._2).take(2)
+      mins.find(_._3 != cl).map(_._2).getOrElse(-1L)
+    }
+    val expected = Seq(
+      (1L, 1L, 2L, expNeg(1L, 1L)),   // anchor IS the min -> second-min
+      (2L, 1L, 1L, expNeg(2L, 1L)),
+      (3L, 1L, 1L, expNeg(3L, 1L)),
+      (10L, 10L, 11L, expNeg(10L, 10L)),
+      (11L, 10L, 10L, expNeg(11L, 10L)))
+    assert(got == expected, s"triplets diverged:\ngot      $got\nexpected $expected")
+    // the triplet is TOTAL over clustered docs and a negative never
+    // shares the anchor's cluster
+    got.foreach { case (a, cl, p, n) =>
+      assert(p != a && clusterOf(p) == cl, s"anchor $a: bad positive $p")
+      assert(n == -1L || clusterOf.getOrElse(n, n) != cl,
+        s"anchor $a: negative $n shares cluster $cl")
+    }
+  }
+
   test("q90 multimodal features are deterministic and complete") {
     val f1 = MultiModal.q90Multimodal(spark, sf).collect()
     val f2 = MultiModal.q90Multimodal(spark, sf).collect()

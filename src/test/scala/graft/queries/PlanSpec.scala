@@ -87,8 +87,12 @@ class PlanSpec extends SparkSpec {
     // q160 cross-joins the occupied-QI-CLASS table (≪ corpus — a
     // shrinking 3-column aggregate) against its broadcast 4-row
     // k-ladder literal — q157's budget-ladder class
+    // q168's ground-truth arm IS q82's documented brute-force panel
+    // (10-row broadcast query set) — the IVF arm under audit is the
+    // bucketed equi join; an ANN recall audit without the exact arm
+    // would have nothing to measure against
     val exempt = Set("q154_split_cluster_aware", "q157_vocab_coverage",
-      "q159_split_balance", "q160_anonymity_audit",
+      "q159_split_balance", "q160_anonymity_audit", "q168_ann_recall",
       "q82_similarity_topk", "q73_cluster_assign",
       "q74_cluster_balanced_sample", "q100_knn_ivf", "q101_knn_pq",
       "q108_kmeans_refine", "q110_semantic_dedup", "q118_collocations",
