@@ -455,6 +455,12 @@ object CorpusAudit {
     * where the hierarchical rollup can be pinned equal to the naive
     * corpus × ladder spelling (the floor-nesting identity). */
   private[graft] def packEfficiency(d: DataFrame): DataFrame = {
+    require(PackLens.sliding(2).forall {
+      case Seq(a, b) => b == 2 * a
+      case _ => true
+    }, s"PackLens must double ($PackLens): the hierarchical rollup " +
+      "leans on floor nesting — a non-doubling ladder silently breaks " +
+      "the pack_id div 2 identity the oracle certifies")
     val tok = size(split(col("text"), " ")).cast("long")
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)

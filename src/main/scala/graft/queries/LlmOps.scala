@@ -908,14 +908,22 @@ object LlmOps {
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("ncl"),
         knuthBucket(col("doc_id"), ContrastiveBuckets).as("cell"))
-    val wB = Window.partitionBy(col("cell")).orderBy(col("doc_id").asc)
-    val cellMins = pool.withColumn("rk", row_number().over(wB))
-      .filter(col("rk") <= 2)
+    // two map-side-combinable struct-min aggregates, NOT a window: a
+    // rank window partitioned by the 64 draw cells would funnel the
+    // whole id pool through 64 sort partitions at scale — min(struct)
+    // partial-aggregates per input partition and the second minimum
+    // re-aggregates after excluding the first (broadcast of 64 rows)
+    val pooled = pool.scopedPersist
+    val m1 = pooled.groupBy(col("cell"))
+      .agg(min(struct(col("doc_id"), col("ncl"))).as("s1"))
+    val m2 = pooled.join(broadcast(m1), Seq("cell"))
+      .filter(col("doc_id") =!= col("s1.doc_id"))
       .groupBy(col("cell"))
-      .agg(min(when(col("rk") === 1, col("doc_id"))).as("n1"),
-        min(when(col("rk") === 1, col("ncl"))).as("ncl1"),
-        min(when(col("rk") === 2, col("doc_id"))).as("n2"),
-        min(when(col("rk") === 2, col("ncl"))).as("ncl2"))
+      .agg(min(struct(col("doc_id"), col("ncl"))).as("s2"))
+    val cellMins = m1.join(m2, Seq("cell"), "left")
+      .select(col("cell"),
+        col("s1.doc_id").as("n1"), col("s1.ncl").as("ncl1"),
+        col("s2.doc_id").as("n2"), col("s2.ncl").as("ncl2"))
     val triplets = labels
       .join(m12, Seq("cluster_id"))
       .withColumn("positive_id",
