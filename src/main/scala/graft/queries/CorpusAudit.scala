@@ -385,11 +385,7 @@ object CorpusAudit {
     val n = LlmOps.geom.deconShingleN
     val k = graft.streaming.QiGate.kDial
     val d = t(spark, dir, "documents")
-    val withToks = d.withColumn("toks", split(col("text"), " "))
-    val evalSh = withToks.filter(col("doc_id") % 97 === 0)
-      .select(explode(graft.streaming.Decontaminator
-        .shingleFingerprints(col("toks"), n)).as("sh"))
-      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    val evalSh = graft.streaming.Decontaminator.evalShingleSet(d, n)
     val classes = graft.streaming.QiGate.classTable(d)
     // ONE projection pays all five verdicts — the shared batch/stream
     // code object (s100 streams the identical frame at ingest)
@@ -550,45 +546,16 @@ object CorpusAudit {
     "q163_pack_efficiency" -> q163PackEfficiency,
     "q164_pii_prevalence" -> q164PiiPrevalence)
 
-  /** q68's recursive-CTE label derivation, shared by the q154/q155
-    * mirrors exactly as q131/q146/q148 carry it (same corpus plant,
-    * same exact-Jaccard ≥ 0.5 pairs, min-reachable-id components). */
-  private[queries] val labelCtes: String =
-    """WITH RECURSIVE dd AS (
-      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 1000000,
-      |    string_split(text, ' ')[1:len(string_split(text, ' ')) - 1]
-      |  FROM documents),
-      |docs AS (SELECT * FROM dd WHERE len(toks) >= 3),
-      |sh AS (
-      |  SELECT DISTINCT doc_id,
-      |    toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS sh
-      |  FROM docs, unnest(range(1, len(toks) - 1)) AS t(i)),
-      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-      |prs AS (
-      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
-      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
-      |vp AS (
-      |  SELECT d1, d2 FROM prs
-      |  JOIN sizes s1 ON s1.doc_id = d1
-      |  JOIN sizes s2 ON s2.doc_id = d2
-      |  WHERE CAST(common AS DOUBLE) / (s1.n_sh + s2.n_sh - common) >= 0.5),
-      |edges AS (SELECT d1 AS a, d2 AS b FROM vp
-      |          UNION ALL SELECT d2, d1 FROM vp),
-      |reach(n, m) AS (
-      |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
-      |  UNION
-      |  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m),
-      |lbl AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n)""".stripMargin
-
-  val oracles: Map[String, String] = Map(
+  // lazy: entries interpolate env dials (QiGate.kDial) and LlmOps
+  // object members — laziness keeps a bad dial scoped to oracle access
+  // and keeps this object's <clinit> from re-entering LlmOps's (the
+  // OracleCtes scaladoc's deadlock class)
+  lazy val oracles: Map[String, String] = Map(
     "q154_split_cluster_aware" ->
       // q68's labels + the package knuthBucketSql arithmetic on both
       // hash inputs, rolled up per method; the UNION ALL's two rows are
       // the two methods and the ORDER BY is the dump sort
-      (labelCtes + s""",
+      (OracleCtes.labels + s""",
         |uni AS (SELECT doc_id FROM documents
         |        UNION ALL SELECT doc_id + 1000000 FROM documents),
         |asg0 AS (
@@ -630,7 +597,7 @@ object CorpusAudit {
       // q131's keep verdicts (labels + keep-the-longest window) joined
       // to the source-carrying planted universe, rolled up per source;
       // sums CAST HUGEINT → BIGINT, empty-drop sources coalesce to 0
-      (labelCtes + """,
+      (OracleCtes.labels + """,
         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
         |       FROM lbl GROUP BY 1),
         |nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM dd),
@@ -662,7 +629,7 @@ object CorpusAudit {
     "q158_split_assign" ->
       // q68's labels + the package knuthBucketSql arithmetic on the
       // cluster id, per document — q154's asg CTEs without the rollups
-      (labelCtes + s""",
+      (OracleCtes.labels + s""",
         |uni AS (SELECT doc_id FROM documents
         |        UNION ALL SELECT doc_id + 1000000 FROM documents),
         |asg0 AS (
@@ -681,7 +648,7 @@ object CorpusAudit {
       // one (tok, split) pivot, then the exact HUGEINT
       // cross-multiplication — `//` mirrors Spark's `div` (both exact
       // floor on non-negative operands)
-      (labelCtes + s""",
+      (OracleCtes.labels + s""",
         |uni AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL

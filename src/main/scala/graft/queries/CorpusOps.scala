@@ -2086,7 +2086,7 @@ object CorpusOps {
     "q168_ann_recall" ->
       // q100's deterministic IVF chain + q82's exact brute-force pairs,
       // intersected per query; recall in the q157 ppm spelling
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |cent AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id < 8),
         |scored AS (
         |  SELECT v.vec_id, c.c_id,
@@ -2137,8 +2137,7 @@ object CorpusOps {
         |  FROM exact e LEFT JOIN hits h ON h.qid = e.qid
         |  GROUP BY 1)
         |SELECT qid, n_exact, n_hit,
-        |  CAST((((n_hit * 1000) // n_exact) * 1000)
-        |    + ((((n_hit * 1000) % n_exact) * 1000) // n_exact) AS BIGINT)
+        |  CAST(${ppmDuckSql("n_hit", "n_exact")} AS BIGINT)
         |    AS recall_ppm
         |FROM ag
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,

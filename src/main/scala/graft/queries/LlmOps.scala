@@ -904,7 +904,10 @@ object LlmOps {
         min(when(col("rk") === 2, col("doc_id"))).as("m2"))
     // negative pool: per Knuth cell, the two smallest universe ids with
     // their cluster labels (unlabeled ids are their own singleton)
-    val pool = uni.join(labels, Seq("doc_id"), "left")
+    // the label table is pair-graph-sized — broadcast territory (the
+    // q158 posture); unhinted, a sort-merge pick would shuffle the
+    // whole universe id stream
+    val pool = uni.join(broadcast(labels), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("ncl"),
         knuthBucket(col("doc_id"), ContrastiveBuckets).as("cell"))
@@ -925,7 +928,7 @@ object LlmOps {
         col("s1.doc_id").as("n1"), col("s1.ncl").as("ncl1"),
         col("s2.doc_id").as("n2"), col("s2.ncl").as("ncl2"))
     val triplets = labels
-      .join(m12, Seq("cluster_id"))
+      .join(broadcast(m12), Seq("cluster_id"))
       .withColumn("positive_id",
         when(col("doc_id") === col("m1"), col("m2")).otherwise(col("m1")))
       .withColumn("cell", knuthBucket2(col("doc_id"), ContrastiveBuckets))
@@ -1864,10 +1867,8 @@ object LlmOps {
       array_join(slice(col("toks"), lit(1), size(col("toks")) - 1), " ").as("text"))
     val corpus = base.filter(col("doc_id") % 97 =!= 0)
       .select(col("doc_id"), col("text")).unionByName(leaked)
-    val evalSh = evalDocs
-      .select(explode(graft.streaming.Decontaminator
-        .shingleFingerprints(col("toks"), n)).as("sh"))
-      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    val evalSh = graft.streaming.Decontaminator
+      .evalShingleSet(t(spark, dir, "documents"), n)
     orderAll(graft.streaming.Decontaminator.flag(corpus, evalSh, n))
   }
 
@@ -2289,7 +2290,11 @@ object LlmOps {
        |  5 NULLS FIRST, 6 NULLS FIRST""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  // lazy (the CorpusOps pattern): q165/q166 entries parse the winnow
+  // dials and several entries interpolate env-backed geometry — a bad
+  // dial must fail at oracle access, not take down every LlmOps query
+  // via ExceptionInInitializerError (the ADVICE-r12 lazy-dial rule)
+  lazy val oracles: Map[String, String] = Map(
     "q117_lm_score" ->
       // same quantized surprisal: unpadded bin() length == Spark's
       // Long.toBinaryString; // === div; HUGEINT sums cast back
@@ -2514,7 +2519,7 @@ object LlmOps {
       // q68's recursive-CTE labels + the package knuth spellings + the
       // same rank-1/2 minima; buckets interpolated from the engine dial
       val b = ContrastiveBuckets
-      CorpusAudit.labelCtes + s""",
+      OracleCtes.labels + s""",
         |uni AS (SELECT doc_id FROM documents
         |        UNION ALL SELECT doc_id + 1000000 FROM documents),
         |m12 AS (

@@ -40,6 +40,20 @@ object Decontaminator {
       .otherwise(array().cast("array<bigint>"))
   }
 
+  /** The eval-set fingerprint collection — q103's fixture convention
+    * (the doc_id % 97 == 0 documents ARE the benchmark set), factored
+    * so the decon gate (q103), the curation funnel (q162/GateStack),
+    * and the s100 spec run ONE spelling of the recipe: a change to the
+    * residue or the distinct/sort contract lands everywhere or
+    * nowhere. Driver-side by the broadcast-probe contract (eval sets
+    * are benchmarks — bounded). */
+  def evalShingleSet(docs: org.apache.spark.sql.DataFrame,
+      n: Int): Seq[Long] =
+    docs.withColumn("toks", split(col("text"), " "))
+      .filter(col("doc_id") % 97 === 0)
+      .select(explode(shingleFingerprints(col("toks"), n)).as("sh"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+
   /** Per-document contamination report over any (doc_id, text) frame,
     * batch or streaming: shingle count, eval-set hits, overlap fraction
     * (NULL for shingle-less docs), and the ≥ 0.5 contamination flag —

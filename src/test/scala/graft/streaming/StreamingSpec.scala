@@ -1474,11 +1474,7 @@ class StreamingSpec extends SparkSpec {
     val d = spark.read.parquet(s"$sf/documents.parquet")
     val n = graft.queries.LlmOps.geom.deconShingleN
     val k = graft.streaming.QiGate.kDial
-    val withToks = d.withColumn("toks", split(col("text"), " "))
-    val evalSh = withToks.filter(col("doc_id") % 97 === 0)
-      .select(explode(graft.streaming.Decontaminator
-        .shingleFingerprints(col("toks"), n)).as("sh"))
-      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    val evalSh = graft.streaming.Decontaminator.evalShingleSet(d, n)
     val classes = graft.streaming.QiGate.classTable(d).cache()
     def key(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getString(1), r.getBoolean(2), r.getBoolean(3),
