@@ -1019,7 +1019,18 @@ object LlmOps {
     * key is the 3-token shingle (candidate generation), never a cross
     * join; Jaccard is computed from exact distinct-shingle counts, over
     * shingles with df ≤ [[ShingleDfCap]]. */
-  val q88DedupNgram: Q = (spark, dir) => {
+  val q88DedupNgram: Q = (spark, dir) => orderAll(
+    ngramPairJaccard(spark, dir)
+      .filter(col("jacc") >= 0.5)
+      .select(col("d1"), col("d2"), col("common"), col("jacc")))
+
+  /** q88's candidate-pair stage WITHOUT the similarity cut — every
+    * df-capped-index candidate pair with its exact Jaccard. Factored so
+    * q169's threshold sweep reads the identical pair universe q88
+    * gates at 0.5 (threshold drift between the dedup and its sizing
+    * table would make the table lie). */
+  private[queries] def ngramPairJaccard(spark: SparkSession,
+      dir: String): DataFrame = {
     val d = docsWithNearDups(spark, dir)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
@@ -1059,14 +1070,102 @@ object LlmOps {
       .filter(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("common"))
-    val j = pairs
+    pairs
       .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "s1"), "d1")
       .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "s2"), "d2")
       .withColumn("jacc",
         round(col("common").cast("double") /
           (col("s1") + col("s2") - col("common")), 6))
-      .filter(col("jacc") >= 0.5)
-    orderAll(j.select(col("d1"), col("d2"), col("common"), col("jacc")))
+  }
+
+  /** q169's threshold ladder — percent integers so the compare is
+    * `jacc >= pct / 100.0`, one IEEE division both engines spell
+    * identically; interpolated into the oracle. */
+  private[queries] val SweepThresholds: Seq[Int] =
+    Seq(30, 40, 50, 60, 70, 80, 90)
+
+  /** q169 [EXT]: dedup threshold sweep — the sizing table behind q88's
+    * (and the whole near-dup family's) 0.5 cut: for each candidate
+    * threshold, how many verified pairs and how many documents a
+    * collapse at that threshold would touch. This is the number that
+    * settles "should we dedup at 0.4 or 0.6?" BEFORE anyone re-runs a
+    * 100 TB pipeline to find out — the q157/q160/q163 ladder family
+    * applied to the dedup decision. Pairs are q88's EXACT universe
+    * ([[ngramPairJaccard]] — same df-capped index, same exact Jaccard),
+    * so the 0.5 row of this table is by construction q88's output
+    * cardinality.
+    *
+    * 100 TB: all corpus-scale work is q88's (index + bucket self-join);
+    * the sweep itself crosses the PAIR-GRAPH-sized jacc frame with the
+    * broadcast 7-row ladder and shrinks to |ladder| rows — adding a
+    * threshold costs pair-table work, not another corpus pass. FULLY
+    * ORACLED: q88's CTE chain minus the cut, same ladder arithmetic
+    * (string shingles — q88's collision argument carries to counts). */
+  val q169DedupSweep: Q = (spark, dir) => {
+    import spark.implicits._
+    val pairs = ngramPairJaccard(spark, dir)
+      .select(col("d1"), col("d2"), col("jacc")).scopedPersist
+    val ladder = SweepThresholds.toDF("threshold_pct")
+    val crossed = pairs.crossJoin(broadcast(ladder))
+      .filter(col("jacc") >= col("threshold_pct").cast("double") / 100.0)
+      .scopedPersist
+    val nPairs = crossed.groupBy(col("threshold_pct"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = crossed
+      .select(col("threshold_pct"),
+        explode(array(col("d1"), col("d2"))).as("doc_id"))
+      .groupBy(col("threshold_pct"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    orderAll(ladder
+      .join(nPairs, Seq("threshold_pct"), "left")
+      .join(nDocs, Seq("threshold_pct"), "left")
+      .select(col("threshold_pct"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs")))
+  }
+
+  /** q170's ladder — same percent-integer convention as q169's. */
+  private[queries] val QualityThresholds: Seq[Int] = Seq(30, 40, 50, 60, 70)
+
+  /** q170 [EXT]: quality-threshold sweep — the sensitivity table behind
+    * the q152/q162 fixed 0.5 cut: for each candidate threshold, the
+    * documents and token mass the heuristic quality gate would keep,
+    * in exact ppm of the corpus. Read next to q162's funnel, it says
+    * whether the quality stage's yield is a cliff or a plateau — the
+    * difference between a tunable gate and a fragile one.
+    *
+    * 100 TB: ONE corpus scan folds the q85 score and token count, then
+    * collapses to an ≤101-row integer PERCENT-BIN table
+    * (floor(quality·100) — for integer thresholds, x ≥ T ⟺ floor(x) ≥
+    * T, so binning loses nothing and both engines compare the same
+    * integers); the ladder crosses the BIN table, never the corpus.
+    * FULLY ORACLED: q85's quality CTE, the same bin arithmetic. */
+  val q170QualitySweep: Q = (spark, dir) => {
+    import spark.implicits._
+    val d = t(spark, dir, "documents")
+    val bins = d.select(
+      floor(qualityExpr * 100).cast("int").as("bin"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_toks"))
+      .scopedPersist
+    val totals = bins.agg(sum(col("n_docs")).as("t_docs"),
+      sum(col("n_toks")).as("t_toks"))
+    val ladder = QualityThresholds.toDF("threshold_pct")
+    val kept = bins.crossJoin(broadcast(ladder))
+      .filter(col("bin") >= col("threshold_pct"))
+      .groupBy(col("threshold_pct"))
+      .agg(sum(col("n_docs")).as("k_docs"), sum(col("n_toks")).as("k_toks"))
+    orderAll(ladder
+      .join(kept, Seq("threshold_pct"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("threshold_pct"),
+        coalesce(col("k_docs"), lit(0L)).as("n_docs_kept"),
+        coalesce(col("k_toks"), lit(0L)).as("n_tokens_kept"),
+        expr(TokenStats.ppmSql("coalesce(k_docs, 0)", "t_docs"))
+          .as("doc_keep_ppm"),
+        expr(TokenStats.ppmSql("coalesce(k_toks, 0)", "t_toks"))
+          .as("token_keep_ppm")))
   }
 
   /** Winnowing geometry (Schleimer/Wilkerson/Aiken 2003, "Winnowing:
@@ -2160,6 +2259,8 @@ object LlmOps {
     "q86_token_count" -> q86TokenCount,
     "q87_fingerprint" -> q87Fingerprint,
     "q88_dedup_ngram" -> q88DedupNgram,
+    "q169_dedup_sweep" -> q169DedupSweep,
+    "q170_quality_sweep" -> q170QualitySweep,
     "q165_winnow_stats" -> q165WinnowStats,
     "q166_winnow_overlap" -> q166WinnowOverlap,
     "q89_dedup_simhash" -> q89DedupSimhash,
@@ -3015,6 +3116,88 @@ object LlmOps {
         |  >= 0.5
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
         |  4 NULLS FIRST""".stripMargin
+    },
+    "q169_dedup_sweep" -> {
+      // q88's CTE chain minus the 0.5 cut, crossed with the
+      // interpolated ladder; the 0.5 row equals q88's cardinality
+      val ladder = SweepThresholds.mkString(", ")
+      s"""WITH dd AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    string_split(text, ' ')[1:len(string_split(text, ' ')) - 1]
+        |  FROM documents),
+        |docs AS (SELECT * FROM dd WHERE len(toks) >= 3),
+        |sh_all AS (
+        |  SELECT DISTINCT doc_id,
+        |    toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS sh
+        |  FROM docs, unnest(range(1, len(toks) - 1)) AS t(i)),
+        |informative AS (SELECT sh FROM sh_all GROUP BY sh HAVING count(*) <= $ShingleDfCap),
+        |sh AS (SELECT s.doc_id, s.sh FROM sh_all s JOIN informative i USING (sh)),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT d1, d2,
+        |    round(CAST(common AS DOUBLE) / (s1.n_sh + s2.n_sh - common), 6) AS jacc
+        |  FROM pairs
+        |  JOIN sizes s1 ON s1.doc_id = d1
+        |  JOIN sizes s2 ON s2.doc_id = d2),
+        |l AS (SELECT CAST(unnest([$ladder]) AS INT) AS threshold_pct),
+        |hit AS (
+        |  SELECT threshold_pct, d1, d2 FROM j, l
+        |  WHERE jacc >= threshold_pct / 100.0),
+        |np AS (SELECT threshold_pct, CAST(count(*) AS BIGINT) AS n_pairs
+        |       FROM hit GROUP BY 1),
+        |nd AS (SELECT threshold_pct, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |       FROM (SELECT threshold_pct, d1 AS doc_id FROM hit
+        |             UNION ALL SELECT threshold_pct, d2 FROM hit)
+        |       GROUP BY 1)
+        |SELECT l.threshold_pct,
+        |  coalesce(np.n_pairs, 0) AS n_pairs,
+        |  coalesce(nd.n_docs, 0) AS n_docs
+        |FROM l
+        |LEFT JOIN np USING (threshold_pct)
+        |LEFT JOIN nd USING (threshold_pct)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+    },
+    "q170_quality_sweep" -> {
+      val ladder = QualityThresholds.mkString(", ")
+      s"""WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(length(text) - length(regexp_replace(text, '[.!?,;]', '', 'g')) AS INT) AS n_punct,
+        |    CAST(len(list_filter(string_split(text,' '), x -> list_contains(['the','a','of','and'], x))) AS DOUBLE) AS n_stop,
+        |    CAST(length(text) AS INT) AS n_chars
+        |  FROM documents),
+        |q AS (
+        |  SELECT n_tok,
+        |    round(0.4 * coalesce(n_stop / nullif(n_tok, 0), 0.0)
+        |        + 0.3 * least(1.0, CAST(n_tok AS DOUBLE) / 100.0)
+        |        + 0.3 * (1.0 - coalesce(CAST(n_punct AS DOUBLE) / nullif(n_chars, 0), 0.0)), 6) AS quality
+        |  FROM f),
+        |bins AS (
+        |  SELECT CAST(floor(quality * 100) AS INT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS n_toks
+        |  FROM q GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs,
+        |               CAST(sum(n_toks) AS BIGINT) AS t_toks FROM bins),
+        |l AS (SELECT CAST(unnest([$ladder]) AS INT) AS threshold_pct),
+        |kept AS (
+        |  SELECT threshold_pct,
+        |    CAST(coalesce(sum(n_docs), 0) AS BIGINT) AS k_docs,
+        |    CAST(coalesce(sum(n_toks), 0) AS BIGINT) AS k_toks
+        |  FROM l LEFT JOIN bins ON bin >= threshold_pct
+        |  GROUP BY 1)
+        |SELECT threshold_pct, k_docs AS n_docs_kept, k_toks AS n_tokens_kept,
+        |  CAST(${ppmDuckSql("k_docs", "t_docs")} AS BIGINT) AS doc_keep_ppm,
+        |  CAST(${ppmDuckSql("k_toks", "t_toks")} AS BIGINT) AS token_keep_ppm
+        |FROM kept, tot
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+        |  4 NULLS FIRST, 5 NULLS FIRST""".stripMargin
     },
     "q88_dedup_ngram" ->
       s"""WITH dd AS (

@@ -231,6 +231,11 @@ object ScaleProbe {
     // table — wall must track the label join, and the negative table
     // stays 2*buckets rows at every k
     "q167_contrastive_pairs",
+    // q169 rides q88's candidate machinery uncut — the probe certifies
+    // the pair table (and so the ladder cross input) grows k-linearly
+    // like q88's own row; q170's corpus work is one scan into a
+    // value-domain-bounded bin table (the q140 histogram argument)
+    "q169_dedup_sweep", "q170_quality_sweep",
     // q168's ground-truth arm is the q82 brute-force panel (10 queries
     // x k-scaled corpus — linear in corpus per query by construction);
     // the IVF arm is the bucketed path with cells held at 8, so its

@@ -637,6 +637,43 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("q169: the sweep is monotone in the threshold and its 0.5 row IS q88's cardinality") {
+    val rows = LlmOps.q169DedupSweep(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == LlmOps.SweepThresholds,
+      s"ladder rows diverged: ${rows.map(_._1).mkString(",")}")
+    rows.sliding(2).foreach { case Array((t1, p1, d1), (t2, p2, d2)) =>
+      assert(p1 >= p2 && d1 >= d2,
+        s"sweep not monotone: T$t1 ($p1/$d1) vs T$t2 ($p2/$d2)")
+    }
+    rows.foreach { case (t, p, d) =>
+      assert(d <= 2 * p || p == 0, s"T$t: $d docs from $p pairs")
+    }
+    // the construction claim: the 50-row counts exactly q88's output
+    val q88n = LlmOps.q88DedupNgram(spark, sf).count()
+    val at50 = rows.find(_._1 == 50).get._2
+    assert(at50 == q88n, s"sweep@50 $at50 != q88 cardinality $q88n")
+  }
+
+  test("q170: the quality sweep is monotone and its 50 row matches q152's heuristic keep count") {
+    val rows = LlmOps.q170QualitySweep(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == LlmOps.QualityThresholds)
+    rows.sliding(2).foreach { case Array((t1, d1, k1, _, _), (t2, d2, k2, _, _)) =>
+      assert(d1 >= d2 && k1 >= k2, s"sweep not monotone at T$t1->$t2")
+    }
+    rows.foreach { case (t, d, _, ppm, _) =>
+      assert(ppm >= 0 && ppm <= 1000000L, s"T$t ppm $ppm out of range")
+    }
+    // floor-bin equivalence at the gate threshold: floor(q*100) >= 50
+    // <=> q >= 0.5, so the 50 row must equal q152's keep_heuristic mass
+    val q152keep = LlmOps.q152FilterAgreement(spark, sf).collect()
+      .filter(_.getBoolean(0)).map(_.getLong(2)).sum
+    val at50 = rows.find(_._1 == 50).get._2
+    assert(at50 == q152keep, s"sweep@50 $at50 != q152 heuristic keep $q152keep")
+  }
+
   test("q90 multimodal features are deterministic and complete") {
     val f1 = MultiModal.q90Multimodal(spark, sf).collect()
     val f2 = MultiModal.q90Multimodal(spark, sf).collect()

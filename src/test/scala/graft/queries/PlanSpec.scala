@@ -91,8 +91,12 @@ class PlanSpec extends SparkSpec {
     // (10-row broadcast query set) — the IVF arm under audit is the
     // bucketed equi join; an ANN recall audit without the exact arm
     // would have nothing to measure against
+    // q169 crosses the PAIR-GRAPH-sized jacc frame with its broadcast
+    // 7-row ladder; q170 crosses the <=101-row quality-bin table with
+    // its 5-row ladder — both q157's aggregate x ladder class
     val exempt = Set("q154_split_cluster_aware", "q157_vocab_coverage",
       "q159_split_balance", "q160_anonymity_audit", "q168_ann_recall",
+      "q169_dedup_sweep", "q170_quality_sweep",
       "q82_similarity_topk", "q73_cluster_assign",
       "q74_cluster_balanced_sample", "q100_knn_ivf", "q101_knn_pq",
       "q108_kmeans_refine", "q110_semantic_dedup", "q118_collocations",
