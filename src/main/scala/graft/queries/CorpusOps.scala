@@ -1009,23 +1009,28 @@ object CorpusOps {
     * memoized ≡ fresh and the artifact-encode ≡ loop-encode equality
     * that makes q149's memo path exact. */
   private[graft] object BpeTable {
-    private val memo = scala.collection.mutable.HashMap
-      .empty[(String, Int), (String, Seq[(String, String)])]
+    // locking is PER KEY (round-13 advice: a global memo.synchronized
+    // held across the seconds-scale learnMerges serialized unrelated
+    // consumers and blocked cache hits): the fingerprint walk runs
+    // outside any lock, hits are lock-free, and compute() serializes
+    // only two racers on the SAME (dir, rounds) — so a learn happens
+    // once per key without stalling any other corpus
+    private val memo = new java.util.concurrent.ConcurrentHashMap[
+      (String, Int), (String, Seq[(String, String)])]()
 
     def of(spark: SparkSession, dir: String,
         rounds: Int): Seq[(String, String)] =
       if (sys.env.get("GRAFT_LABEL_MEMO").contains("0"))
         learnMerges(t(spark, dir, "documents"), rounds)
-      else memo.synchronized {
+      else {
         val fp = LlmOps.fingerprint(
           java.nio.file.Paths.get(dir, "documents.parquet"))
-        memo.get((dir, rounds)) match {
-          case Some((`fp`, m)) => m
-          case _ =>
-            val m = learnMerges(t(spark, dir, "documents"), rounds)
-            memo.put((dir, rounds), (fp, m))
-            m
-        }
+        val key = (dir, rounds)
+        val hit = memo.get(key)
+        if (hit != null && hit._1 == fp) hit._2
+        else memo.compute(key, (_, old) =>
+          if (old != null && old._1 == fp) old
+          else (fp, learnMerges(t(spark, dir, "documents"), rounds)))._2
       }
   }
 

@@ -599,50 +599,68 @@ object LlmOps {
     * drives the configured-path arm explicitly and pins it
     * row-identical to a fresh run. */
   private[graft] object LabelTable {
+    private val tbl = new MaterializedTable("labels",
+      (s, d) => q68Core(graft.core.Checkpoints.dirFromEnv())(s, d))
+    def of(spark: SparkSession, dir: String): DataFrame = tbl.of(spark, dir)
+    private[graft] def of(spark: SparkSession, dir: String,
+        base: Option[String]): DataFrame = tbl.of(spark, dir, base)
+  }
+
+  /** The materialize-once mechanics shared by [[LabelTable]],
+    * [[GateIndexTable]] and [[PairTable]]: first consumer writes
+    * `fresh(corpus)` to parquet, later consumers read it. Staleness is
+    * the corpus CONTENT [[fingerprint]] (a rebuild renames UUID part
+    * files, so the key moves even inside one mtime tick); a superseded
+    * table is deleted (temp AND warehouse mode — the old fingerprint
+    * names a corpus build that no longer exists). `GRAFT_LABEL_DIR`
+    * unset ⇒ a JVM-scoped temp dir; set ⇒ `$base/<prefix>_<fp>`, a
+    * STABLE warehouse path shared across JVMs (writer leaves
+    * `_SUCCESS`, later JVMs adopt). `GRAFT_LABEL_MEMO=0` restores
+    * recompute-always. Locking is PER KEY (`ConcurrentHashMap.compute`
+    * — round-13 advice on BpeTable's global lock): the fingerprint walk
+    * and a cache hit never wait on another corpus's seconds-scale
+    * build; two consumers racing on the SAME key serialize, so the
+    * artifact is built once. */
+  private[graft] final class MaterializedTable(prefix: String,
+      freshFn: (SparkSession, String) => DataFrame) {
     // (corpus dir, base) → (content fingerprint, materialized path)
-    private val memo =
-      scala.collection.mutable.HashMap.empty[(String, Option[String]), (String, String)]
+    private val memo = new java.util.concurrent.ConcurrentHashMap[
+      (String, Option[String]), (String, String)]()
 
     def of(spark: SparkSession, dir: String): DataFrame =
       of(spark, dir, sys.env.get("GRAFT_LABEL_DIR"))
 
-    private[graft] def of(spark: SparkSession, dir: String,
-        base: Option[String]): DataFrame = {
-      def fresh = q68Core(graft.core.Checkpoints.dirFromEnv())(spark, dir)
-      if (sys.env.get("GRAFT_LABEL_MEMO").contains("0")) fresh
+    def of(spark: SparkSession, dir: String,
+        base: Option[String]): DataFrame =
+      if (sys.env.get("GRAFT_LABEL_MEMO").contains("0")) freshFn(spark, dir)
       else {
-        val path = memo.synchronized {
-          val fp = fingerprint(java.nio.file.Paths.get(dir, "documents.parquet"))
-          memo.get((dir, base)) match {
-            case Some((`fp`, p)) => p
-            case stale =>
-              // corpus regenerated: this JVM's old table is superseded —
-              // delete it (temp AND warehouse mode: the old fingerprint
-              // names a corpus build that no longer exists)
-              stale.foreach { case (_, old) =>
-                deleteTree(java.nio.file.Paths.get(old))
-              }
+        val fp = fingerprint(java.nio.file.Paths.get(dir, "documents.parquet"))
+        val key = (dir, base)
+        val hit = memo.get(key)
+        val path =
+          if (hit != null && hit._1 == fp) hit._2 // lock-free fast path
+          else memo.compute(key, (_, old) => {
+            if (old != null && old._1 == fp) old
+            else {
+              if (old != null) deleteTree(java.nio.file.Paths.get(old._2))
               val p = base match {
                 case Some(b) =>
-                  val d = java.nio.file.Paths.get(b, s"labels_$fp")
+                  val d = java.nio.file.Paths.get(b, s"${prefix}_$fp")
                   if (!java.nio.file.Files.exists(d.resolve("_SUCCESS"))) {
                     java.nio.file.Files.createDirectories(d)
-                    fresh.write.mode("overwrite").parquet(d.toString)
+                    freshFn(spark, dir).write.mode("overwrite").parquet(d.toString)
                   }
                   d.toString
                 case None =>
-                  val d = java.nio.file.Files.createTempDirectory("graft_labels_")
-                  fresh.write.mode("overwrite").parquet(d.toString)
+                  val d = java.nio.file.Files.createTempDirectory(s"graft_${prefix}_")
+                  freshFn(spark, dir).write.mode("overwrite").parquet(d.toString)
                   d.toString
               }
-              memo.put((dir, base), (fp, p))
-              p
-          }
-        }
+              (fp, p)
+            }
+          })._2
         spark.read.parquet(path)
       }
-    }
-
   }
 
   /** Hex fold of every regular file's (relative path, size, mtime)
@@ -686,9 +704,6 @@ object LlmOps {
     * fresh, and q148's DuckDB oracle (a full recompute over the union
     * graph) gates the composed result regardless of posture. */
   private[graft] object GateIndexTable {
-    private val memo =
-      scala.collection.mutable.HashMap.empty[(String, Option[String]), (String, String)]
-
     /** The index build itself — the universe is corpus + its planted
       * re-crawls + the ingest batch (a batch doc near-duping another
       * batch doc is an edge a full recompute would see). */
@@ -699,40 +714,34 @@ object LlmOps {
       graft.streaming.NearDupGate.index(spark, universe, geom)
     }
 
-    def of(spark: SparkSession, dir: String): DataFrame =
-      of(spark, dir, sys.env.get("GRAFT_LABEL_DIR"))
+    private val tbl = new MaterializedTable("gateindex", fresh)
+
+    def of(spark: SparkSession, dir: String): DataFrame = tbl.of(spark, dir)
 
     private[graft] def of(spark: SparkSession, dir: String,
-        base: Option[String]): DataFrame =
-      if (sys.env.get("GRAFT_LABEL_MEMO").contains("0")) fresh(spark, dir)
-      else {
-        val path = memo.synchronized {
-          val fp = fingerprint(java.nio.file.Paths.get(dir, "documents.parquet"))
-          memo.get((dir, base)) match {
-            case Some((`fp`, p)) => p
-            case stale =>
-              stale.foreach { case (_, old) =>
-                deleteTree(java.nio.file.Paths.get(old))
-              }
-              val p = base match {
-                case Some(b) =>
-                  val d = java.nio.file.Paths.get(b, s"gateindex_$fp")
-                  if (!java.nio.file.Files.exists(d.resolve("_SUCCESS"))) {
-                    java.nio.file.Files.createDirectories(d)
-                    fresh(spark, dir).write.mode("overwrite").parquet(d.toString)
-                  }
-                  d.toString
-                case None =>
-                  val d = java.nio.file.Files.createTempDirectory("graft_gateindex_")
-                  fresh(spark, dir).write.mode("overwrite").parquet(d.toString)
-                  d.toString
-              }
-              memo.put((dir, base), (fp, p))
-              p
-          }
-        }
-        spark.read.parquet(path)
-      }
+        base: Option[String]): DataFrame = tbl.of(spark, dir, base)
+  }
+
+  /** q88's candidate-pair universe materialized ONCE per (JVM, corpus
+    * build) — the [[LabelTable]] posture applied to the THIRD artifact
+    * a nightly near-dup pipeline persists: the verified-pair table
+    * (candidate pairs with exact Jaccard) that both the 0.5-cut dedup
+    * (q88) and the threshold sizing sweep (q169) consume. Production
+    * builds the pair table once per corpus build and every decision
+    * reads it; re-deriving it inside each consumer is the
+    * recompute-always posture (`GRAFT_LABEL_MEMO=0` restores it — one
+    * dial governs all materialized artifacts, and the annotated
+    * `label_memo:off` BENCH_HISTORY line anchors the fresh build cost).
+    * The parquet round-trip is exact (BIGINT ids/counts, one
+    * already-rounded double), so consumers are bit-identical either
+    * way — CurationSpec pins memoized ≡ fresh, and both consumers'
+    * DuckDB oracles (full pair recomputes) gate the composed results
+    * regardless of posture. */
+  private[graft] object PairTable {
+    private val tbl = new MaterializedTable("pairs", ngramPairJaccard)
+    def of(spark: SparkSession, dir: String): DataFrame = tbl.of(spark, dir)
+    private[graft] def of(spark: SparkSession, dir: String,
+        base: Option[String]): DataFrame = tbl.of(spark, dir, base)
   }
 
   /** q131 [EXT]: near-dup cluster canonicalization — the ACTION step
@@ -1018,9 +1027,16 @@ object LlmOps {
   /** q88: n-gram Jaccard near-dup via shingle inverted index — the join
     * key is the 3-token shingle (candidate generation), never a cross
     * join; Jaccard is computed from exact distinct-shingle counts, over
-    * shingles with df ≤ [[ShingleDfCap]]. */
+    * shingles with df ≤ [[ShingleDfCap]]. Pairs come off the
+    * materialized [[PairTable]] (built by the first consumer in this
+    * JVM — q88's own warm rep in the bench — read thereafter): the
+    * production posture where the pair table is a per-corpus-build
+    * artifact and the cut is a read-filter-decide step over it.
+    * `GRAFT_LABEL_MEMO=0` restores the fresh in-query build
+    * ([[ngramPairJaccard]]); the annotated `label_memo:off`
+    * BENCH_HISTORY line carries the fresh cost. */
   val q88DedupNgram: Q = (spark, dir) => orderAll(
-    ngramPairJaccard(spark, dir)
+    PairTable.of(spark, dir)
       .filter(col("jacc") >= 0.5)
       .select(col("d1"), col("d2"), col("common"), col("jacc")))
 
@@ -1029,7 +1045,7 @@ object LlmOps {
     * q169's threshold sweep reads the identical pair universe q88
     * gates at 0.5 (threshold drift between the dedup and its sizing
     * table would make the table lie). */
-  private[queries] def ngramPairJaccard(spark: SparkSession,
+  private[graft] def ngramPairJaccard(spark: SparkSession,
       dir: String): DataFrame = {
     val d = docsWithNearDups(spark, dir)
       .withColumn("toks", split(col("text"), " "))
@@ -1091,8 +1107,9 @@ object LlmOps {
     * settles "should we dedup at 0.4 or 0.6?" BEFORE anyone re-runs a
     * 100 TB pipeline to find out — the q157/q160/q163 ladder family
     * applied to the dedup decision. Pairs are q88's EXACT universe
-    * ([[ngramPairJaccard]] — same df-capped index, same exact Jaccard),
-    * so the 0.5 row of this table is by construction q88's output
+    * (the materialized [[PairTable]] — same df-capped index, same exact
+    * Jaccard, [[ngramPairJaccard]] under `GRAFT_LABEL_MEMO=0`), so the
+    * 0.5 row of this table is by construction q88's output
     * cardinality.
     *
     * 100 TB: all corpus-scale work is q88's (index + bucket self-join);
@@ -1103,8 +1120,10 @@ object LlmOps {
     * (string shingles — q88's collision argument carries to counts). */
   val q169DedupSweep: Q = (spark, dir) => {
     import spark.implicits._
-    val pairs = ngramPairJaccard(spark, dir)
-      .select(col("d1"), col("d2"), col("jacc")).scopedPersist
+    // the memoized pair artifact (q88's exact universe — [[PairTable]]);
+    // no persist: the parquet scan feeds the one crossed build below
+    val pairs = PairTable.of(spark, dir)
+      .select(col("d1"), col("d2"), col("jacc"))
     val ladder = SweepThresholds.toDF("threshold_pct")
     val crossed = pairs.crossJoin(broadcast(ladder))
       .filter(col("jacc") >= col("threshold_pct").cast("double") / 100.0)

@@ -176,6 +176,23 @@ class CurationSpec extends SparkSpec {
     assert(memo2 == fresh, "second read diverges — the index memo is not stable")
   }
 
+  test("PairTable: the materialized pair universe is row-identical to a fresh ngramPairJaccard run") {
+    // q88 (the 0.5 cut) and q169 (the threshold sweep) both read this
+    // artifact: the parquet round-trip (BIGINT ids/counts, the
+    // already-rounded jacc double) must hand them exactly the pairs a
+    // fresh df-capped index + self-join computes
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(r.fieldIndex("d1")), r.getLong(r.fieldIndex("d2")),
+        r.getLong(r.fieldIndex("common")), r.getDouble(r.fieldIndex("jacc"))))
+      .sorted.toSeq
+    val fresh = rows(LlmOps.ngramPairJaccard(spark, sf))
+    val memo1 = rows(LlmOps.PairTable.of(spark, sf))
+    val memo2 = rows(LlmOps.PairTable.of(spark, sf))
+    assert(fresh.nonEmpty, "no candidate pairs — the fixture pin is vacuous")
+    assert(memo1 == fresh, "materialized pairs diverge from a fresh build")
+    assert(memo2 == fresh, "second read diverges — the pair memo is not stable")
+  }
+
   test("q148: incremental label maintenance ≡ a full connected-components recompute over corpus ∪ batch") {
     // the memo-equality argument extended to deltas: merging the new
     // batch's pairs into the existing table via the affected-subgraph

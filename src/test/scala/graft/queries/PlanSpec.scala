@@ -140,8 +140,14 @@ class PlanSpec extends SparkSpec {
   test("q88/q81: shared LSH intermediates are cache-served, not recomputed") {
     // the shingle/signature tables feed 3-4 consumers; without the
     // persist the explode subtree appears once PER consumer (measured
-    // 6× at sf0.1) — InMemoryTableScan in the plan proves reuse
-    Seq("q88_dedup_ngram", "q81_dedup_minhash", "q67_tfidf_terms").foreach { q =>
+    // 6× at sf0.1) — InMemoryTableScan in the plan proves reuse.
+    // q88's serving plan is now a PairTable parquet read, so the pin
+    // targets the fresh pair BUILD directly (what GRAFT_LABEL_MEMO=0
+    // and every first-touch materialization actually executes)
+    assert(LlmOps.ngramPairJaccard(spark, sf)
+      .queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+      "ngramPairJaccard: no cache reuse")
+    Seq("q81_dedup_minhash", "q67_tfidf_terms").foreach { q =>
       assert(plan(q).contains("InMemoryTableScan"), s"$q: no cache reuse")
     }
   }
