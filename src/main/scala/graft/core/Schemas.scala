@@ -77,4 +77,37 @@ object Schemas {
       |{"name":"quantidade_de_clientes_ccs","type":["null","string"],"default":null},
       |{"name":"quantidade_de_clientes_scr","type":["null","string"],"default":null}
       |]}""".stripMargin
+
+  /** An EVOLVED reader schema for `reclamacoes` — the day-one schema
+    * change a real Avro consumer hits (the one R6 contract facet q09's
+    * same-schema round-trip can't see). Three standard evolutions
+    * against the writer schema above, resolved by Avro's writer→reader
+    * rules:
+    *   - `indice` DROPPED (a required writer field — the reader skips
+    *     its bytes);
+    *   - `origem` ADDED as a null-union with default null (the
+    *     add-an-optional-column shape — every old record reads null);
+    *   - `fonte` ADDED as a required string with default "bcb" (the
+    *     add-with-backfill-constant shape — every old record reads the
+    *     default).
+    * The 5 nullable unions of the writer schema are retained, so
+    * null-union resolution is exercised alongside both default kinds. */
+  val reclamacoesEvolvedAvsc: String =
+    """{"type":"record","name":"reclamacoes","namespace":"ex7_producer","fields":[
+      |{"name":"ano","type":"string"},
+      |{"name":"trimestre","type":"string"},
+      |{"name":"categoria","type":"string"},
+      |{"name":"tipo","type":"string"},
+      |{"name":"cnpj_if","type":["null","string"],"default":null},
+      |{"name":"instituicao_financeira","type":"string"},
+      |{"name":"quantidade_de_reclamacoes_reguladas_procedentes","type":"string"},
+      |{"name":"quantidade_de_reclamacoes_reguladas_outras","type":["null","string"],"default":null},
+      |{"name":"quantidade_de_reclamacoes_nao_reguladas","type":["null","string"],"default":null},
+      |{"name":"quantidade_total_de_reclamacoes","type":"string"},
+      |{"name":"quantidade_total_de_clientes_ccs_e_scr","type":"string"},
+      |{"name":"quantidade_de_clientes_ccs","type":["null","string"],"default":null},
+      |{"name":"quantidade_de_clientes_scr","type":["null","string"],"default":null},
+      |{"name":"origem","type":["null","string"],"default":null},
+      |{"name":"fonte","type":"string","default":"bcb"}
+      |]}""".stripMargin
 }

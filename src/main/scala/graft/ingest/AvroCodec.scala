@@ -87,22 +87,56 @@ case class AvroEncodeExpression(child: Expression, avscJson: String,
 }
 
 /** Inverse of [[AvroEncodeExpression]] for round-trip tests: raw binary
-  * body → all-strings struct per the wire schema. */
-case class AvroDecodeExpression(child: Expression, avscJson: String)
+  * body → all-strings struct per the wire schema.
+  *
+  * `readerAvscJson`, when set, decodes with Avro's standard WRITER →
+  * READER schema resolution (the day-one consumer contract when a
+  * schema evolves): a reader field absent from the writer schema takes
+  * its declared default (required for resolution to succeed — Avro
+  * refuses otherwise), a writer field absent from the reader schema is
+  * read and skipped, and matching fields resolve by NAME, not position.
+  * Unset, behavior is the exact q09 round-trip (reader = writer =
+  * `reclamacoes.avsc`). The output struct follows the READER schema:
+  * its fields, its order, nullable where the reader type is a
+  * null-union. */
+case class AvroDecodeExpression(child: Expression, avscJson: String,
+    readerAvscJson: Option[String] = None)
     extends UnaryExpression with CodegenFallback {
 
-  override def dataType: DataType = Schemas.reclamacoesWire
+  override def dataType: DataType = readerAvscJson match {
+    case None    => Schemas.reclamacoesWire
+    case Some(_) => readerStruct
+  }
   override def nullable: Boolean = child.nullable
 
+  /** All-strings struct of the reader schema — computed eagerly (plain
+    * lazy val, StructType is serializable) because dataType is part of
+    * the ANALYZED plan, not task-side state. */
+  private lazy val readerStruct: StructType = {
+    import scala.jdk.CollectionConverters._
+    val rs = new Schema.Parser().parse(readerAvscJson.get)
+    StructType(rs.getFields.asScala.toSeq.map { f =>
+      val nullable = f.schema().getType == Schema.Type.UNION &&
+        f.schema().getTypes.asScala.exists(_.getType == Schema.Type.NULL)
+      StructField(f.name(), StringType, nullable)
+    })
+  }
+
   @transient private lazy val schema = new Schema.Parser().parse(avscJson)
-  @transient private lazy val reader = new GenericDatumReader[GenericRecord](schema)
+  @transient private lazy val readerSchema =
+    readerAvscJson.map(new Schema.Parser().parse(_)).getOrElse(schema)
+  @transient private lazy val reader =
+    new GenericDatumReader[GenericRecord](schema, readerSchema)
+  @transient private lazy val fieldNames: Array[String] = readerAvscJson match {
+    case None    => Schemas.reclamacoesWire.fieldNames
+    case Some(_) => readerStruct.fieldNames
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[Array[Byte]]
     val dec = DecoderFactory.get().binaryDecoder(bytes, null)
     val rec = reader.read(null, dec)
-    val fields = Schemas.reclamacoesWire.fieldNames
-    InternalRow.fromSeq(fields.toIndexedSeq.map { f =>
+    InternalRow.fromSeq(fieldNames.toIndexedSeq.map { f =>
       val v = rec.get(f)
       if (v == null) null else UTF8String.fromString(v.toString)
     })
@@ -166,5 +200,21 @@ object AvroCodec {
   def decodeFrame(spark: SparkSession, encoded: DataFrame): DataFrame = {
     register(spark)
     encoded.select(expr("avro_decode(value)").as("r")).select("r.*")
+  }
+
+  /** value column → READER-schema columns via Avro writer→reader
+    * resolution (see [[AvroDecodeExpression]]): dropped writer fields
+    * are skipped, reader-only fields take their declared defaults.
+    * The function name carries a per-call suffix for the same
+    * register-then-analyze race [[encodeFrameLenient]] documents. */
+  def decodeFrameEvolved(spark: SparkSession, encoded: DataFrame,
+      readerAvscJson: String,
+      writerAvscJson: String = Schemas.reclamacoesAvsc): DataFrame = {
+    val fn = s"avro_decode_evolved_${lenientSeq.incrementAndGet()}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fn, graft.GraftExtensions.checkArity(fn, 1)(exprs =>
+        AvroDecodeExpression(exprs.head, writerAvscJson,
+          Some(readerAvscJson))), "scala_udf")
+    encoded.select(expr(s"$fn(value)").as("r")).select("r.*")
   }
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -119,12 +120,20 @@ object ScanProject {
     * planted CASE…NULL branches exercise on ~45% of rows. */
   val q09AvroRoundtrip: Q = (spark, dir) => {
     import graft.ingest.AvroCodec
+    orderAll(AvroCodec.decodeFrame(spark,
+      AvroCodec.encodeFrame(spark, reclamacoesCanon(spark, dir))))
+  }
+
+  /** The canonical all-strings reclamações frame q09/q09b encode —
+    * factored so the evolution query certifiably encodes the SAME bytes
+    * the round-trip does. */
+  private def reclamacoesCanon(spark: SparkSession, dir: String): DataFrame = {
     val c = t(spark, dir, "customer")
     val k = col("c_custkey")
     def m(n: Int) = (k % n).cast(StringType)
     def nullEvery(n: Int, v: org.apache.spark.sql.Column) =
       when(k % n === 0, lit(null)).otherwise(v)
-    val canon = c.select(
+    c.select(
       k.cast(StringType).as("ano"),
       (k % 4 + 1).cast(StringType).as("trimestre"),
       col("c_mktsegment").as("categoria"),
@@ -140,12 +149,29 @@ object ScanProject {
       m(19).as("quantidade_total_de_clientes_ccs_e_scr"),
       nullEvery(6, m(23)).as("quantidade_de_clientes_ccs"),
       nullEvery(10, m(29)).as("quantidade_de_clientes_scr"))
-    orderAll(AvroCodec.decodeFrame(spark, AvroCodec.encodeFrame(spark, canon)))
+  }
+
+  /** q09b: R6's schema-EVOLUTION facet — the same writer-schema bytes
+    * q09 encodes, decoded with the evolved READER schema
+    * (`Schemas.reclamacoesEvolvedAvsc`) via Avro's standard
+    * writer→reader resolution: `indice` dropped (its bytes are read and
+    * skipped), `origem` added as a null-union defaulting null, `fonte`
+    * added as a required string defaulting "bcb", and the writer's 5
+    * null-unions resolved as before. The oracle is q09's identity
+    * projection minus the dropped field plus the two default literals,
+    * so the DuckDB gate certifies the resolution rules — not just that
+    * decode ran. */
+  val q09bAvroEvolution: Q = (spark, dir) => {
+    import graft.ingest.AvroCodec
+    orderAll(AvroCodec.decodeFrameEvolved(spark,
+      AvroCodec.encodeFrame(spark, reclamacoesCanon(spark, dir)),
+      graft.core.Schemas.reclamacoesEvolvedAvsc))
   }
 
   val defs: Map[String, Q] = Map(
     "q01_scan_csv" -> q01ScanCsv,
     "q09_avro_roundtrip" -> q09AvroRoundtrip,
+    "q09b_avro_evolution" -> q09bAvroEvolution,
     "q02_scan_parquet" -> q02ScanParquet,
     "q07_scan_json" -> q07ScanJson,
     "q08_scan_orc" -> q08ScanOrc,
@@ -180,6 +206,32 @@ object ScanProject {
         |  5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST, 8 NULLS FIRST,
         |  9 NULLS FIRST, 10 NULLS FIRST, 11 NULLS FIRST, 12 NULLS FIRST,
         |  13 NULLS FIRST, 14 NULLS FIRST""".stripMargin,
+    "q09b_avro_evolution" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS ano,
+        |  CAST(c_custkey % 4 + 1 AS VARCHAR) AS trimestre,
+        |  c_mktsegment AS categoria,
+        |  c_name AS tipo,
+        |  CASE WHEN c_custkey % 5 = 0 THEN NULL
+        |       ELSE CAST(c_custkey * 100 + c_nationkey AS VARCHAR) END AS cnpj_if,
+        |  c_name || '#' || c_mktsegment AS instituicao_financeira,
+        |  CAST(c_custkey % 7 AS VARCHAR) AS quantidade_de_reclamacoes_reguladas_procedentes,
+        |  CASE WHEN c_custkey % 3 = 0 THEN NULL
+        |       ELSE CAST(c_custkey % 11 AS VARCHAR) END AS quantidade_de_reclamacoes_reguladas_outras,
+        |  CASE WHEN c_custkey % 4 = 0 THEN NULL
+        |       ELSE CAST(c_custkey % 13 AS VARCHAR) END AS quantidade_de_reclamacoes_nao_reguladas,
+        |  CAST(c_custkey % 17 AS VARCHAR) AS quantidade_total_de_reclamacoes,
+        |  CAST(c_custkey % 19 AS VARCHAR) AS quantidade_total_de_clientes_ccs_e_scr,
+        |  CASE WHEN c_custkey % 6 = 0 THEN NULL
+        |       ELSE CAST(c_custkey % 23 AS VARCHAR) END AS quantidade_de_clientes_ccs,
+        |  CASE WHEN c_custkey % 10 = 0 THEN NULL
+        |       ELSE CAST(c_custkey % 29 AS VARCHAR) END AS quantidade_de_clientes_scr,
+        |  CAST(NULL AS VARCHAR) AS origem,
+        |  'bcb' AS fonte
+        |FROM customer
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+        |  5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST, 8 NULLS FIRST,
+        |  9 NULLS FIRST, 10 NULLS FIRST, 11 NULLS FIRST, 12 NULLS FIRST,
+        |  13 NULLS FIRST, 14 NULLS FIRST, 15 NULLS FIRST""".stripMargin,
     "q01_scan_csv" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus
         |FROM lineitem
