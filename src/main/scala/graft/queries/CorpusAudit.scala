@@ -380,7 +380,15 @@ object CorpusAudit {
     * source. The eval-shingle collect is benchmark-bounded by q103's
     * contract. FULLY ORACLED: composes the five parents' oracle CTEs
     * (string shingles for decon — q88's membership-invariance
-    * argument). */
+    * argument). Collision caveat, stated explicitly (round-13 advice):
+    * keep_rep's distinct-gram counts and keep_d's shingle probe use
+    * xxhash64 fingerprints where the oracle counts string forms, and
+    * the funnel CONJOINS five gates — so q162's oracle-exactness
+    * inherits the collision assumption of ALL five parents
+    * simultaneously (a single 64-bit collision in any stage breaks
+    * this row while each parent tolerates it independently). Same
+    * ~2e-11-per-corpus arithmetic as q64/q88/q103; accepted under the
+    * established convention. */
   val q162GateFunnel: Q = (spark, dir) => {
     val n = LlmOps.geom.deconShingleN
     val k = graft.streaming.QiGate.kDial
@@ -487,8 +495,19 @@ object CorpusAudit {
           (col("n_packs") * l).as("capacity"),
           col("overflow_packs"), col("overflow_tokens"),
           col("slack_tokens"),
+          // util_ppm reads in-window mass against CAPACITY — it
+          // saturates at 1e6 whenever no pack underfills, even under
+          // massive overflow (the hand fixture's L=256 row: 1e6 ppm
+          // while 2032 of 2800 tokens overrun), so it must be read
+          // JOINTLY with overflow_tokens (round-13 advice). eff_ppm is
+          // the degradation-aware headline: Σmin(fill,L) / Σmax(fill,L)
+          // = (total−overflow)/(capacity+overflow) — 1e6 only when
+          // every pack is exactly full, degrading with overflow AND
+          // slack alike.
           expr(TokenStats.ppmSql("(total_tokens - overflow_tokens)",
             s"(n_packs * $l)")).as("util_ppm"),
+          expr(TokenStats.ppmSql("(total_tokens - overflow_tokens)",
+            s"(n_packs * $l + overflow_tokens)")).as("eff_ppm"),
           col("max_fill"), col("min_fill"))
     }.reduce(_ unionByName _)
     stats
@@ -715,11 +734,12 @@ object CorpusAudit {
         |  4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST,
         |  8 NULLS FIRST""").stripMargin,
     "q160_anonymity_audit" ->
-      // QiGate's class grouping (n_chars // 100 = Spark's `div` on
-      // non-negative lengths), the interpolated ladder, the q157 ppm
-      // split-multiplier spelling
+      // QiGate's class grouping (n_chars // BandWidth = Spark's `div`
+      // on non-negative lengths; interpolated so the band width has ONE
+      // spelling — round-13 advice), the interpolated ladder, the q157
+      // ppm split-multiplier spelling
       s"""WITH cls AS (
-        |  SELECT lang, source, n_chars // 100 AS len_band,
+        |  SELECT lang, source, n_chars // ${graft.streaming.QiGate.BandWidth} AS len_band,
         |    CAST(count(*) AS BIGINT) AS class_size
         |  FROM documents GROUP BY 1, 2, 3),
         |b AS (SELECT CAST(unnest([${AnonymityKs.mkString(", ")}]) AS BIGINT)
@@ -743,19 +763,23 @@ object CorpusAudit {
         |  4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST,
         |  8 NULLS FIRST""".stripMargin,
     "q161_anonymity_gate" ->
-      // the same class grouping joined back per document; the k dial is
-      // interpolated so engine and oracle read the same env
+      // the same class grouping joined back per document; the k dial
+      // AND the band width are interpolated so engine and oracle read
+      // the same constants (round-13 advice: a hardcoded `// 100` here
+      // would silently drift if QiGate.BandWidth ever moved while
+      // q160/q162's interpolated spellings stayed pinned)
       s"""WITH cls AS (
-        |  SELECT lang, source, n_chars // 100 AS len_band,
+        |  SELECT lang, source, n_chars // ${graft.streaming.QiGate.BandWidth} AS len_band,
         |    CAST(count(*) AS BIGINT) AS class_size
         |  FROM documents GROUP BY 1, 2, 3)
-        |SELECT d.doc_id, d.lang, d.source, d.n_chars // 100 AS len_band,
+        |SELECT d.doc_id, d.lang, d.source,
+        |  d.n_chars // ${graft.streaming.QiGate.BandWidth} AS len_band,
         |  coalesce(c.class_size, 0) AS class_size,
         |  coalesce(c.class_size, 0) >= ${graft.streaming.QiGate.kDial}
         |    AS admit
         |FROM documents d
         |LEFT JOIN cls c ON c.lang = d.lang AND c.source = d.source
-        |  AND c.len_band = d.n_chars // 100
+        |  AND c.len_band = d.n_chars // ${graft.streaming.QiGate.BandWidth}
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
         |  4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""".stripMargin,
     "q162_gate_funnel" -> {
@@ -892,11 +916,13 @@ object CorpusAudit {
         |  overflow_packs, overflow_tokens, slack_tokens,
         |  CAST(${ppmDuckSql("(total_tokens - overflow_tokens)", "(n_packs * ctx_len)")}
         |    AS BIGINT) AS util_ppm,
+        |  CAST(${ppmDuckSql("(total_tokens - overflow_tokens)", "(n_packs * ctx_len + overflow_tokens)")}
+        |    AS BIGINT) AS eff_ppm,
         |  max_fill, min_fill
         |FROM a
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
         |  4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST,
-        |  8 NULLS FIRST, 9 NULLS FIRST, 10 NULLS FIRST""".stripMargin,
+        |  8 NULLS FIRST, 9 NULLS FIRST, 10 NULLS FIRST, 11 NULLS FIRST""".stripMargin,
     "q164_pii_prevalence" ->
       // q79's plant and RE2-identical patterns (interpolated from the
       // PiiScrubber constants so report and scrub cannot drift), rolled

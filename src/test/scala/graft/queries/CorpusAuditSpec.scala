@@ -160,16 +160,27 @@ class CorpusAuditSpec extends SparkSpec {
     val got = CorpusAudit.packEfficiency(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
-        r.getLong(8), r.getLong(9)))
+        r.getLong(8), r.getLong(9), r.getLong(10)))
       .sortBy(_._1).toSeq
     // (ctx, n_packs, total, capacity, ovf_packs, ovf_toks, slack,
-    //  util_ppm, max, min) — util = (total - ovf) * 1e6 / capacity
+    //  util_ppm, eff_ppm, max, min) — util = (total - ovf) * 1e6 /
+    // capacity; eff = (total - ovf) * 1e6 / (capacity + ovf). This
+    // fixture IS the round-13 advice case: util saturates at 1e6 on
+    // every row (no pack underfills) while 2032/2800 tokens overflow
+    // at L=256 — eff is the column that degrades (274285 ppm there)
     assert(got == Seq(
-      (256L, 3L, 2800L, 768L, 3L, 2032L, 0L, 1000000L, 2200L, 300L),
-      (512L, 2L, 2800L, 1024L, 2L, 1776L, 0L, 1000000L, 2200L, 600L),
-      (1024L, 1L, 2800L, 1024L, 1L, 1776L, 0L, 1000000L, 2800L, 2800L),
-      (2048L, 1L, 2800L, 2048L, 1L, 752L, 0L, 1000000L, 2800L, 2800L)),
+      (256L, 3L, 2800L, 768L, 3L, 2032L, 0L, 1000000L, 274285L, 2200L, 300L),
+      (512L, 2L, 2800L, 1024L, 2L, 1776L, 0L, 1000000L, 365714L, 2200L, 600L),
+      (1024L, 1L, 2800L, 1024L, 1L, 1776L, 0L, 1000000L, 365714L, 2800L, 2800L),
+      (2048L, 1L, 2800L, 2048L, 1L, 752L, 0L, 1000000L, 731428L, 2800L, 2800L)),
       s"pack ladder diverged:\n${got.mkString("\n")}")
+    // eff_ppm saturates ONLY at perfect packing: every pack exactly full
+    val perfect = Seq((1L, "s", text(256)), (2L, "s", text(256)))
+      .toDF("doc_id", "source", "text")
+    val eff256 = CorpusAudit.packEfficiency(perfect).collect()
+      .map(r => (r.getLong(0), r.getLong(8))).toMap
+    assert(eff256(256L) == 1000000L,
+      s"perfectly packed L=256 should read 1e6 eff_ppm, got ${eff256(256L)}")
     // the floor-nesting identity on a messier corpus: hierarchical
     // rollup ≡ the naive per-L grouping, for every ladder level
     val docs2 = (1L to 40L).map(i =>
