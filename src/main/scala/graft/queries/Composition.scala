@@ -695,8 +695,82 @@ object Composition {
         knuthMix(col("doc_id")).as("prio")))
   }
 
+  /** RRF's rank-damping constant — k = 60, the value the method's
+    * defining paper fixes and every production fusion defaults to
+    * (Cormack/Clarke/Büttcher, SIGIR 2009: reciprocal rank fusion
+    * outperforms learned fusion; k=60 chosen there and never
+    * re-tuned since). Interpolated into the oracle. */
+  private[graft] val RrfK: Long = 60L
+
+  /** The two retrieval arms q171 fuses, each materialized ONCE per
+    * (JVM, corpus build) — the [[LlmOps.LabelTable]] posture applied to
+    * the RETRIEVAL indexes: production hybrid search serves from
+    * prebuilt lexical and vector indexes and pays only lookup + fusion
+    * per query; rebuilding both arms inside every fusion call is the
+    * recompute-always posture (`GRAFT_LABEL_MEMO=0` restores it — one
+    * dial, as everywhere). q134/q82 themselves NEVER read these memos:
+    * the arm builds are their declared benchmarks (the q68/q144/q88
+    * division of labor). Rank tables are panel-bounded (queries × k
+    * rows of ids + INT ranks), so the parquet round-trip is exact. */
+  private[graft] object SparseRankTable {
+    private val tbl = new LlmOps.MaterializedTable("bm25ranks",
+      (s, d) => q134Bm25Retrieval(s, d)
+        .select(col("query_id"), col("doc_id"), col("rk")))
+    def of(spark: SparkSession, dir: String): DataFrame = tbl.of(spark, dir)
+  }
+  private[graft] object DenseRankTable {
+    private val tbl = new LlmOps.MaterializedTable("densetopk",
+      (s, d) => LlmOps.q82SimilarityTopk(s, d)
+        .select(col("qid"), col("nid"), col("rnk")))
+    def of(spark: SparkSession, dir: String): DataFrame = tbl.of(spark, dir)
+  }
+
+  /** q171 [EXT]: hybrid-retrieval fusion — Reciprocal Rank Fusion over
+    * the surface's two retrieval modalities, the standard RAG
+    * composition (lexical BM25 + dense cosine, fused by rank): for each
+    * of q134's 5 queries, the union of the sparse arm's top-10 (q134's
+    * EXACT ranks) and the dense arm's top-5 for the same query id
+    * (q82's EXACT ranks — vec_id ≡ doc_id in the corpus, the embedding
+    * companion), scored rrf_e9 = Σ_arms (10⁹ div (k + rank)) with
+    * [[RrfK]] k = 60, absent arms contributing 0, and re-ranked by
+    * (rrf_e9 DESC, doc_id ASC). Exactness: each term is one BIGINT
+    * floor division, the sum is a two-term integer add — no floats
+    * anywhere, so the fused ordering is hash-stable on both engines.
+    *
+    * 100 TB: both arms read their materialized rank tables
+    * ([[SparseRankTable]]/[[DenseRankTable]] — panel-bounded artifacts,
+    * built once per corpus build by the arm queries' own plans, whose
+    * scale stories are q134's/q82's); the fusion itself is one
+    * full-outer equi join of two (queries × k)-row frames plus a
+    * per-query window over ≤ 15 rows — adding an arm or a query costs
+    * rank-table work, never a corpus pass. FULLY ORACLED: q134's and
+    * q82's oracle CTE chains composed verbatim, same full-outer join,
+    * same integer RRF arithmetic. */
+  val q171HybridRrf: Q = (spark, dir) => {
+    val sparse = SparseRankTable.of(spark, dir)
+      .select(col("query_id"), col("doc_id"), col("rk").as("rank_sparse"))
+    val dense = DenseRankTable.of(spark, dir)
+      .filter(col("qid") < 5)
+      .select(col("qid").cast("int").as("query_id"),
+        col("nid").as("doc_id"), col("rnk").as("rank_dense"))
+    // FULL outer: a doc ranked by only one arm still fuses (with the
+    // other term 0) — dropping it would make RRF an intersection,
+    // which is not the method
+    val fused = sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_e9",
+        coalesce(expr(s"1000000000 div ($RrfK + rank_sparse)"), lit(0L)) +
+          coalesce(expr(s"1000000000 div ($RrfK + rank_dense)"), lit(0L)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_e9").desc, col("doc_id").asc)
+    orderAll(fused
+      .withColumn("fused_rank", row_number().over(w))
+      .select(col("query_id"), col("fused_rank"), col("doc_id"),
+        col("rank_sparse"), col("rank_dense"), col("rrf_e9")))
+  }
+
   val defs: Map[String, Q] = Map(
     "q134_bm25_retrieval" -> q134Bm25Retrieval,
+    "q171_hybrid_rrf" -> q171HybridRrf,
     "q135_source_overlap" -> q135SourceOverlap,
     "q136_importance_resample" -> q136ImportanceResample,
     "q137_minwise_panel" -> q137MinwisePanel,
@@ -714,40 +788,37 @@ object Composition {
 
   val oracles: Map[String, String] = Map(
     "q134_bm25_retrieval" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS dl,
-        |    t.term
-        |  FROM documents,
-        |    unnest(string_split(coalesce(text, ''), ' ')) AS t(term)),
-        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
-        |       FROM toks GROUP BY 1, 2, 3),
-        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-        |ranked AS (SELECT term, df,
-        |    CAST(row_number() OVER (ORDER BY df DESC, term ASC) AS INT) AS trk
-        |  FROM dfreq),
-        |qterms AS (SELECT CAST((trk - 4) // 3 AS INT) AS query_id, term, df
-        |           FROM ranked WHERE trk BETWEEN 4 AND 18),
-        |gl AS (SELECT CAST(count(*) AS BIGINT) AS nn,
-        |    CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS BIGINT) AS tt
-        |  FROM documents),
-        |scored AS (
-        |  SELECT query_id, doc_id, CAST(count(*) AS INT) AS n_hit,
-        |    CAST(sum(CAST(floor(1000000.0 * (
-        |      ((2.0 * nn - 2.0 * df + 1.0) / (2.0 * df + 1.0)) *
-        |      ((22.0 * tf * tt) /
-        |       (10.0 * tf * tt + 3.0 * tt + 9.0 * dl * nn)))) AS BIGINT))
-        |      AS BIGINT) AS score_fp
-        |  FROM tf JOIN qterms USING (term) CROSS JOIN gl
-        |  GROUP BY 1, 2),
-        |top AS (SELECT query_id,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY score_fp DESC, doc_id ASC) AS INT) AS rk,
-        |    doc_id, n_hit, score_fp
-        |  FROM scored)
+      s"""WITH ${OracleCtes.bm25Top}
         |SELECT query_id, rk, doc_id, n_hit, score_fp FROM top WHERE rk <= 10
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
         |  5 NULLS FIRST""".stripMargin,
+    "q171_hybrid_rrf" ->
+      // q134's and q82's oracle chains verbatim (OracleCtes — one
+      // spelling per arm), full-outer fused by (query_id, doc_id),
+      // integer RRF terms, re-ranked (rrf DESC, doc_id ASC)
+      s"""WITH ${OracleCtes.bm25Top},
+        |${OracleCtes.denseTopk},
+        |sp AS (SELECT query_id, doc_id, rk AS rank_sparse
+        |       FROM top WHERE rk <= 10),
+        |dn AS (SELECT CAST(qid AS INT) AS query_id, nid AS doc_id,
+        |         rnk AS rank_dense
+        |       FROM r WHERE rnk <= 5 AND qid < 5),
+        |fused AS (
+        |  SELECT coalesce(s.query_id, d.query_id) AS query_id,
+        |    coalesce(s.doc_id, d.doc_id) AS doc_id,
+        |    s.rank_sparse, d.rank_dense,
+        |    CAST(coalesce(1000000000 // ($RrfK + s.rank_sparse), 0)
+        |       + coalesce(1000000000 // ($RrfK + d.rank_dense), 0)
+        |      AS BIGINT) AS rrf_e9
+        |  FROM sp s FULL OUTER JOIN dn d
+        |    ON s.query_id = d.query_id AND s.doc_id = d.doc_id)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_e9 DESC, doc_id ASC) AS INT) AS fused_rank,
+        |  doc_id, rank_sparse, rank_dense, rrf_e9
+        |FROM fused
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+        |  4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""".stripMargin,
     "q135_source_overlap" -> {
       val n = OverlapShingleN
       s"""WITH sp AS (SELECT source, string_split(text, ' ') AS toks FROM documents),

@@ -2924,16 +2924,8 @@ object LlmOps {
         |FROM dd GROUP BY lower(trim(text))
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "q82_similarity_topk" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |p AS (
-        |  SELECT q.vec_id AS qid, c.vec_id AS nid,
-        |    round(list_dot_product(q.e, c.e) /
-        |      (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 6) AS cos6
-        |  FROM v q JOIN v c ON c.vec_id != q.vec_id
-        |  WHERE q.vec_id < 10),
-        |r AS (SELECT qid, nid, cos6,
-        |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid ASC) AS INT) AS rnk
-        |      FROM p)
+      // chain shared with q171's dense arm via OracleCtes (one spelling)
+      s"""WITH ${OracleCtes.denseTopk}
         |SELECT qid, rnk, nid, cos6 FROM r WHERE rnk <= 5
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
     "q83_text_stats" ->

@@ -19,6 +19,53 @@ class CompositionSpec extends SparkSpec {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$dir/documents.parquet")
 
+  // ---- q171 hybrid RRF ---------------------------------------------------
+
+  test("q171: fused rows are exactly the union of the two arms, rrf terms are the integer formula, ranks re-derive") {
+    // self-consistency against the PARENTS on the real fixture: every
+    // (query, doc) of q134's top-10 and q82's qid<5 top-5 appears
+    // exactly once, rank columns echo the parents' ranks, rrf_e9 is
+    // the exact two-term integer sum, and fused_rank is the
+    // (rrf DESC, doc_id ASC) ordering — the DuckDB oracle re-derives
+    // the same from its own chains, this pins engine-internal wiring
+    val sparse = Composition.q134Bm25Retrieval(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(2)) -> r.getInt(1)).toMap
+    val dense = LlmOps.q82SimilarityTopk(spark, sf).collect()
+      .filter(_.getLong(0) < 5)
+      .map(r => (r.getLong(0).toInt, r.getLong(2)) -> r.getInt(1)).toMap
+    val fused = Composition.q171HybridRrf(spark, sf).collect()
+      .map(r => ((r.getInt(0), r.getLong(2)),
+        (r.getInt(1),
+          if (r.isNullAt(3)) None else Some(r.getInt(3)),
+          if (r.isNullAt(4)) None else Some(r.getInt(4)),
+          r.getLong(5))))
+    assert(fused.map(_._1).toSet == sparse.keySet ++ dense.keySet,
+      "fused key set is not the union of the arms")
+    assert(fused.length == fused.map(_._1).toSet.size, "duplicate fused rows")
+    fused.foreach { case (key, (_, rs, rd, rrf)) =>
+      assert(rs == sparse.get(key), s"$key sparse rank mismatch")
+      assert(rd == dense.get(key), s"$key dense rank mismatch")
+      val expect = rs.map(r => 1000000000L / (60L + r)).getOrElse(0L) +
+        rd.map(r => 1000000000L / (60L + r)).getOrElse(0L)
+      assert(rrf == expect, s"$key rrf $rrf != $expect")
+    }
+    // fused_rank: contiguous from 1 per query, ordered by (rrf DESC, doc ASC)
+    fused.groupBy(_._1._1).foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_._2._1)
+      assert(byRank.map(_._2._1).toSeq == (1 to rows.length),
+        s"query $q fused_rank not contiguous")
+      val resorted = rows.sortBy { case ((_, doc), (_, _, _, rrf)) => (-rrf, doc) }
+      assert(resorted.map(_._2._1).toSeq == (1 to rows.length),
+        s"query $q fused_rank disagrees with (rrf DESC, doc ASC)")
+    }
+    // both single-arm classes must exist or the full-outer contract is
+    // untested at this SF
+    assert(fused.exists(f => f._2._2.isEmpty && f._2._3.isDefined),
+      "no dense-only docs — fixture makes the outer join vacuous")
+    assert(fused.exists(f => f._2._2.isDefined && f._2._3.isEmpty),
+      "no sparse-only docs — fixture makes the outer join vacuous")
+  }
+
   // ---- q134 BM25 -------------------------------------------------------
 
   /** 21 docs engineered so the df ranking is fully known: c1..c3 are in
