@@ -334,6 +334,73 @@ class LlmOpsSpec extends SparkSpec {
     assert(planted > 350, s"recovered only $planted/500 planted simhash pairs")
   }
 
+  test("q89: engine output is row-identical to a driver-side JVM mirror of the whole pipeline") {
+    // q89 is the surface's one no-oracle dedup op (tools/Q89Probe
+    // documents why no DuckDB oracle can exist: simhash banding has no
+    // recall-1 similarity threshold to verify against). This mirror is
+    // the s86–s94 recipe instead: recompute the ENTIRE result —
+    // plant → split → 3-shingle xxhash64 → distinct → majority-vote
+    // simhash → 4×16-bit bands → occupancy cap → pairs → hamming ≤ 6 —
+    // in plain driver-side Scala (the one shared primitive is
+    // Catalyst's XxHash64, evaluated directly like the oracle shares
+    // DuckDB's string ops) and pin row-identity, not just recall.
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    def xx3(a: String, b: String, c: String): Long =
+      XxHash64(Seq(a, b, c).map(s =>
+        Literal(UTF8String.fromString(s), StringType)), 42L)
+        .eval(null).asInstanceOf[Long]
+    def simhash(sh: Iterable[Long]): Long = {
+      val votes = Array.fill(64)(0)
+      sh.foreach { v =>
+        var b = 0
+        while (b < 64) {
+          if (((v >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      (0 until 64).foldLeft(0L)((acc, b) =>
+        if (votes(b) > 0) acc | (1L << b) else acc)
+    }
+    val g = LlmOps.geom
+    val mask = (1L << g.simhashBandBits) - 1
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // docsWithNearDups: union of the corpus and its id+1e6 copy with
+    // the last token dropped (Spark split keeps trailing empties: -1)
+    val universe = docs ++ docs.map { case (id, t) =>
+      (id + 1000000L, t.split(" ", -1).dropRight(1).mkString(" "))
+    }
+    val sketches = universe.flatMap { case (id, t) =>
+      val toks = t.split(" ", -1)
+      if (toks.length < 3) None
+      else Some(id -> simhash(
+        toks.sliding(3).map(w => xx3(w(0), w(1), w(2))).toSet))
+    }.toMap
+    val bands = sketches.toSeq.flatMap { case (id, h) =>
+      (0 until g.simhashBands).map(k =>
+        s"$k:${(h >> (k * g.simhashBandBits)) & mask}" -> id)
+    }
+    val expected = bands.groupBy(_._1).valuesIterator
+      .filter(_.size <= g.bandOccupancyCap)
+      .flatMap { members =>
+        val ids = members.map(_._2)
+        for (a <- ids; b <- ids if a < b) yield (a, b)
+      }
+      .toSet
+      .map { p: (Long, Long) =>
+        (p._1, p._2, java.lang.Long.bitCount(sketches(p._1) ^ sketches(p._2)))
+      }
+      .filter(_._3 <= 6)
+    val got = LlmOps.q89DedupSimhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected,
+      s"engine ${got.size} rows vs mirror ${expected.size}: " +
+        s"engine-only=${(got -- expected).take(3)} mirror-only=${(expected -- got).take(3)}")
+  }
+
   test("q91 bucketed ANN agrees with the q82 brute-force baseline and recovers its top-3") {
     val brute = LlmOps.q82SimilarityTopk(spark, sf).collect()
     // every (qid, nid) the bucketed path returns must score identically
