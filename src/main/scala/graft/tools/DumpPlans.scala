@@ -32,7 +32,7 @@ object DumpPlans {
       "q67_tfidf_terms" -> "cached tf served to df-agg and join (InMemoryTableScan), map-side WindowGroupLimit top-k",
       "q38_join_bucketed" -> "q10's join over bucketed tables: no hash-partition Exchange (bucket-co-located scans; broadcast disabled to show the large×large shape)",
       "q82_similarity_topk" -> "broadcast query set + codegen'd cosine kernel",
-      "q88_dedup_ngram" -> "df-capped shingle index: cached intermediate (InMemoryTableScan), equi pair join",
+      "q88_dedup_ngram" -> "ngram dedup serving plan: the memoized PairTable parquet scan + jacc cut (the fresh df-capped index + equi pair join lives under GRAFT_LABEL_MEMO=0 and ScaleProbe's pair_build_fresh row)",
       "q89_dedup_simhash" -> "native simhash64 kernel + cached sketch, 16-bit band equi join",
       "q92_dedup_embedding" -> "SRP-bucket self equi-join + exact-cosine verify (no cross join)",
       "q69_dedup_substring" -> "single first-shingle probe of the df-capped index; id-only candidates, bodies re-joined by id",
@@ -98,7 +98,8 @@ object DumpPlans {
       "q165_winnow_stats" -> "winnow stats: token codes, gram hashes, and window minima are three row-local HOF folds in the scan's codegen stage — no Generate, no join, no exchange before the dump sort (q139's map-only class)",
       "q166_winnow_overlap" -> "winnow overlap: the inverted index carries only winnowed fingerprints (~2/(w+1) of gram mass — q165 prices it) as 8-byte BIGINTs, df cap bounds bucket occupancy, candidate generation is the fp-keyed bucket self-join — never all-pairs, bodies never shuffled",
       "q167_contrastive_pairs" -> "contrastive pairs: materialized label table, two label-table-sized rank windows (cluster minima, cell minima), broadcast 2-per-cell negative table LEFT-joined (TOTAL over anchors), knuth draws row-local — nothing corpus-sized shuffles",
-      "q169_dedup_sweep" -> "dedup sweep: q88's df-capped index + bucket self-join produce the uncut jacc pair frame (persisted), 7-row ladder broadcast-crossed against PAIRS not corpus, conditional rollups shrink to |ladder| rows",
+      "q169_dedup_sweep" -> "dedup sweep: the memoized PairTable (q88's exact uncut jacc universe) scanned once, 7-row ladder broadcast-crossed against PAIRS not corpus, conditional rollups shrink to |ladder| rows",
+      "q171_hybrid_rrf" -> "hybrid RRF: both arms read materialized rank tables (panel-bounded parquet), full-outer equi join by (query, doc), integer rrf terms row-local, per-query window over <=15 rows — never a corpus pass",
       "q170_quality_sweep" -> "quality sweep: one scan folds score + token count, collapses to the <=101-row percent-bin table, 5-row ladder crosses BINS not corpus, ppm arithmetic row-local BIGINT",
       "q168_ann_recall" -> "ann recall: IVF arm is q100's bucketed chain, ground truth is q82's 10-query broadcast brute-force panel, comparison a panel-sized semi join + rollup — the audit prices the approximate path against exact, per query")
 
