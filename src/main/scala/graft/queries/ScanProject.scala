@@ -127,7 +127,7 @@ object ScanProject {
   /** The canonical all-strings reclamações frame q09/q09b encode —
     * factored so the evolution query certifiably encodes the SAME bytes
     * the round-trip does. */
-  private def reclamacoesCanon(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def reclamacoesCanon(spark: SparkSession, dir: String): DataFrame = {
     val c = t(spark, dir, "customer")
     val k = col("c_custkey")
     def m(n: Int) = (k % n).cast(StringType)

@@ -1520,6 +1520,49 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); classes.unpersist() }
   }
 
+  test("s101: evolved-reader Avro decode at ingest, row-identical to the oracled q09b batch") {
+    // the consumer side of a schema change, where it actually bites:
+    // the producer still ships WRITER-schema bytes (s70's value bodies)
+    // while the consumer already reads with the evolved schema —
+    // Avro's writer→reader resolution must hold per record, inside the
+    // micro-batch, with no state (a pure projection, the s95/s97
+    // gate-at-ingest class; AvroCodec.decodeFrameEvolved is the shared
+    // code object q09b's DuckDB oracle certifies). The pin: the exact
+    // q09b canonical frame, encoded once, streamed in three
+    // micro-batches, decodes row-identically to the oracled batch
+    // answer — dropped field skipped, both defaults materialized.
+    val sf = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row): Seq[Option[String]] =
+      (0 until r.length).map(i => Option(r.getString(i)))
+    val batch = graft.SparkEntry.queries("q09b_avro_evolution")(spark, sf)
+      .collect().map(key).toSeq.sorted(
+        Ordering.Implicits.seqOrdering[Seq, Option[String]](
+          Ordering.Option(Ordering.String)))
+    assert(batch.nonEmpty)
+    val encoded = graft.ingest.AvroCodec.encodeFrame(spark,
+      graft.queries.ScanProject.reclamacoesCanon(spark, sf))
+      .collect().map(_.getAs[Array[Byte]]("value"))
+    assert(encoded.length == batch.length)
+    val chunks = encoded.grouped((encoded.length + 2) / 3).toSeq
+    val in = MemoryStream[Array[Byte]](spark)
+    val q = graft.ingest.AvroCodec.decodeFrameEvolved(spark,
+        in.toDF().toDF("value"),
+        graft.core.Schemas.reclamacoesEvolvedAvsc)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("s101_out").start()
+    try {
+      chunks.foreach { c => in.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+      val got = spark.table("s101_out").collect().map(key).toSeq.sorted(
+        Ordering.Implicits.seqOrdering[Seq, Option[String]](
+          Ordering.Option(Ordering.String)))
+      assert(got == batch,
+        s"streamed evolved decode diverged from the oracled q09b batch " +
+          s"(${got.length} vs ${batch.length} rows)")
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "evolved decode must not create a state operator")
+    } finally q.stop()
+  }
+
   test("s94: the minwise panel's CDC stream reconstructs exactly the oracled q137 batch answer") {
     // per-source K-minwise audit sample in transformWithState ListState,
     // emitted as an enter/evict event log (the evict row IS the
