@@ -176,6 +176,31 @@ class CurationSpec extends SparkSpec {
     assert(memo2 == fresh, "second read diverges — the index memo is not stable")
   }
 
+  test("MaterializedTable: racing consumers of one key build the artifact exactly once; hits are served post-race") {
+    // the round-13 advice fix made locking PER KEY via
+    // ConcurrentHashMap.compute — this pins the exactly-once half: four
+    // threads racing on the same (corpus, base) must produce ONE fresh
+    // build (compute serializes same-key racers), and every caller —
+    // racers and a post-race hit — reads the same rows
+    import java.util.concurrent.atomic.AtomicInteger
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val builds = new AtomicInteger(0)
+    val tbl = new LlmOps.MaterializedTable("conctest", (s, _) => {
+      builds.incrementAndGet()
+      s.range(5).toDF("doc_id")
+    })
+    val counts = Await.result(
+      Future.sequence((1 to 4).map(_ =>
+        Future(tbl.of(spark, sf).count()))), 120.seconds)
+    assert(counts.forall(_ == 5L), s"racer read wrong rows: $counts")
+    assert(builds.get == 1,
+      s"${builds.get} fresh builds for one key — compute() must serialize same-key racers")
+    assert(tbl.of(spark, sf).count() == 5L)
+    assert(builds.get == 1, "a post-race hit rebuilt the artifact")
+  }
+
   test("PairTable: the materialized pair universe is row-identical to a fresh ngramPairJaccard run") {
     // q88 (the 0.5 cut) and q169 (the threshold sweep) both read this
     // artifact: the parquet round-trip (BIGINT ids/counts, the
