@@ -719,9 +719,13 @@ object Composition {
     def of(spark: SparkSession, dir: String): DataFrame = tbl.of(spark, dir)
   }
   private[graft] object DenseRankTable {
+    // staleness keys on EMBEDDINGS — the table q82 actually reads; a
+    // documents-keyed fingerprint would serve stale ranks after an
+    // embeddings-only regeneration
     private val tbl = new LlmOps.MaterializedTable("densetopk",
       (s, d) => LlmOps.q82SimilarityTopk(s, d)
-        .select(col("qid"), col("nid"), col("rnk")))
+        .select(col("qid"), col("nid"), col("rnk")),
+      srcTable = "embeddings.parquet")
     def of(spark: SparkSession, dir: String): DataFrame = tbl.of(spark, dir)
   }
 

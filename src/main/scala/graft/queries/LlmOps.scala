@@ -622,7 +622,12 @@ object LlmOps {
     * build; two consumers racing on the SAME key serialize, so the
     * artifact is built once. */
   private[graft] final class MaterializedTable(prefix: String,
-      freshFn: (SparkSession, String) => DataFrame) {
+      freshFn: (SparkSession, String) => DataFrame,
+      // the table whose CONTENT keys staleness — must be the one
+      // freshFn actually reads (a dense-rank artifact keyed on the
+      // documents table would survive an embeddings regeneration and
+      // serve stale ranks)
+      srcTable: String = "documents.parquet") {
     // (corpus dir, base) → (content fingerprint, materialized path)
     private val memo = new java.util.concurrent.ConcurrentHashMap[
       (String, Option[String]), (String, String)]()
@@ -634,7 +639,7 @@ object LlmOps {
         base: Option[String]): DataFrame =
       if (sys.env.get("GRAFT_LABEL_MEMO").contains("0")) freshFn(spark, dir)
       else {
-        val fp = fingerprint(java.nio.file.Paths.get(dir, "documents.parquet"))
+        val fp = fingerprint(java.nio.file.Paths.get(dir, srcTable))
         val key = (dir, base)
         val hit = memo.get(key)
         val path =

@@ -201,6 +201,34 @@ class CurationSpec extends SparkSpec {
     assert(builds.get == 1, "a post-race hit rebuilt the artifact")
   }
 
+  test("MaterializedTable: staleness keys on the declared source table — an embeddings-keyed memo survives a documents rebuild and invalidates on an embeddings rebuild") {
+    // DenseRankTable's defect class: its input is embeddings, so a
+    // documents-keyed fingerprint would serve STALE ranks after an
+    // embeddings-only regeneration (and uselessly rebuild after a
+    // documents-only one)
+    import java.util.concurrent.atomic.AtomicInteger
+    val corpus = tmpDir("graft_srckey_corpus_")
+    def regen(table: String): Unit =
+      spark.read.parquet(s"/root/testdata/sf0.001/$table")
+        .write.mode("overwrite").parquet(s"$corpus/$table")
+    regen("documents.parquet"); regen("embeddings.parquet")
+    val builds = new AtomicInteger(0)
+    val tbl = new LlmOps.MaterializedTable("srckeytest", (s, _) => {
+      builds.incrementAndGet()
+      s.range(3).toDF("vec_id")
+    }, srcTable = "embeddings.parquet")
+    tbl.of(spark, corpus).count()
+    assert(builds.get == 1)
+    regen("documents.parquet") // NOT the source table
+    tbl.of(spark, corpus).count()
+    assert(builds.get == 1,
+      "a documents rebuild invalidated an embeddings-keyed memo")
+    regen("embeddings.parquet") // the source table
+    tbl.of(spark, corpus).count()
+    assert(builds.get == 2,
+      "an embeddings rebuild did NOT invalidate the embeddings-keyed memo")
+  }
+
   test("PairTable: the materialized pair universe is row-identical to a fresh ngramPairJaccard run") {
     // q88 (the 0.5 cut) and q169 (the threshold sweep) both read this
     // artifact: the parquet round-trip (BIGINT ids/counts, the
