@@ -702,6 +702,13 @@ object Composition {
     * re-tuned since). Interpolated into the oracle. */
   private[graft] val RrfK: Long = 60L
 
+  /** q134's panel width — (trk BETWEEN 4 AND 18) div 3 yields query ids
+    * 0..4; q171's dense arm restricts q82's 10-query panel to the same
+    * ids, so the bound has ONE spelling (engine filter + oracle both
+    * interpolate it — a drifted copy would silently fuse arms over
+    * mismatched query sets). */
+  private[graft] val Bm25QueryCount: Int = 5
+
   /** The two retrieval arms q171 fuses, each materialized ONCE per
     * (JVM, corpus build) — the [[LlmOps.LabelTable]] posture applied to
     * the RETRIEVAL indexes: production hybrid search serves from
@@ -754,7 +761,7 @@ object Composition {
     val sparse = SparseRankTable.of(spark, dir)
       .select(col("query_id"), col("doc_id"), col("rk").as("rank_sparse"))
     val dense = DenseRankTable.of(spark, dir)
-      .filter(col("qid") < 5)
+      .filter(col("qid") < Bm25QueryCount)
       .select(col("qid").cast("int").as("query_id"),
         col("nid").as("doc_id"), col("rnk").as("rank_dense"))
     // FULL outer: a doc ranked by only one arm still fuses (with the
@@ -806,7 +813,7 @@ object Composition {
         |       FROM top WHERE rk <= 10),
         |dn AS (SELECT CAST(qid AS INT) AS query_id, nid AS doc_id,
         |         rnk AS rank_dense
-        |       FROM r WHERE rnk <= 5 AND qid < 5),
+        |       FROM r WHERE rnk <= 5 AND qid < $Bm25QueryCount),
         |fused AS (
         |  SELECT coalesce(s.query_id, d.query_id) AS query_id,
         |    coalesce(s.doc_id, d.doc_id) AS doc_id,

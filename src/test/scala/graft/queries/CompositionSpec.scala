@@ -31,7 +31,7 @@ class CompositionSpec extends SparkSpec {
     val sparse = Composition.q134Bm25Retrieval(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(2)) -> r.getInt(1)).toMap
     val dense = LlmOps.q82SimilarityTopk(spark, sf).collect()
-      .filter(_.getLong(0) < 5)
+      .filter(_.getLong(0) < Composition.Bm25QueryCount)
       .map(r => (r.getLong(0).toInt, r.getLong(2)) -> r.getInt(1)).toMap
     val fused = Composition.q171HybridRrf(spark, sf).collect()
       .map(r => ((r.getInt(0), r.getLong(2)),
