@@ -78,6 +78,18 @@ object Bench {
     }
   }
 
+  /** 1-minute load average (Linux /proc/loadavg; -1 elsewhere) —
+    * recorded at run start and end in the history line so a contended
+    * row classifies itself (the round-16 gate-proposal evidence: a run
+    * launched at load 0.10 read 101.9 s because a co-tenant burst
+    * arrived MID-RUN — only the start+end pair shows that). */
+  private def loadAvg1m(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().split("\\s+")(0).toDouble
+      finally src.close()
+    } catch { case scala.util.control.NonFatal(_) => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -101,6 +113,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loadStart = loadAvg1m()
     // Warm-up, untimed: (a) the q01 CSV fixture's one-time write is
     // scaffolding, not query work; (b) session init — codegen/JIT, FS
     // client, first-stage scheduling — otherwise bills ~4-5 s to whatever
@@ -198,7 +211,7 @@ object Bench {
       val cpusJson =
         if (cpus.matches("[0-9]+")) cpus
         else "\"" + cpus.replaceAll("[\"\\\\]", "") + "\""
-      val stamped = s"""{"ts":"${java.time.Instant.now()}","sf":"$sfDir","cpus":$cpusJson,"protocol":"$protocol","label_memo":"$labelMemo","total":$total,"queries":$qs,"reps":$reps}"""
+      val stamped = s"""{"ts":"${java.time.Instant.now()}","sf":"$sfDir","cpus":$cpusJson,"protocol":"$protocol","label_memo":"$labelMemo","load_start":$loadStart,"load_end":${loadAvg1m()},"total":$total,"queries":$qs,"reps":$reps}"""
       java.nio.file.Files.writeString(
         root.resolve("BENCH_HISTORY.jsonl"), stamped + "\n",
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
