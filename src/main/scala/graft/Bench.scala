@@ -184,7 +184,11 @@ object Bench {
     // recompute-always, so cross-round comparisons of those queries are
     // apples-to-oranges without this field (round-12 advice)
     val labelMemo = if (sys.env.get("GRAFT_LABEL_MEMO").contains("0")) "off" else "on"
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol","label_memo":"$labelMemo","queries":$qs,"approx_bounds":$bounds,"sf":"$sfDir"}"""
+    // load fields sit near the END of the line: the driver's artifact
+    // stores a head-truncated stdout tail, so trailing fields are the
+    // ones guaranteed to survive into BENCH_r{N}.json — a contended
+    // official row then classifies itself without the history file
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol","label_memo":"$labelMemo","queries":$qs,"approx_bounds":$bounds,"load_start":$loadStart,"load_end":${loadAvg1m()},"sf":"$sfDir"}"""
     println(line)
     // stdout tail-capture can truncate long runs; the file copy is the
     // durable record (driver picks up either). Both files anchor to the
