@@ -82,13 +82,33 @@ object Bench {
     * recorded at run start and end in the history line so a contended
     * row classifies itself (the round-16 gate-proposal evidence: a run
     * launched at load 0.10 read 101.9 s because a co-tenant burst
-    * arrived MID-RUN — only the start+end pair shows that). */
+    * arrived MID-RUN — only the start+end pair shows that). Caveat:
+    * once the bench is running, its own 32 worker threads contribute,
+    * so load_end is a coarse signal; steal_cpus below is the clean
+    * one. */
   private def loadAvg1m(): Double =
     try {
       val src = scala.io.Source.fromFile("/proc/loadavg")
       try src.getLines().next().split("\\s+")(0).toDouble
       finally src.close()
     } catch { case scala.util.control.NonFatal(_) => -1.0 }
+
+  /** Cumulative steal jiffies (field 8 of /proc/stat's aggregate cpu
+    * line; -1 if unreadable). Steal is hypervisor time taken FROM this
+    * guest — the co-tenant signal the bench's own threads cannot
+    * inflate (prior rounds measured contention bursts at ≈1.8 stolen
+    * CPUs by exactly this counter). The record carries
+    * steal_cpus = Δsteal/USER_HZ/elapsed — average CPUs stolen over
+    * the run; ~0 on a clean window regardless of the bench's own
+    * load. */
+  private def stealJiffies(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+")
+        if (f.length > 8 && f(0) == "cpu") f(8).toLong else -1L
+      } finally src.close()
+    } catch { case scala.util.control.NonFatal(_) => -1L }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -114,6 +134,8 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val loadStart = loadAvg1m()
+    val stealStart = stealJiffies()
+    val wallStart = System.nanoTime()
     // Warm-up, untimed: (a) the q01 CSV fixture's one-time write is
     // scaffolding, not query work; (b) session init — codegen/JIT, FS
     // client, first-stage scheduling — otherwise bills ~4-5 s to whatever
@@ -184,11 +206,19 @@ object Bench {
     // recompute-always, so cross-round comparisons of those queries are
     // apples-to-oranges without this field (round-12 advice)
     val labelMemo = if (sys.env.get("GRAFT_LABEL_MEMO").contains("0")) "off" else "on"
-    // load fields sit near the END of the line: the driver's artifact
-    // stores a head-truncated stdout tail, so trailing fields are the
-    // ones guaranteed to survive into BENCH_r{N}.json — a contended
-    // official row then classifies itself without the history file
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol","label_memo":"$labelMemo","queries":$qs,"approx_bounds":$bounds,"load_start":$loadStart,"load_end":${loadAvg1m()},"sf":"$sfDir"}"""
+    // contention fields sit near the END of the line: the driver's
+    // artifact stores a head-truncated stdout tail, so trailing fields
+    // are the ones guaranteed to survive into BENCH_r{N}.json — a
+    // contended official row then classifies itself without the
+    // history file
+    val stealCpus: Double = {
+      val s2 = stealJiffies()
+      val elapsed = (System.nanoTime() - wallStart) / 1e9
+      if (stealStart < 0 || s2 < 0 || elapsed <= 0) -1.0
+      // USER_HZ is 100 by kernel ABI for /proc fields
+      else math.round(((s2 - stealStart) / 100.0 / elapsed) * 1000) / 1000.0
+    }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol","label_memo":"$labelMemo","queries":$qs,"approx_bounds":$bounds,"load_start":$loadStart,"load_end":${loadAvg1m()},"steal_cpus":$stealCpus,"sf":"$sfDir"}"""
     println(line)
     // stdout tail-capture can truncate long runs; the file copy is the
     // durable record (driver picks up either). Both files anchor to the
@@ -215,7 +245,7 @@ object Bench {
       val cpusJson =
         if (cpus.matches("[0-9]+")) cpus
         else "\"" + cpus.replaceAll("[\"\\\\]", "") + "\""
-      val stamped = s"""{"ts":"${java.time.Instant.now()}","sf":"$sfDir","cpus":$cpusJson,"protocol":"$protocol","label_memo":"$labelMemo","load_start":$loadStart,"load_end":${loadAvg1m()},"total":$total,"queries":$qs,"reps":$reps}"""
+      val stamped = s"""{"ts":"${java.time.Instant.now()}","sf":"$sfDir","cpus":$cpusJson,"protocol":"$protocol","label_memo":"$labelMemo","load_start":$loadStart,"load_end":${loadAvg1m()},"steal_cpus":$stealCpus,"total":$total,"queries":$qs,"reps":$reps}"""
       java.nio.file.Files.writeString(
         root.resolve("BENCH_HISTORY.jsonl"), stamped + "\n",
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
