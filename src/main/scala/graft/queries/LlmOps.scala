@@ -1199,12 +1199,12 @@ object LlmOps {
     * The guarantee: any shared token run of length ≥ w + k − 1 SHARES
     * at least one selected fingerprint — a detection floor q88's
     * whole-index Jaccard pays ~(w+1)/2× more index mass to beat. */
-  private[queries] def winnowK: Int = {
+  private[graft] def winnowK: Int = {
     val k = sys.env.getOrElse("GRAFT_WINNOW_K", "4").toInt
     require(k >= 2, s"GRAFT_WINNOW_K=$k — a gram under 2 tokens is a typo")
     k
   }
-  private[queries] def winnowW: Int = {
+  private[graft] def winnowW: Int = {
     val w = sys.env.getOrElse("GRAFT_WINNOW_W", "4").toInt
     require(w >= 1, s"GRAFT_WINNOW_W=$w — the window must be at least 1")
     w
@@ -1222,7 +1222,7 @@ object LlmOps {
     * reason a library hash like xxhash64 can't be used here) while
     * pricing a false gram merge at a simultaneous 4-way collision.
     * Empty tokens code to 0 in both spellings. */
-  private[queries] def winnowTokenCode(tk: Column): Column =
+  private[graft] def winnowTokenCode(tk: Column): Column =
     when(length(tk) === 0, lit(0L)).otherwise(
       (length(tk) * 17 + ascii(substring(tk, 1, 1))
         + lit(257L) * ascii(tk.substr(length(tk), lit(1)))
@@ -1245,7 +1245,7 @@ object LlmOps {
     * is irrelevant for the VALUE set (ties select the same value), so
     * the set is total-order-free and oracle-exact. Pure row-local HOF
     * folds — O(n·(k+w)) per doc, no shuffle. */
-  private[queries] def gramHashes(codes: Column, k: Int): Column =
+  private[graft] def gramHashes(codes: Column, k: Int): Column =
     // guarded: sequence(1, n <= 0) DESCENDS (q64's gotcha) and the
     // descending indices land element_at out of bounds
     when(size(codes) >= k,
@@ -1264,7 +1264,7 @@ object LlmOps {
     * (sequence(1, n<=0) DESCENDS — q64's gotcha) and selects the empty
     * set; with 1 <= n_grams < w the single truncated window selects
     * the global min (slice truncates at the array edge). */
-  private[queries] def winnowSelect(grams: Column, w: Int): Column =
+  private[graft] def winnowSelect(grams: Column, w: Int): Column =
     when(size(grams) >= 1,
       array_distinct(transform(
         sequence(lit(1), greatest(size(grams) - (w - 1), lit(1))),
@@ -1305,24 +1305,13 @@ object LlmOps {
     * stage; no Generate, no join, no exchange before the dump sort
     * (q139's class). FULLY ORACLED: the hash arithmetic is the
     * portable 4-probe spelling ([[winnowTokenCode]]), so DuckDB
-    * selects the IDENTICAL fingerprint sets. */
-  val q165WinnowStats: Q = (spark, dir) => {
-    val (k, w) = (winnowK, winnowW)
-    val d = t(spark, dir, "documents")
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("codes",
-        transform(col("toks"), tk => winnowTokenCode(tk)))
-      .withColumn("grams", gramHashes(col("codes"), k))
-    val nGrams = size(col("grams"))
-    val scored = d
-      .withColumn("fps", winnowSelect(col("grams"), w))
-      .select(col("doc_id"), nGrams.cast("long").as("n_grams"),
-        size(col("fps")).cast("long").as("n_selected"))
-    orderAll(scored.select(col("doc_id"), col("n_grams"), col("n_selected"),
-      when(col("n_grams") > 0,
-        expr(TokenStats.ppmSql("n_selected", "n_grams")))
-        .otherwise(lit(0L)).as("density_ppm")))
-  }
+    * selects the IDENTICAL fingerprint sets. The frame itself is the
+    * shared batch/stream code object
+    * [[graft.streaming.WinnowFingerprinter]] (s102 streams it
+    * row-identically at ingest), so this oracle certifies the stream. */
+  val q165WinnowStats: Q = (spark, dir) =>
+    orderAll(graft.streaming.WinnowFingerprinter.stats(
+      t(spark, dir, "documents"), winnowK, winnowW))
 
   /** q166 [EXT]: winnowing overlap — partial-copy detection with a
     * GUARANTEE: any two documents sharing a token run of length ≥
@@ -1346,13 +1335,13 @@ object LlmOps {
     * pair counts match by construction. */
   val q166WinnowOverlap: Q = (spark, dir) => {
     val (k, w) = (winnowK, winnowW)
-    val fps = docsWithNearDups(spark, dir)
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("codes",
-        transform(col("toks"), tk => winnowTokenCode(tk)))
-      .withColumn("grams", gramHashes(col("codes"), k))
-      .select(col("doc_id"),
-        explode(winnowSelect(col("grams"), w)).as("fp"))
+    // the fingerprint sets come from the SAME shared code object the
+    // s102 ingest stream runs (column pruning drops the stats columns),
+    // so the index q166 joins is exactly what ingest-time extraction
+    // would have appended
+    val fps = graft.streaming.WinnowFingerprinter
+      .fingerprints(docsWithNearDups(spark, dir), k, w)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
       .scopedPersist
     val informative = fps.groupBy("fp")
       .agg(count(lit(1)).as("df"))

@@ -383,7 +383,7 @@ object TokenStats {
     * every intermediate is ≤ 1000·t < 2⁶³ for t up to 9.2e15 tokens.
     * DuckDB mirror spelled identically with `//`/`%`. Column names are
     * interpolated (Spark's Column API has no integral divide). */
-  private[queries] def ppmSql(c: String, t: String): String =
+  private[graft] def ppmSql(c: String, t: String): String =
     s"((($c * 1000) div $t) * 1000) + (((($c * 1000) % $t) * 1000) div $t)"
 
   /** q157 [EXT]: vocabulary coverage curve — for each candidate vocab

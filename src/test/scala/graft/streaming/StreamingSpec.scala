@@ -1563,6 +1563,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s102: stateless winnow fingerprinting at ingest, row-identical to the oracled q165 batch") {
+    // the production posture for a winnowed copy-detection index: each
+    // arriving document's MOSS fingerprint set is computed ONCE, at
+    // ingest, and appended to the inverted index — the nightly q166
+    // overlap pass then never re-tokenizes the corpus (s96's learned-
+    // BPE amortization argument). Safe at ingest because it is a pure
+    // projection (graft.streaming.WinnowFingerprinter — the
+    // s82/s85/s95/s97 shared code-object convention; q165 batch-orders
+    // the SAME frame, q166 explodes its fps column): no state store,
+    // no watermark. The pin: the real sf documents fixture streamed in
+    // three micro-batches must produce EXACTLY the DuckDB-oracled q165
+    // batch answer's rows.
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("q165_winnow_stats")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // selection must be REAL somewhere (neither all grams kept nor
+    // none), or the density pin is vacuous
+    assert(batch.exists(t => t._3 > 0 && t._3 < t._2),
+      "no doc with a strict winnow selection — the density pin is vacuous")
+    assert(batch.forall(t => t._3 <= t._2),
+      "selected fingerprints exceed gram count")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(docs.nonEmpty)
+    val chunks = docs.grouped((docs.length + 2) / 3).toSeq
+    val in = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.WinnowFingerprinter.stats(
+        in.toDF().toDF("doc_id", "text"),
+        graft.queries.LlmOps.winnowK, graft.queries.LlmOps.winnowW)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("s102_out").start()
+    try {
+      chunks.foreach { c => in.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+      val got = spark.table("s102_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == batch,
+        s"stream fingerprinting diverged from the oracled batch answer:\n" +
+          s"stream-only=${(got -- batch).take(3)}\nbatch-only=${(batch -- got).take(3)}")
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "winnow fingerprinting must not create a state operator")
+    } finally q.stop()
+    // totality facet through the same code object (row-local, so the
+    // stream equivalence above carries it): empty and sub-k-token docs
+    // report 0/0/0 instead of erroring or dropping
+    val short = graft.streaming.WinnowFingerprinter.stats(
+        Seq((1L, ""), (2L, "a b")).toDF("doc_id", "text"),
+        graft.queries.LlmOps.winnowK, graft.queries.LlmOps.winnowW)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(short == Set((1L, 0L, 0L, 0L), (2L, 0L, 0L, 0L)),
+      s"short-doc totality broke: $short")
+  }
+
   test("s94: the minwise panel's CDC stream reconstructs exactly the oracled q137 batch answer") {
     // per-source K-minwise audit sample in transformWithState ListState,
     // emitted as an enter/evict event log (the evict row IS the
