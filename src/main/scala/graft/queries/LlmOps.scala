@@ -1335,13 +1335,11 @@ object LlmOps {
     * pair counts match by construction. */
   val q166WinnowOverlap: Q = (spark, dir) => {
     val (k, w) = (winnowK, winnowW)
-    // the fingerprint sets come from the SAME shared code object the
-    // s102 ingest stream runs (column pruning drops the stats columns),
-    // so the index q166 joins is exactly what ingest-time extraction
-    // would have appended
+    // the fingerprint rows come from the SAME shared code object the
+    // s102 ingest stream runs, so the index q166 joins is exactly what
+    // ingest-time extraction would have appended
     val fps = graft.streaming.WinnowFingerprinter
-      .fingerprints(docsWithNearDups(spark, dir), k, w)
-      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .fpRows(docsWithNearDups(spark, dir), k, w)
       .scopedPersist
     val informative = fps.groupBy("fp")
       .agg(count(lit(1)).as("df"))
