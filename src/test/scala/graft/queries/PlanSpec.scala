@@ -1220,6 +1220,29 @@ class PlanSpec extends SparkSpec {
       s"winnow candidates degenerated to all-pairs:\n${p.take(2000)}")
   }
 
+  test("winnow building blocks keep the codes transform materialized — no HOF inlining into the gram fold") {
+    // the defect class the q165/q166 exchange pins CANNOT see: pruning +
+    // CollapseProject can inline the per-token codes transform into the
+    // gram fold's element_at probes (and the gram fold into the window
+    // minima), re-running the whole transform per probe in interpreted
+    // eval — measured on this very op when a wide shared frame carried
+    // fps + stats together: q166 went from its 1.4 s floor to minutes
+    // (jstack: Pmod → ArrayTransform → Ascii, 370 s CPU per task). The
+    // healthy plan renders winnowTokenCode's 3 ascii probes exactly
+    // once per frame; any inlining multiplies them.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val (k, w) = (LlmOps.winnowK, LlmOps.winnowW)
+    for ((label, df) <- Seq(
+        "fpRows" -> graft.streaming.WinnowFingerprinter.fpRows(docs, k, w),
+        "stats" -> graft.streaming.WinnowFingerprinter.stats(docs, k, w))) {
+      val p = df.queryExecution.executedPlan.toString
+      val n = "ascii\\(".r.findAllIn(p).size
+      assert(n == 3,
+        s"$label renders the codes transform ${n / 3.0} times — " +
+          s"HOF inlining returned:\n${p.take(2000)}")
+    }
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     // AQE reports WholeStageCodegen spans only in the finalized plan
     val df = graft.SparkEntry.queries("q20_agg_hash")(spark, sf)
