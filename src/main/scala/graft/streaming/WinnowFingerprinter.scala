@@ -41,15 +41,33 @@ import graft.queries.{LlmOps, TokenStats}
   * shares the CHAIN BUILDER, not a wider materialized frame. */
 object WinnowFingerprinter {
 
+  /** Intermediate column names this object claims on the caller's
+    * frame (`withColumn` REPLACES by name, so a caller's same-named
+    * column would be silently clobbered — ADVICE r14; [[stats]]
+    * additionally claims `fps`). Asserted loudly below, since this is
+    * a shared public-ish entry point rather than a query-local chain. */
+  private val Reserved = Seq("toks", "codes", "grams")
+
+  private def requireFree(docs: DataFrame, names: Seq[String]): Unit = {
+    val clash = docs.columns.filter(names.contains)
+    require(clash.isEmpty,
+      s"WinnowFingerprinter reserves intermediate column names " +
+        s"${names.mkString("/")}; the input frame already carries " +
+        s"${clash.mkString(", ")} — rename before calling")
+  }
+
   /** The materialized token-code → gram-hash chain (each layer its own
     * projection — see the plan-shape note above). Requires a `text`
-    * column; passes everything else through. */
-  private def withGrams(docs: DataFrame, k: Int): DataFrame =
+    * column and that none of [[Reserved]] pre-exist; passes everything
+    * else through. */
+  private def withGrams(docs: DataFrame, k: Int): DataFrame = {
+    requireFree(docs, Reserved)
     docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("codes",
         transform(col("toks"), tk => LlmOps.winnowTokenCode(tk)))
       .withColumn("grams", LlmOps.gramHashes(col("codes"), k))
+  }
 
   /** q166's index feed: the exploded (doc_id, fp) rows of each
     * document's winnowed fingerprint set. TOTAL in the no-row sense —
@@ -68,6 +86,7 @@ object WinnowFingerprinter {
     * batch entry orders and dumps this frame; s102 streams it
     * row-identically. */
   def stats(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    requireFree(docs, Seq("fps"))
     val scored = withGrams(docs, k)
       .withColumn("fps", LlmOps.winnowSelect(col("grams"), w))
       .select(col("doc_id"),

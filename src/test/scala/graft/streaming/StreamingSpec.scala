@@ -1607,6 +1607,18 @@ class StreamingSpec extends SparkSpec {
           s"stream-only=${(got -- batch).take(3)}\nbatch-only=${(batch -- got).take(3)}")
       assert(q.lastProgress.stateOperators.isEmpty,
         "winnow fingerprinting must not create a state operator")
+      // the HOF-inlining pin on the STREAM's own micro-batch plan
+      // (ADVICE r14): the documented regression class (CollapseProject
+      // inlining the codes transform into the gram fold) is consumer-
+      // context-dependent, and PlanSpec's pin only sees batch plans —
+      // an ingest-path-only plan regression would pass the row-identity
+      // check above and show up only as wall-clock. A healthy plan
+      // carries winnowTokenCode's 3 Ascii probes exactly once.
+      val streamAscii = org.apache.spark.sql.GraftTestBridge.countAscii(
+        org.apache.spark.sql.GraftTestBridge.lastExecutedPlan(q))
+      assert(streamAscii == 3,
+        s"the micro-batch plan carries the codes transform " +
+          s"${streamAscii / 3.0} times — HOF inlining on the ingest path")
     } finally q.stop()
     // totality facet through the same code object (row-local, so the
     // stream equivalence above carries it): empty and sub-k-token docs
@@ -1619,6 +1631,18 @@ class StreamingSpec extends SparkSpec {
       .toSet
     assert(short == Set((1L, 0L, 0L, 0L), (2L, 0L, 0L, 0L)),
       s"short-doc totality broke: $short")
+    // reserved-name guard (ADVICE r14): withColumn replaces by name, so
+    // a caller's pre-existing toks/codes/grams/fps would be silently
+    // clobbered — the shared entry point must refuse loudly instead
+    for (bad <- Seq("toks", "codes", "grams", "fps")) {
+      val e = intercept[IllegalArgumentException] {
+        graft.streaming.WinnowFingerprinter.stats(
+          Seq((1L, "a b c d e", 0L)).toDF("doc_id", "text", bad),
+          graft.queries.LlmOps.winnowK, graft.queries.LlmOps.winnowW)
+      }
+      assert(e.getMessage.contains(bad),
+        s"reserved-name error for '$bad' names the clash: ${e.getMessage}")
+    }
   }
 
   test("s94: the minwise panel's CDC stream reconstructs exactly the oracled q137 batch answer") {
