@@ -110,8 +110,59 @@ object Bench {
       } finally src.close()
     } catch { case scala.util.control.NonFatal(_) => -1L }
 
+  /** Launch-hygiene gate (VERDICT r14 item 1): refuse to start the
+    * timed run until the box looks quiet — 1-minute load below
+    * GRAFT_BENCH_QUIESCE_LOAD (default 4; the r14 official run launched
+    * at load 21 into the just-finished test suite's JVM drain and paid
+    * ~9.5 s of band) AND steal over a GRAFT_BENCH_QUIESCE_PROBE_SEC
+    * window (default 30 s) below GRAFT_BENCH_QUIESCE_STEAL CPUs
+    * (default 0.05). Bounded: after GRAFT_BENCH_QUIESCE_MAX_SEC
+    * (default 600) the run proceeds anyway — a driver run must not
+    * hang on a busy co-tenant episode, and the record's trailing
+    * steal_cpus field classifies whatever window it got (the ratified
+    * contention rule). GRAFT_BENCH_QUIESCE=0 skips entirely (local
+    * iteration). Returns seconds waited INCLUDING the probe window, so
+    * the record shows the gate ran. The gate cannot guarantee a clean
+    * run — a burst can arrive mid-run (BASELINE.md's 101.9 s datum) —
+    * it only stops the self-inflicted launch-into-own-drain class. */
+  private def quiesce(): Double = {
+    if (sys.env.get("GRAFT_BENCH_QUIESCE").contains("0")) return 0.0
+    val maxLoad = sys.env.getOrElse("GRAFT_BENCH_QUIESCE_LOAD", "4.0").toDouble
+    val maxSteal = sys.env.getOrElse("GRAFT_BENCH_QUIESCE_STEAL", "0.05").toDouble
+    val probeSec = sys.env.getOrElse("GRAFT_BENCH_QUIESCE_PROBE_SEC", "30").toInt
+    val maxWait = sys.env.getOrElse("GRAFT_BENCH_QUIESCE_MAX_SEC", "600").toInt
+    val t0 = System.nanoTime()
+    def waited = (System.nanoTime() - t0) / 1e9
+    var pass = false
+    while (!pass && waited < maxWait) {
+      val load = loadAvg1m()
+      if (load >= maxLoad) { // unreadable (-1) skips the load arm
+        System.err.println(f"[bench] quiesce: load $load%.2f >= $maxLoad%.1f — waiting 10 s")
+        Thread.sleep(10000)
+      } else {
+        val s0 = stealJiffies()
+        Thread.sleep(probeSec * 1000L)
+        val s1 = stealJiffies()
+        val steal =
+          if (s0 < 0 || s1 < 0) 0.0 else (s1 - s0) / 100.0 / probeSec
+        val load2 = loadAvg1m()
+        if (steal < maxSteal && load2 < maxLoad) {
+          System.err.println(f"[bench] quiesce: clear (load $load2%.2f, " +
+            f"steal $steal%.3f CPUs over $probeSec s; waited $waited%.0f s)")
+          pass = true
+        } else System.err.println(f"[bench] quiesce: load $load2%.2f / " +
+          f"steal $steal%.3f over $probeSec s — still contended, retrying")
+      }
+    }
+    if (!pass) System.err.println(f"[bench] quiesce: gave up after " +
+      f"$waited%.0f s — proceeding; the trailing steal_cpus field " +
+      "classifies this run")
+    math.round(waited * 10) / 10.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val quiesceWait = quiesce()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     // Measurement protocol (BASELINE.md §"Bench-gate protocol"):
@@ -206,11 +257,15 @@ object Bench {
     // recompute-always, so cross-round comparisons of those queries are
     // apples-to-oranges without this field (round-12 advice)
     val labelMemo = if (sys.env.get("GRAFT_LABEL_MEMO").contains("0")) "off" else "on"
-    // contention fields sit near the END of the line: the driver's
+    // EVERYTHING a judge needs rides the END of the line: the driver's
     // artifact stores a head-truncated stdout tail, so trailing fields
-    // are the ones guaranteed to survive into BENCH_r{N}.json — a
-    // contended official row then classifies itself without the
-    // history file
+    // are the only ones guaranteed to survive into BENCH_r{N}.json.
+    // VERDICT r14 item 2: the r14 artifact's total had to be recovered
+    // from BENCH_HISTORY because only the head carried it — total,
+    // n_queries, and protocol now ride the tail alongside the
+    // contention fields, making the artifact self-contained (a
+    // contended official row also classifies itself via steal_cpus).
+    // The head keeps the driver-contract "metric"/"value" pair.
     val stealCpus: Double = {
       val s2 = stealJiffies()
       val elapsed = (System.nanoTime() - wallStart) / 1e9
@@ -218,7 +273,7 @@ object Bench {
       // USER_HZ is 100 by kernel ABI for /proc fields
       else math.round(((s2 - stealStart) / 100.0 / elapsed) * 1000) / 1000.0
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol","label_memo":"$labelMemo","queries":$qs,"approx_bounds":$bounds,"load_start":$loadStart,"load_end":${loadAvg1m()},"steal_cpus":$stealCpus,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","label_memo":"$labelMemo","queries":$qs,"approx_bounds":$bounds,"sf":"$sfDir","load_start":$loadStart,"load_end":${loadAvg1m()},"steal_cpus":$stealCpus,"quiesce_wait_sec":$quiesceWait,"protocol":"$protocol","n_queries":${results.size},"total":$total}"""
     println(line)
     // stdout tail-capture can truncate long runs; the file copy is the
     // durable record (driver picks up either). Both files anchor to the
@@ -245,7 +300,7 @@ object Bench {
       val cpusJson =
         if (cpus.matches("[0-9]+")) cpus
         else "\"" + cpus.replaceAll("[\"\\\\]", "") + "\""
-      val stamped = s"""{"ts":"${java.time.Instant.now()}","sf":"$sfDir","cpus":$cpusJson,"protocol":"$protocol","label_memo":"$labelMemo","load_start":$loadStart,"load_end":${loadAvg1m()},"steal_cpus":$stealCpus,"total":$total,"queries":$qs,"reps":$reps}"""
+      val stamped = s"""{"ts":"${java.time.Instant.now()}","sf":"$sfDir","cpus":$cpusJson,"protocol":"$protocol","label_memo":"$labelMemo","n_queries":${results.size},"load_start":$loadStart,"load_end":${loadAvg1m()},"steal_cpus":$stealCpus,"quiesce_wait_sec":$quiesceWait,"total":$total,"queries":$qs,"reps":$reps}"""
       java.nio.file.Files.writeString(
         root.resolve("BENCH_HISTORY.jsonl"), stamped + "\n",
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
