@@ -58,31 +58,43 @@ object Composition {
     * broadcast; and the per-query top-10 plans as a map-side
     * WindowGroupLimit (q96's rewrite, pinned in PlanSpec) so each map
     * task forwards ≤ 10 rows per query. Bodies never cross the wire. */
-  val q134Bm25Retrieval: Q = (spark, dir) => {
-    val d = t(spark, dir, "documents")
-    // toks rides its own projection so the text splits ONCE per row
-    // (size + explode would otherwise each re-split; q135's lesson).
-    // text is coalesced to '' so a NULL body still yields the ['']
-    // token row — without it, explode would DROP null-text docs from
-    // tf and the (N, T) scalars below would diverge from the oracle's
-    // direct-table count (the fixture has no null bodies; real corpora
-    // do)
-    val toks = d
+  /** The corpus (doc_id, dl, term) → tf frame q134 scores over.
+    * toks rides its own projection so the text splits ONCE per row
+    * (size + explode would otherwise each re-split; q135's lesson).
+    * text is coalesced to '' so a NULL body still yields the ['']
+    * token row — without it, explode would DROP null-text docs from
+    * tf and the (N, T) scalars would diverge from the oracle's
+    * direct-table count (the fixture has no null bodies; real corpora
+    * do). */
+  private def bm25Tf(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
       .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         explode(col("toks")).as("term"))
-    // persisted: tf feeds the df aggregation, the corpus scalars, AND
-    // the scoring join (q67's measured defect class when unpersisted)
-    val tf = toks.groupBy(col("doc_id"), col("dl"), col("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .scopedPersist
+
+  /** The df-ranked 5×3-term query panel off a tf frame — ONE spelling
+    * shared by q134 (off its cached tf) and [[QueryPanelTable]] (q172's
+    * memoized artifact build), so the panel q172 reranks is exactly the
+    * panel q134 retrieves for. `limit(18)` plans as
+    * TakeOrderedAndProject — a distributed top-k, never a global vocab
+    * sort. */
+  private def qtermsOf(tf: DataFrame): DataFrame = {
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val qterms = dfreq.orderBy(col("df").desc, col("term").asc).limit(18)
+    dfreq.orderBy(col("df").desc, col("term").asc).limit(18)
       .withColumn("trk", row_number().over(
         Window.orderBy(col("df").desc, col("term").asc)))
       .filter(col("trk") >= 4)
       .select(expr("cast((trk - 4) div 3 as int)").as("query_id"),
         col("term"), col("df"))
+  }
+
+  val q134Bm25Retrieval: Q = (spark, dir) => {
+    // persisted: tf feeds the df aggregation, the corpus scalars, AND
+    // the scoring join (q67's measured defect class when unpersisted)
+    val tf = bm25Tf(spark, dir).scopedPersist
+    val qterms = qtermsOf(tf)
     // (N, T) from the cached tf, not a second corpus scan: every doc
     // yields >= 1 explode row (split of even an empty or coalesced-NULL
     // string is ['']), so countDistinct(doc_id) == count(documents) and
@@ -779,9 +791,116 @@ object Composition {
         col("rank_sparse"), col("rank_dense"), col("rrf_e9")))
   }
 
+  /** q172's query-term panel as a materialized artifact (the
+    * [[SparseRankTable]]/[[DenseRankTable]] posture, one layer up):
+    * production rerankers read the query definitions from a served
+    * artifact, not by re-deriving the df ranking per call. Built once
+    * per (JVM, corpus fingerprint) by the SAME [[qtermsOf]] spelling
+    * q134 uses, so the panel q172 scores against cannot drift from the
+    * panel the sparse arm retrieved for. 15 rows — the parquet
+    * round-trip is exact. q134 itself never reads it (the derivation
+    * is part of its declared benchmark — the q68/q144 division). */
+  private[graft] object QueryPanelTable {
+    private val tbl = new LlmOps.MaterializedTable("bm25panel",
+      (s, d) => qtermsOf(bm25Tf(s, d)))
+    def of(spark: SparkSession, dir: String): DataFrame = tbl.of(spark, dir)
+  }
+
+  /** q172's proximity-bonus ceiling, in tokens: a pair whose matched
+    * query terms sit within a span S earns max(0, Cap − S). 1000 keeps
+    * the packed score's fields disjoint (bonus·10⁴ < 10⁸ < the 10⁹
+    * coverage step) while still separating same-sentence matches from
+    * document-width scatter at any realistic doc length. Interpolated
+    * into the oracle — one spelling. */
+  private[graft] val RerankProxCap: Long = 1000L
+
+  /** q172 [EXT]: cross-encoder-style reranking over q171's fused
+    * candidates — the remaining stage of the standard two-stage
+    * retrieval stack (retrieve cheaply at corpus scale, then re-score
+    * the top-k with a model that sees the QUERY AND THE DOCUMENT
+    * TOGETHER; Nogueira & Cho 2019's BERT reranker is the canonical
+    * instance). The scorer here is the engine-portable deterministic
+    * stand-in: per (query, candidate) pair it re-reads the candidate
+    * BODY and computes interaction features neither arm's precomputed
+    * representation carries — term coverage (how many of the query's 3
+    * terms occur), matched-term proximity (the span between first
+    * occurrences — Tao & Zhai 2007's minimal-distance class of
+    * proximity heuristics), and capped term frequency — packed into
+    * one exact BIGINT, ce_e9 = n_match·10⁹ +
+    * max(0, [[RerankProxCap]] − span)·10⁴ (n_match ≥ 2 only) +
+    * min(tf_sum, 9999): coverage dominates, proximity breaks coverage
+    * ties, tf breaks proximity ties, doc_id breaks exact ties. No
+    * floats anywhere; DuckDB computes the identical packing.
+    *
+    * 100 TB: the candidate set is panel-bounded (≤ queries × 15 from
+    * q171, whose arms serve memoized rank tables), so the ONLY
+    * corpus-touching step is fetching candidate bodies — done as a
+    * point-lookup: the ≤75 candidate ids are collected driver-side
+    * (the documented panel-bounded-scalar class) and pushed as an In
+    * filter INTO the parquet scan (row-group pruning; PlanSpec pins
+    * the pushdown), exactly how a production reranker fetches k bodies
+    * rather than scanning. Everything after the fetch is row-local
+    * scoring on ≤75×3 feature rows plus a per-query window over ≤ 15
+    * rows. A neural cross-encoder would swap the scoring expression
+    * for a model call; the candidate plumbing — the part Spark owns —
+    * is identical. */
+  val q172RerankCross: Q = (spark, dir) => {
+    import spark.implicits._
+    // ONE action materializes the fused candidates driver-side (the
+    // documented panel-bounded-scalar class, ≤ queries×15 rows): the id
+    // set feeds the scan pushdown and the frame itself re-enters the
+    // plan as a broadcast LocalRelation — no persist, no second q171
+    // execution
+    val fusedRows = q171HybridRrf(spark, dir)
+      .select(col("query_id"), col("fused_rank"), col("doc_id"), col("rrf_e9"))
+      .collect()
+    val ids = fusedRows.map(_.getLong(2)).distinct.sorted
+    val cands = fusedRows.toIndexedSeq
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toDF("query_id", "fused_rank", "doc_id", "rrf_e9")
+    val docs = t(spark, dir, "documents")
+      .filter(col("doc_id").isin(ids.map(Long.box).toIndexedSeq: _*))
+      .select(col("doc_id"),
+        split(coalesce(col("text"), lit("")), " ").as("toks"))
+    val panel = QueryPanelTable.of(spark, dir)
+      .select(col("query_id"), col("term"))
+    // the corpus scan streams through BROADCAST joins (candidate frame
+    // and panel are both panel-bounded) — bodies join map-side at the
+    // pruned scan, nothing corpus-sized ever shuffles
+    val feat = docs
+      .join(broadcast(cands), Seq("doc_id"))
+      .join(broadcast(panel), Seq("query_id"))
+      .select(col("query_id"), col("doc_id"), col("fused_rank"),
+        col("rrf_e9"),
+        array_position(col("toks"), col("term")).as("pos"),
+        size(filter(col("toks"), x => x === col("term")))
+          .cast("long").as("tf_t"))
+    val pair = feat
+      .groupBy(col("query_id"), col("doc_id"), col("fused_rank"),
+        col("rrf_e9"))
+      .agg(sum(when(col("pos") > 0, 1L).otherwise(0L)).as("n_match"),
+        min(when(col("pos") > 0, col("pos"))).as("minpos"),
+        max(when(col("pos") > 0, col("pos"))).as("maxpos"),
+        sum(col("tf_t")).as("tfsum"))
+    val scored = pair.withColumn("ce_e9",
+      col("n_match") * lit(1000000000L) +
+        when(col("n_match") >= 2,
+          greatest(lit(0L),
+            lit(RerankProxCap) - (col("maxpos") - col("minpos"))))
+          .otherwise(lit(0L)) * lit(10000L) +
+        least(col("tfsum"), lit(9999L)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ce_e9").desc, col("doc_id").asc)
+    orderAll(scored
+      .withColumn("rerank", row_number().over(w))
+      .select(col("query_id"), col("rerank"), col("doc_id"),
+        col("fused_rank"), col("rrf_e9"), col("n_match"), col("ce_e9")))
+  }
+
   val defs: Map[String, Q] = Map(
     "q134_bm25_retrieval" -> q134Bm25Retrieval,
     "q171_hybrid_rrf" -> q171HybridRrf,
+    "q172_rerank_cross" -> q172RerankCross,
     "q135_source_overlap" -> q135SourceOverlap,
     "q136_importance_resample" -> q136ImportanceResample,
     "q137_minwise_panel" -> q137MinwisePanel,
@@ -830,6 +949,66 @@ object Composition {
         |FROM fused
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
         |  4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""".stripMargin,
+    "q172_rerank_cross" ->
+      // q171's fused CTE chain verbatim (both arms via OracleCtes, same
+      // full-outer fusion, same fused_rank window), then the candidate
+      // bodies fetched by id, the per-(pair, term) interaction features
+      // (1-based first-occurrence position — coalesce(list_position, 0)
+      // mirrors Spark's array_position not-found = 0 — and exact term
+      // frequency), and the identical integer score packing
+      s"""WITH ${OracleCtes.bm25Top},
+        |${OracleCtes.denseTopk},
+        |sp AS (SELECT query_id, doc_id, rk AS rank_sparse
+        |       FROM top WHERE rk <= 10),
+        |dn AS (SELECT CAST(qid AS INT) AS query_id, nid AS doc_id,
+        |         rnk AS rank_dense
+        |       FROM r WHERE rnk <= 5 AND qid < $Bm25QueryCount),
+        |fused AS (
+        |  SELECT coalesce(s.query_id, d.query_id) AS query_id,
+        |    coalesce(s.doc_id, d.doc_id) AS doc_id,
+        |    CAST(coalesce(1000000000 // ($RrfK + s.rank_sparse), 0)
+        |       + coalesce(1000000000 // ($RrfK + d.rank_dense), 0)
+        |      AS BIGINT) AS rrf_e9
+        |  FROM sp s FULL OUTER JOIN dn d
+        |    ON s.query_id = d.query_id AND s.doc_id = d.doc_id),
+        |frank AS (
+        |  SELECT query_id, doc_id, rrf_e9,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rrf_e9 DESC, doc_id ASC) AS INT) AS fused_rank
+        |  FROM fused),
+        |dtoks AS (
+        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS dt
+        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM frank)),
+        |feat AS (
+        |  SELECT f.query_id, f.doc_id, f.fused_rank, f.rrf_e9,
+        |    CAST(coalesce(list_position(d.dt, q.term), 0) AS BIGINT) AS pos,
+        |    CAST(len(list_filter(d.dt, x -> x = q.term)) AS BIGINT) AS tf_t
+        |  FROM frank f
+        |  JOIN dtoks d USING (doc_id)
+        |  JOIN qterms q ON q.query_id = f.query_id),
+        |pair AS (
+        |  SELECT query_id, doc_id, fused_rank, rrf_e9,
+        |    CAST(sum(CASE WHEN pos > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_match,
+        |    min(CASE WHEN pos > 0 THEN pos END) AS minpos,
+        |    max(CASE WHEN pos > 0 THEN pos END) AS maxpos,
+        |    CAST(sum(tf_t) AS BIGINT) AS tfsum
+        |  FROM feat GROUP BY 1, 2, 3, 4),
+        |cescore AS (  -- "scored" is taken by the bm25 chain
+        |  SELECT query_id, doc_id, fused_rank, rrf_e9, n_match,
+        |    CAST(n_match * 1000000000
+        |      + CASE WHEN n_match >= 2
+        |          THEN greatest(0, $RerankProxCap - (maxpos - minpos))
+        |          ELSE 0 END * 10000
+        |      + least(tfsum, 9999) AS BIGINT) AS ce_e9
+        |  FROM pair)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY ce_e9 DESC, doc_id ASC) AS INT) AS rerank,
+        |  doc_id, fused_rank, rrf_e9, n_match, ce_e9
+        |FROM cescore
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+        |  4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST""".stripMargin,
     "q135_source_overlap" -> {
       val n = OverlapShingleN
       s"""WITH sp AS (SELECT source, string_split(text, ' ') AS toks FROM documents),

@@ -247,7 +247,14 @@ object ScaleProbe {
     // x k-scaled corpus — linear in corpus per query by construction);
     // the IVF arm is the bucketed path with cells held at 8, so its
     // candidate work grows with occupancy exactly as q100's own row
-    "q168_ann_recall")
+    "q168_ann_recall",
+    // round 18: q172's timed reps serve the memoized rank/panel tables
+    // (built in the untimed warm rep, like q88's row) — what's
+    // certified is the point-lookup posture: the candidate set stays
+    // panel-bounded at every k, so wall must track only the fusion +
+    // the In-pruned body fetch, never the corpus (a near-flat curve;
+    // superlinearity would mean the fetch lost its pushdown)
+    "q172_rerank_cross")
   private val Ks = Seq(1, 4, 8)
   private val Shift = 9700000L // lcm(97, 10) × 10,000 — residue-preserving
   private val GrowthFactor = 1.5

@@ -66,6 +66,59 @@ class CompositionSpec extends SparkSpec {
       "no sparse-only docs — fixture makes the outer join vacuous")
   }
 
+  // ---- q172 cross-encoder rerank -----------------------------------------
+
+  test("q172: reranks exactly the fused candidate set, and the packed score re-derives from raw text") {
+    val fusedKeys = Composition.q171HybridRrf(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(2))).toSet
+    val rows = Composition.q172RerankCross(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.map(r => (r._1, r._3)).toSet == fusedKeys,
+      "rerank is not a permutation of the fused candidate set")
+    assert(rows.length == fusedKeys.size, "duplicate rerank rows")
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.sortBy(_._2).map(_._2).toSeq == (1 to rs.length),
+        s"query $q rerank not contiguous from 1")
+      val resorted = rs.sortBy(r => (-r._7, r._3))
+      assert(resorted.map(_._2).toSeq == (1 to rs.length),
+        s"query $q rerank disagrees with (ce_e9 DESC, doc ASC)")
+      // coverage dominance — the packing's defining property: a doc
+      // matching MORE query terms can never rank below one matching
+      // fewer, whatever their proximity/tf
+      for (a <- rs; b <- rs if a._6 > b._6)
+        assert(a._2 < b._2, s"query $q: doc ${a._3} (n_match ${a._6}) " +
+          s"ranked below doc ${b._3} (n_match ${b._6})")
+    }
+    // independent re-derivation of every packed score from the raw
+    // fixture text + the served panel (the oracle re-derives the same
+    // in SQL; this pins the engine's column arithmetic in Scala)
+    val terms = Composition.QueryPanelTable.of(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getString(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(terms.values.forall(_.size == 3), s"panel not 3 terms/query: $terms")
+    val text = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      .as[(Long, String)].collect().toMap
+    rows.foreach { case (q, _, doc, _, _, nMatch, ce) =>
+      val toks = text(doc).split(" ", -1)
+      val pos = terms(q).map(tm => toks.indexOf(tm) + 1L) // 1-based, 0 = absent
+      val matched = pos.filter(_ > 0)
+      val span = if (matched.size >= 2) matched.max - matched.min else 0L
+      val tfsum = terms(q).map(tm => toks.count(_ == tm).toLong).sum
+      val expect = matched.size.toLong * 1000000000L +
+        (if (matched.size >= 2)
+           math.max(0L, Composition.RerankProxCap - span) else 0L) * 10000L +
+        math.min(tfsum, 9999L)
+      assert(nMatch == matched.size.toLong, s"($q,$doc) n_match $nMatch")
+      assert(ce == expect, s"($q,$doc) ce_e9 $ce != re-derived $expect")
+    }
+    // the stage must MOVE something at this SF, or the rerank facet is
+    // vacuous (interaction features genuinely reorder RRF's fusion)
+    assert(rows.exists(r => r._2 != r._4),
+      "rerank equals fused order everywhere — vacuous fixture")
+  }
+
   // ---- q134 BM25 -------------------------------------------------------
 
   /** 21 docs engineered so the df ranking is fully known: c1..c3 are in

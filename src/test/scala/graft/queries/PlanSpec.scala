@@ -1220,6 +1220,24 @@ class PlanSpec extends SparkSpec {
       s"winnow candidates degenerated to all-pairs:\n${p.take(2000)}")
   }
 
+  test("q172: candidate bodies are point-looked-up — the documents scan carries the id pushdown, bodies never shuffle") {
+    // the rerank's only corpus touch is fetching the ≤ panel×15
+    // candidate bodies; the driver-collected id set must reach the
+    // parquet scan as a pushed filter (row-group pruning — the
+    // point-lookup posture), and the body column must ride only
+    // broadcast sides, never a hash exchange
+    val p = plan("q172_rerank_cross")
+    assert(p.contains("PushedFilters") && p.contains("In(doc_id"),
+      s"candidate fetch lost the id pushdown:\n${p.take(2000)}")
+    val exchanged = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanged.forall(l => !l.contains("text") && !l.contains("toks")),
+      s"a rerank exchange carries document bodies:\n${exchanged.mkString("\n")}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"rerank degenerated to all-pairs:\n${p.take(2000)}")
+  }
+
   test("winnow building blocks keep the codes transform materialized — no HOF inlining into the gram fold") {
     // the defect class the q165/q166 exchange pins CANNOT see: pruning +
     // CollapseProject can inline the per-token codes transform into the
@@ -1228,18 +1246,22 @@ class PlanSpec extends SparkSpec {
     // eval — measured on this very op when a wide shared frame carried
     // fps + stats together: q166 went from its 1.4 s floor to minutes
     // (jstack: Pmod → ArrayTransform → Ascii, 370 s CPU per task). The
-    // healthy plan renders winnowTokenCode's 3 ascii probes exactly
-    // once per frame; any inlining multiplies them.
+    // healthy plan carries winnowTokenCode's 3 Ascii probes exactly
+    // once per frame; any inlining multiplies them. Counted by
+    // expression-tree traversal, not plan-string regex — rendered
+    // strings are not a stable API (maxToStringFields truncation or
+    // AQE re-printing could skew a regex count either way; ADVICE r14).
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val (k, w) = (LlmOps.winnowK, LlmOps.winnowW)
     for ((label, df) <- Seq(
         "fpRows" -> graft.streaming.WinnowFingerprinter.fpRows(docs, k, w),
         "stats" -> graft.streaming.WinnowFingerprinter.stats(docs, k, w))) {
-      val p = df.queryExecution.executedPlan.toString
-      val n = "ascii\\(".r.findAllIn(p).size
+      val n = org.apache.spark.sql.GraftTestBridge.countAscii(
+        df.queryExecution.executedPlan)
       assert(n == 3,
-        s"$label renders the codes transform ${n / 3.0} times — " +
-          s"HOF inlining returned:\n${p.take(2000)}")
+        s"$label carries the codes transform ${n / 3.0} times — " +
+          s"HOF inlining returned:\n" +
+          df.queryExecution.executedPlan.toString.take(2000))
     }
   }
 
