@@ -808,11 +808,17 @@ object Composition {
 
   /** q172's proximity-bonus ceiling, in tokens: a pair whose matched
     * query terms sit within a span S earns max(0, Cap − S). 1000 keeps
-    * the packed score's fields disjoint (bonus·10⁴ < 10⁸ < the 10⁹
-    * coverage step) while still separating same-sentence matches from
-    * document-width scatter at any realistic doc length. Interpolated
-    * into the oracle — one spelling. */
+    * the packed score's fields disjoint (bonus·[[RerankProxStep]] <
+    * 10⁸ < the [[RerankCoverageStep]]) while still separating
+    * same-sentence matches from document-width scatter at any
+    * realistic doc length. All four packing constants are interpolated
+    * into the oracle — one spelling each (CompositionSpec deliberately
+    * re-derives with its OWN literals, so a drifted constant fails the
+    * spec, not just the oracle). */
   private[graft] val RerankProxCap: Long = 1000L
+  private[graft] val RerankCoverageStep: Long = 1000000000L
+  private[graft] val RerankProxStep: Long = 10000L
+  private[graft] val RerankTfCap: Long = 9999L
 
   /** q172 [EXT]: cross-encoder-style reranking over q171's fused
     * candidates — the remaining stage of the standard two-stage
@@ -883,12 +889,12 @@ object Composition {
         max(when(col("pos") > 0, col("pos"))).as("maxpos"),
         sum(col("tf_t")).as("tfsum"))
     val scored = pair.withColumn("ce_e9",
-      col("n_match") * lit(1000000000L) +
+      col("n_match") * lit(RerankCoverageStep) +
         when(col("n_match") >= 2,
           greatest(lit(0L),
             lit(RerankProxCap) - (col("maxpos") - col("minpos"))))
-          .otherwise(lit(0L)) * lit(10000L) +
-        least(col("tfsum"), lit(9999L)))
+          .otherwise(lit(0L)) * lit(RerankProxStep) +
+        least(col("tfsum"), lit(RerankTfCap)))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("ce_e9").desc, col("doc_id").asc)
     orderAll(scored
@@ -996,11 +1002,11 @@ object Composition {
         |  FROM feat GROUP BY 1, 2, 3, 4),
         |cescore AS (  -- "scored" is taken by the bm25 chain
         |  SELECT query_id, doc_id, fused_rank, rrf_e9, n_match,
-        |    CAST(n_match * 1000000000
+        |    CAST(n_match * $RerankCoverageStep
         |      + CASE WHEN n_match >= 2
         |          THEN greatest(0, $RerankProxCap - (maxpos - minpos))
-        |          ELSE 0 END * 10000
-        |      + least(tfsum, 9999) AS BIGINT) AS ce_e9
+        |          ELSE 0 END * $RerankProxStep
+        |      + least(tfsum, $RerankTfCap) AS BIGINT) AS ce_e9
         |  FROM pair)
         |SELECT query_id,
         |  CAST(row_number() OVER (PARTITION BY query_id
