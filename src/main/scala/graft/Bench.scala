@@ -130,6 +130,11 @@ object Bench {
     val maxLoad = sys.env.getOrElse("GRAFT_BENCH_QUIESCE_LOAD", "4.0").toDouble
     val maxSteal = sys.env.getOrElse("GRAFT_BENCH_QUIESCE_STEAL", "0.05").toDouble
     val probeSec = sys.env.getOrElse("GRAFT_BENCH_QUIESCE_PROBE_SEC", "30").toInt
+    // probeSec divides the steal delta: 0 would make the steal NaN,
+    // the gate unclearable, and the loop a zero-sleep /proc spin
+    require(probeSec > 0,
+      s"GRAFT_BENCH_QUIESCE_PROBE_SEC=$probeSec — the probe window must be " +
+        "positive (to skip the gate entirely set GRAFT_BENCH_QUIESCE=0)")
     val maxWait = sys.env.getOrElse("GRAFT_BENCH_QUIESCE_MAX_SEC", "600").toInt
     val t0 = System.nanoTime()
     def waited = (System.nanoTime() - t0) / 1e9

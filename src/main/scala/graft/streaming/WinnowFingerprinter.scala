@@ -49,7 +49,11 @@ object WinnowFingerprinter {
   private val Reserved = Seq("toks", "codes", "grams")
 
   private def requireFree(docs: DataFrame, names: Seq[String]): Unit = {
-    val clash = docs.columns.filter(names.contains)
+    // case-INSENSITIVE compare: withColumn resolves case-insensitively
+    // under the default spark.sql.caseSensitive=false, so a caller's
+    // "Toks" would be clobbered just the same
+    val lower = names.map(_.toLowerCase)
+    val clash = docs.columns.filter(c => lower.contains(c.toLowerCase))
     require(clash.isEmpty,
       s"WinnowFingerprinter reserves intermediate column names " +
         s"${names.mkString("/")}; the input frame already carries " +

@@ -106,9 +106,12 @@ class CompositionSpec extends SparkSpec {
       val matched = pos.filter(_ > 0)
       val span = if (matched.size >= 2) matched.max - matched.min else 0L
       val tfsum = terms(q).map(tm => toks.count(_ == tm).toLong).sum
+      // ALL FOUR packing constants are this spec's own literals (not
+      // reads of Composition's vals) — a drifted constant must fail
+      // here, not move engine/oracle/spec together
       val expect = matched.size.toLong * 1000000000L +
         (if (matched.size >= 2)
-           math.max(0L, Composition.RerankProxCap - span) else 0L) * 10000L +
+           math.max(0L, 1000L - span) else 0L) * 10000L +
         math.min(tfsum, 9999L)
       assert(nMatch == matched.size.toLong, s"($q,$doc) n_match $nMatch")
       assert(ce == expect, s"($q,$doc) ce_e9 $ce != re-derived $expect")

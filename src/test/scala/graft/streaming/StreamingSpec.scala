@@ -1633,8 +1633,10 @@ class StreamingSpec extends SparkSpec {
       s"short-doc totality broke: $short")
     // reserved-name guard (ADVICE r14): withColumn replaces by name, so
     // a caller's pre-existing toks/codes/grams/fps would be silently
-    // clobbered — the shared entry point must refuse loudly instead
-    for (bad <- Seq("toks", "codes", "grams", "fps")) {
+    // clobbered — the shared entry point must refuse loudly instead.
+    // "Toks"/"FPS" pin the case-INSENSITIVE compare (withColumn
+    // resolves case-insensitively under default spark.sql.caseSensitive)
+    for (bad <- Seq("toks", "codes", "grams", "fps", "Toks", "FPS")) {
       val e = intercept[IllegalArgumentException] {
         graft.streaming.WinnowFingerprinter.stats(
           Seq((1L, "a b c d e", 0L)).toDF("doc_id", "text", bad),

@@ -6,10 +6,15 @@
 #
 # Usage: tools/second_sf_sweep.sh [sfDir] [outJson]
 # Defaults: sfDir=/root/testdata/sf0.001  outJson=CORRECTNESS_2SF.json
+# Relative args resolve against the CALLER's cwd (captured before the
+# cd into the repo root that sbt needs); the temp dump dir is removed
+# on exit.
 set -eu
-SF_DIR="${1:-/root/testdata/sf0.001}"
+SF_DIR="$(cd "${1:-/root/testdata/sf0.001}" && pwd)"
 OUT_JSON="${2:-CORRECTNESS_2SF.json}"
+case "$OUT_JSON" in /*) ;; *) OUT_JSON="$PWD/$OUT_JSON" ;; esac
 DUMP_DIR="$(mktemp -d /tmp/graft_2sf.XXXXXX)"
+trap 'rm -rf "$DUMP_DIR"' EXIT
 cd "$(dirname "$0")/.."
 sbt "runMain graft.Verify $SF_DIR $DUMP_DIR"
 python3 tools/second_sf_sweep.py "$SF_DIR" "$DUMP_DIR" "$OUT_JSON"
