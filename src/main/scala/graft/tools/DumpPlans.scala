@@ -117,7 +117,10 @@ object DumpPlans {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       df.collect() // finalize AQE
       sb.append(s"\n## $name — $why\n\n```\n")
-      sb.append(df.queryExecution.executedPlan.toString.take(4000))
+      // 6500: deep AQE plans (q172's broadcast-join chain) need the
+      // extra room for their FileScan lines — the PushedFilters evidence
+      // is the point of the dump; at 4000 the scan line fell off
+      sb.append(df.queryExecution.executedPlan.toString.take(6500))
       sb.append("\n```\n")
       if (noBroadcast(name))
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
