@@ -804,6 +804,10 @@ object Composition {
     private val tbl = new LlmOps.MaterializedTable("bm25panel",
       (s, d) => qtermsOf(bm25Tf(s, d)))
     def of(spark: SparkSession, dir: String): DataFrame = tbl.of(spark, dir)
+    /** The un-memoized derivation — CompositionSpec's memoized ≡ fresh
+      * pin (the GateIndexTable.fresh convention). */
+    def fresh(spark: SparkSession, dir: String): DataFrame =
+      qtermsOf(bm25Tf(spark, dir))
   }
 
   /** q172's proximity-bonus ceiling, in tokens: a pair whose matched

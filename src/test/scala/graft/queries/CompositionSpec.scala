@@ -122,6 +122,21 @@ class CompositionSpec extends SparkSpec {
       "rerank equals fused order everywhere — vacuous fixture")
   }
 
+  test("QueryPanelTable: the materialized query panel is row-identical to a fresh qterms derivation") {
+    // the artifact-layer pin every MaterializedTable carries (the
+    // LabelTable/GateIndexTable/PairTable/BpeTable convention): the
+    // parquet round-trip q172 serves from must equal the un-memoized
+    // derivation, twice (stability)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    val fresh = rows(Composition.QueryPanelTable.fresh(spark, sf))
+    assert(fresh.size == 15, s"panel is not 5 queries x 3 terms: ${fresh.size}")
+    assert(rows(Composition.QueryPanelTable.of(spark, sf)) == fresh,
+      "materialized panel diverges from a fresh derivation")
+    assert(rows(Composition.QueryPanelTable.of(spark, sf)) == fresh,
+      "second read diverges — the memo is not stable")
+  }
+
   // ---- q134 BM25 -------------------------------------------------------
 
   /** 21 docs engineered so the df ranking is fully known: c1..c3 are in
