@@ -136,6 +136,13 @@ object Bench {
       s"GRAFT_BENCH_QUIESCE_PROBE_SEC=$probeSec — the probe window must be " +
         "positive (to skip the gate entirely set GRAFT_BENCH_QUIESCE=0)")
     val maxWait = sys.env.getOrElse("GRAFT_BENCH_QUIESCE_MAX_SEC", "600").toInt
+    // no-/proc host (macOS, masked container): both signals are
+    // unreadable, the gate can measure nothing — skip instead of
+    // sleeping a dead probe window every run
+    if (loadAvg1m() < 0 && stealJiffies() < 0) {
+      System.err.println("[bench] quiesce: /proc unreadable — skipping the gate")
+      return 0.0
+    }
     val t0 = System.nanoTime()
     def waited = (System.nanoTime() - t0) / 1e9
     var pass = false
@@ -145,18 +152,22 @@ object Bench {
         System.err.println(f"[bench] quiesce: load $load%.2f >= $maxLoad%.1f — waiting 10 s")
         Thread.sleep(10000)
       } else {
+        // a single probe sleep must not overshoot the maxWait bound (a
+        // probeSec > remaining budget would otherwise block past the
+        // documented hang ceiling), so the window clamps to what's left
+        val win = math.max(1, math.min(probeSec.toLong, maxWait - waited.toLong))
         val s0 = stealJiffies()
-        Thread.sleep(probeSec * 1000L)
+        Thread.sleep(win * 1000L)
         val s1 = stealJiffies()
         val steal =
-          if (s0 < 0 || s1 < 0) 0.0 else (s1 - s0) / 100.0 / probeSec
+          if (s0 < 0 || s1 < 0) 0.0 else (s1 - s0) / 100.0 / win
         val load2 = loadAvg1m()
         if (steal < maxSteal && load2 < maxLoad) {
           System.err.println(f"[bench] quiesce: clear (load $load2%.2f, " +
-            f"steal $steal%.3f CPUs over $probeSec s; waited $waited%.0f s)")
+            f"steal $steal%.3f CPUs over $win s; waited $waited%.0f s)")
           pass = true
         } else System.err.println(f"[bench] quiesce: load $load2%.2f / " +
-          f"steal $steal%.3f over $probeSec s — still contended, retrying")
+          f"steal $steal%.3f over $win s — still contended, retrying")
       }
     }
     if (!pass) System.err.println(f"[bench] quiesce: gave up after " +
@@ -167,7 +178,6 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val quiesceWait = quiesce()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     // Measurement protocol (BASELINE.md §"Bench-gate protocol"):
@@ -180,9 +190,12 @@ object Bench {
     //     can carry measured anchors for BOTH protocols on one boot.
     // Fixture/bucket-table warmup below runs in either protocol: it is
     // scaffolding (one-time file writes), not query work.
+    // Validated BEFORE the quiesce gate: a typo'd protocol must fail
+    // fast, not after up to 10 minutes of waiting for a quiet window.
     val protocol = sys.env.getOrElse("GRAFT_BENCH_PROTOCOL", "warm1+min2")
     require(protocol == "warm1+min2" || protocol == "cold1",
       s"GRAFT_BENCH_PROTOCOL=$protocol — known protocols: warm1+min2, cold1")
+    val quiesceWait = quiesce()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

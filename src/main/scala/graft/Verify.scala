@@ -19,6 +19,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // the declared-surface manifest, written BEFORE any query runs: a
+    // query that crashes below leaves no dump dir, and a no-oracle
+    // query leaves no oracle_sql.json key either — without this file a
+    // downstream gate (tools/second_sf_sweep.py) cannot tell "declared
+    // but crashed" from "never existed"
+    Files.writeString(Paths.get(s"$outDir/queries.json"),
+      SparkEntry.queries.keys.toSeq.sorted
+        .map(n => "\"" + n + "\"").mkString("[", ",", "]"))
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

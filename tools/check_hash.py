@@ -2,30 +2,22 @@
 """Strict mirror of the driver's hash gate: sorts columns by name, sorts
 rows, and compares pandas hashes (dtype-SENSITIVE, unlike
 check_oracle.py's value-wise compare). Catches HUGEINT-vs-int64 class
-mismatches before the driver does.
+mismatches before the driver does. Canonical form + hash live in
+gate_common.py — one spelling shared with second_sf_sweep.py.
 
 Usage: check_hash.py <sfDir> <verifyOutDir>
 NOTE: dev tool only — the Scala library has no dependency on this.
 """
-import sys, os, json, glob
+import sys, json, glob
 import duckdb
 import pandas as pd
 
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
-
-
-def norm(df):
-    df = df.reindex(sorted(df.columns), axis=1)
-    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+import gate_common
 
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    gate_common.register_views(con, sf_dir)
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracles.items()):
@@ -33,11 +25,11 @@ def main(sf_dir, out_dir):
         if not files:
             print(f"FAIL {name}: no spark dump"); n_bad += 1; continue
         try:
-            got = norm(pd.concat([pd.read_parquet(f) for f in files],
-                                 ignore_index=True))
-            exp = norm(con.execute(sql).df())
-            h1 = pd.util.hash_pandas_object(got, index=False).sum()
-            h2 = pd.util.hash_pandas_object(exp, index=False).sum()
+            got = pd.concat([pd.read_parquet(f) for f in files],
+                            ignore_index=True)
+            exp = con.execute(sql).df()
+            h1 = gate_common.frame_hash(got)  # frame_hash norms internally
+            h2 = gate_common.frame_hash(exp)
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__} {e}"); n_bad += 1; continue
         if h1 != h2:

@@ -10,8 +10,7 @@ import sys, os, json, glob
 import duckdb
 import pandas as pd
 
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
+import gate_common
 
 def norm(df):
     df = df.reindex(sorted(df.columns), axis=1)
@@ -25,10 +24,7 @@ def norm(df):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    gate_common.register_views(con, sf_dir)
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracles.items()):

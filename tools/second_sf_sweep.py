@@ -6,16 +6,25 @@ geometry-dependent regression (banding recall, df caps, window sizes)
 can pass there and break elsewhere. This tool re-runs the full
 rows+schema+hash gate at a SECOND SF — sf0.001 by convention — and
 writes a CORRECTNESS_rN-shaped JSON artifact with a `_meta` header.
+The hash convention is gate_common's — the same spelling check_hash.py
+(the primary gate's strict mirror) uses, so the two gates cannot drift.
+
+Coverage is anchored to the DECLARED surface: graft.Verify writes
+`queries.json` (every SparkEntry.queries key) before running, so a
+query that crashes inside Verify — oracled or not — surfaces as a FAIL
+row here instead of silently vanishing with its dump dir.
 
 Known, documented divergences are WHITELISTED by (sf, query), each
-with a SHAPE PREDICATE pinning the documented divergence — a non-pass
-row is recorded `whitelisted: true` (not a failure) only when the
-predicate also holds, so the whitelist cannot absorb a future crash /
-schema change / bulk row loss of the same query. Current whitelist:
-  - q81_dedup_minhash at sf0.001: one band-miss pair — docs
-    (33, 1000436) at j = 0.778, miss probability (1-j^3)^4 ~ 8% is
-    deterministic at this fixture geometry (scaladoc'd in LlmOps.q81;
-    measured absent at the gate SFs sf0.01/sf0.1).
+with a ROW-LEVEL shape predicate pinning the exact documented
+divergence — a non-pass row is recorded `whitelisted: true` (not a
+failure) only when the row-set diff is exactly the documented one, so
+the whitelist cannot absorb any other regression of the same query.
+Current whitelist:
+  - q81_dedup_minhash at sf0.001: the oracle carries exactly one row
+    the engine misses — the band-miss pair (d1=33, d2=1000436) at
+    j = 0.778, miss probability (1-j^3)^4 ~ 8% deterministic at this
+    fixture geometry (scaladoc'd in LlmOps.q81; measured absent at the
+    gate SFs sf0.01/sf0.1).
 
 Usage:
   second_sf_sweep.py <sfDir> <verifyOutDir> <outJson>
@@ -29,50 +38,54 @@ import sys, os, json, glob, datetime
 import duckdb
 import pandas as pd
 
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
+import gate_common
 
-# (sf, query) -> (reason, shape predicate). The predicate pins the
-# DOCUMENTED divergence shape, so the whitelist cannot absorb a future
-# genuine regression of the same query (crash, schema change, bulk row
-# loss) — only the specific ~1-pair band miss stays whitelisted.
+
+def q81_band_miss_only(row, got, exp):
+    """True iff the ONLY divergence is the documented oracle-side pair
+    (33, 1000436): no engine-extra rows, no other missing rows."""
+    if not (row["err"] is None and row["schema_match"]):
+        return False
+    m = exp.merge(got, how="outer", indicator=True)
+    diff = m[m["_merge"] != "both"]
+    return (len(diff) == 1
+            and (diff["_merge"] == "left_only").all()  # oracle-only
+            and int(diff.iloc[0]["d1"]) == 33
+            and int(diff.iloc[0]["d2"]) == 1000436)
+
+
+# (sf, query) -> (reason, row-level shape predicate(row, got_df, exp_df))
 WHITELIST = {
     ("sf0.001", "q81_dedup_minhash"): (
-        "documented sf0.001 band-miss pair: docs (33, 1000436) at "
-        "j=0.778, (1-j^3)^4 ~ 8% deterministic at this fixture geometry "
+        "documented sf0.001 band-miss pair: the row-set diff is exactly "
+        "the oracle-side row (d1=33, d2=1000436) at j=0.778, "
+        "(1-j^3)^4 ~ 8% deterministic at this fixture geometry "
         "(LlmOps.q81 scaladoc); absent at the gate SFs sf0.01/sf0.1",
-        # exactly a small engine-side deficit: no error, schema intact,
-        # oracle has 1-2 more rows (the missed pair)
-        lambda r: r["err"] is None and r["schema_match"]
-        and r["oracle_rows"] is not None and r["spark_rows"] is not None
-        and 1 <= r["oracle_rows"] - r["spark_rows"] <= 2),
+        q81_band_miss_only),
 }
-
-
-def norm(df):
-    df = df.reindex(sorted(df.columns), axis=1)
-    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
 def main(sf_dir, out_dir, out_json):
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    gate_common.register_views(con, sf_dir)
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     dumps = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
-    # the gate iterates the UNION of dump dirs and oracle keys: a query
-    # that crashed inside graft.Verify (which logs and continues,
-    # writing no dump dir) must surface as a FAIL row here, not vanish
-    names = sorted(set(dumps) | set(oracles))
+    # coverage anchor: the declared surface written by Verify before any
+    # query ran; union with dumps/oracles so nothing can vanish even if
+    # the manifest is absent (older dumps)
+    manifest_path = f"{out_dir}/queries.json"
+    declared = (json.load(open(manifest_path))
+                if os.path.exists(manifest_path) else [])
+    names = sorted(set(dumps) | set(oracles) | set(declared))
     result, n_pass, n_white, n_fail, n_noracle = {}, 0, 0, 0, 0
     for name in names:
         row = {"rows_match": None, "schema_match": None, "hash_match": None,
                "spark_rows": None, "oracle_rows": None, "err": None}
         files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+        got = None
+        exp = None
         try:
             if name not in dumps:
                 raise RuntimeError("no spark dump — query failed in Verify")
@@ -88,22 +101,26 @@ def main(sf_dir, out_dir, out_json):
             row["oracle_rows"] = len(exp)
             row["rows_match"] = len(got) == len(exp)
             row["schema_match"] = sorted(got.columns) == sorted(exp.columns)
-            g, e = norm(got), norm(exp)
-            h1 = pd.util.hash_pandas_object(g, index=False).sum()
-            h2 = pd.util.hash_pandas_object(e, index=False).sum()
-            row["hash_match"] = bool(h1 == h2)
+            row["hash_match"] = bool(
+                gate_common.frame_hash(got) == gate_common.frame_hash(exp))
         except Exception as ex:
             row["err"] = f"{type(ex).__name__}: {ex}"
         ok = row["rows_match"] and row["schema_match"] and row["hash_match"]
         wl = WHITELIST.get((sf_tag, name))
+        wl_hit = False
+        if not ok and wl is not None and got is not None and exp is not None:
+            try:
+                wl_hit = wl[1](row, got, exp)
+            except Exception as ex:
+                print(f"     {name}: whitelist predicate error {ex}")
         if ok:
             n_pass += 1
             print(f"ok   {name} ({row['spark_rows']} rows)")
-        elif wl is not None and wl[1](row):
+        elif wl_hit:
             row["whitelisted"] = True
             row["whitelist_reason"] = wl[0]
             n_white += 1
-            print(f"WL   {name}: diverges as documented "
+            print(f"WL   {name}: diverges exactly as documented "
                   f"(rows {row['spark_rows']} vs {row['oracle_rows']})")
         else:
             n_fail += 1
@@ -115,6 +132,7 @@ def main(sf_dir, out_dir, out_json):
             "generated": datetime.datetime.now(
                 datetime.timezone.utc).isoformat(timespec="seconds"),
             "tool": "tools/second_sf_sweep.py",
+            "declared_manifest": bool(declared),
             "summary": {"pass": n_pass, "whitelisted": n_white,
                         "fail": n_fail, "no_oracle": n_noracle,
                         "total": len(result)}}
