@@ -1099,6 +1099,105 @@ object LlmOps {
           (col("s1") + col("s2") - col("common")), 6))
   }
 
+  /** q173's similarity threshold τ = [[SetSimTauNum]]/[[SetSimTauDen]]
+    * as an exact rational, so every τ-comparison in engine AND oracle is
+    * an integer cross-multiplication (prefix length
+    * `m − ceil(τ·m) + 1`, length filter `τ·max ≤ min`, verification
+    * `J ≥ τ ⇔ (num+den)·common ≥ num·(m1+m2)`) — no float ever touches
+    * the decision, so the two engines cannot diverge by an ulp.
+    * Interpolated into the oracle — one spelling. */
+  private[queries] val SetSimTauNum: Int = 1
+  private[queries] val SetSimTauDen: Int = 2
+
+  /** q173 [EXT]: EXACT set-similarity self-join with lossless
+    * prefix-filter pruning — the PPJoin candidate-generation family
+    * (Xiao, Wang, Lin & Yu, "Efficient Similarity Joins for Near
+    * Duplicate Detection", WWW 2008; Chaudhuri, Ganti & Kaushik's
+    * SSJoin operator, ICDE 2006), completing the surface's candidate-
+    * generation spectrum: q81 prunes PROBABILISTICALLY (LSH banding —
+    * recall < 1 by construction), q88 prunes LOSSILY (df-capped index —
+    * Jaccard over informative shingles only), and q173 prunes
+    * LOSSLESSLY: its output is provably the full uncapped exact-Jaccard
+    * ≥ τ join over each document's complete distinct-shingle set.
+    *
+    * The prefix principle: order the universe of shingles by ascending
+    * global document frequency (rarest first; ties by fingerprint) and
+    * keep, per document, only the first `m − ceil(τ·m) + 1` of its m
+    * set elements. Two sets with J ≥ τ overlap in ≥ ceil(τ·m) elements,
+    * so by pigeonhole their prefixes under ANY shared total order must
+    * intersect — indexing only prefixes loses no qualifying pair, while
+    * the rarest-first choice makes prefix buckets the COLDEST shingles
+    * (a boilerplate shingle with df = corpus lands in nobody's prefix
+    * unless a doc is almost all boilerplate). Candidates additionally
+    * pass the length filter τ·max(m1,m2) ≤ min(m1,m2) (J ≥ τ bounds the
+    * size ratio), then exact verification.
+    *
+    * Engine and oracle deliberately use DIFFERENT tie-orders (xxhash64
+    * fingerprints here — 8-byte join keys, q88's argument; shingle
+    * strings there): the prefix theorem holds under any one consistent
+    * total order, so both prune losslessly and both emit the identical
+    * verified set — the candidate lists differ, the answers cannot.
+    *
+    * 100 TB: no cross join and no df cap needed — candidate work is
+    * Σ over prefix-resident shingles of (prefix-occupancy)², and
+    * rarest-first ordering drives prefix occupancy toward 1; the df
+    * aggregation and the prefix self-join share the shingle key, the
+    * per-doc set assembly and both verification joins share the doc_id
+    * key, so AQE reuses each partitioning. Verification is row-local
+    * (`array_intersect` of the two sorted fingerprint arrays — no
+    * third shuffle on shingles). Memory: per-doc arrays are the
+    * document's DISTINCT shingle fingerprints (8 B each, ~doc tokens),
+    * the same per-row footprint every HOF op in the surface carries. */
+  val q173SetsimJoin: Q = (spark, dir) => {
+    val d = docsWithNearDups(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+    // same shingling spelling as q88 (3-token xxhash64 fingerprints,
+    // per-doc distinct computed NARROW inside the row)
+    val shingles = d.select(col("doc_id"),
+      explode(array_distinct(transform(sequence(lit(1), size(col("toks")) - 2),
+        i => xxhash64(
+          element_at(col("toks"), i),
+          element_at(col("toks"), i + 1),
+          element_at(col("toks"), i + 2)))))
+        .as("sh"))
+    val dfTbl = shingles.groupBy("sh").agg(count(lit(1)).as("df"))
+    // per-doc shingle set, sorted by the global (df, fingerprint)
+    // rarity order — the ONE total order the prefix theorem needs; the
+    // sorted array serves both the prefix slice and (projected to
+    // fingerprints) the row-local verification intersect.
+    // persisted: three consumers (prefix explode + two verify joins)
+    val perDoc = shingles.join(dfTbl, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("arr"))
+      .withColumn("m", size(col("arr")).cast("long"))
+      .withColumn("sset", transform(col("arr"), s => s.getField("sh")))
+      .drop("arr")
+      .scopedPersist
+    val plen = expr(s"cast(m - (($SetSimTauNum * m + ${SetSimTauDen - 1})" +
+      s" div $SetSimTauDen) + 1 as int)")
+    val pref = perDoc.select(col("doc_id"), col("m"),
+      explode(slice(col("sset"), lit(1), plen)).as("sh"))
+    val cand = pref.as("a").join(pref.as("b"), Seq("sh"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .filter(lit(SetSimTauNum) * greatest(col("a.m"), col("b.m")) <=
+        lit(SetSimTauDen) * least(col("a.m"), col("b.m")))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .dropDuplicates("d1", "d2")
+    val verified = cand
+      .join(perDoc.select(col("doc_id").as("d1"),
+        col("sset").as("s1"), col("m").as("m1")), Seq("d1"))
+      .join(perDoc.select(col("doc_id").as("d2"),
+        col("sset").as("s2"), col("m").as("m2")), Seq("d2"))
+      .withColumn("common",
+        size(array_intersect(col("s1"), col("s2"))).cast("long"))
+      .filter(lit(SetSimTauNum + SetSimTauDen) * col("common") >=
+        lit(SetSimTauNum) * (col("m1") + col("m2")))
+    orderAll(verified.select(col("d1"), col("d2"), col("m1"), col("m2"),
+      col("common"),
+      expr("(1000 * common) div (m1 + m2 - common)").as("jacc_pm")))
+  }
+
   /** q169's threshold ladder — percent integers so the compare is
     * `jacc >= pct / 100.0`, one IEEE division both engines spell
     * identically; interpolated into the oracle. */
@@ -2270,6 +2369,7 @@ object LlmOps {
     "q86_token_count" -> q86TokenCount,
     "q87_fingerprint" -> q87Fingerprint,
     "q88_dedup_ngram" -> q88DedupNgram,
+    "q173_setsim_join" -> q173SetsimJoin,
     "q169_dedup_sweep" -> q169DedupSweep,
     "q170_quality_sweep" -> q170QualitySweep,
     "q165_winnow_stats" -> q165WinnowStats,
@@ -3202,6 +3302,55 @@ object LlmOps {
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
         |  4 NULLS FIRST, 5 NULLS FIRST""".stripMargin
     },
+    "q173_setsim_join" ->
+      // the same lossless prefix-filter pruning, spelled over STRING
+      // shingles with string tie-order — a DIFFERENT (but internally
+      // consistent) total order than the engine's fingerprint order;
+      // the prefix theorem makes both prune losslessly, so the verified
+      // outputs are identical even though the candidate sets are not
+      s"""WITH dd AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    string_split(text, ' ')[1:len(string_split(text, ' ')) - 1]
+        |  FROM documents),
+        |docs AS (SELECT * FROM dd WHERE len(toks) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS s
+        |  FROM docs, unnest(range(1, len(toks) - 1)) AS t(i)),
+        |m AS (SELECT doc_id, count(*) AS m FROM sh GROUP BY 1),
+        |df AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+        |ranked AS (
+        |  SELECT t.doc_id, t.s,
+        |    row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.s) AS rn
+        |  FROM sh t JOIN df d USING (s)),
+        |pref AS (
+        |  SELECT r.doc_id, r.s FROM ranked r JOIN m USING (doc_id)
+        |  WHERE rn <= m - (($SetSimTauNum * m + ${SetSimTauDen - 1})
+        |    // $SetSimTauDen) + 1),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id),
+        |candlen AS (
+        |  SELECT c.d1, c.d2, m1.m AS m1, m2.m AS m2
+        |  FROM cand c JOIN m m1 ON m1.doc_id = c.d1
+        |              JOIN m m2 ON m2.doc_id = c.d2
+        |  WHERE $SetSimTauNum * greatest(m1.m, m2.m)
+        |     <= $SetSimTauDen * least(m1.m, m2.m)),
+        |common AS (
+        |  SELECT c.d1, c.d2, c.m1, c.m2, count(*) AS common
+        |  FROM candlen c
+        |  JOIN sh t1 ON t1.doc_id = c.d1
+        |  JOIN sh t2 ON t2.doc_id = c.d2 AND t2.s = t1.s
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT d1, d2, m1, m2, common,
+        |  CAST((1000 * common) // (m1 + m2 - common) AS BIGINT) AS jacc_pm
+        |FROM common
+        |WHERE ${SetSimTauNum + SetSimTauDen} * common
+        |   >= $SetSimTauNum * (m1 + m2)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+        |  4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""".stripMargin,
     "q88_dedup_ngram" ->
       s"""WITH dd AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

@@ -254,7 +254,14 @@ object ScaleProbe {
     // panel-bounded at every k, so wall must track only the fusion +
     // the In-pruned body fetch, never the corpus (a near-flat curve;
     // superlinearity would mean the fetch lost its pushdown)
-    "q172_rerank_cross")
+    "q172_rerank_cross",
+    // round 15: q173's prefix-filtered set-similarity join — salted
+    // copies keep shingle sets disjoint per copy, so per-doc set sizes
+    // and df distributions are k-invariant while doc count grows k×;
+    // superlinearity would mean prefix buckets stopped being
+    // rarest-first (quadratic candidate blowup, the exact failure the
+    // prefix order exists to prevent)
+    "q173_setsim_join")
   private val Ks = Seq(1, 4, 8)
   private val Shift = 9700000L // lcm(97, 10) × 10,000 — residue-preserving
   private val GrowthFactor = 1.5

@@ -741,6 +741,76 @@ class LlmOpsSpec extends SparkSpec {
     assert(at50 == q152keep, s"sweep@50 $at50 != q152 heuristic keep $q152keep")
   }
 
+  test("q173: prefix-filter pruning is LOSSLESS — output equals the unpruned exact-Jaccard join") {
+    // the PPJoin theorem, asserted on the real corpus: recompute the
+    // threshold join with NO prefix filter and NO length filter (every
+    // pair sharing ANY shingle is a candidate) and require row identity
+    val got = LlmOps.q173SetsimJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    val d = graft.queries.t(spark, sf, "documents")
+    val dd = d.unionByName(d
+      .withColumn("doc_id", col("doc_id") + 1000000)
+      .withColumn("text", array_join(
+        slice(split(col("text"), " "), lit(1),
+          size(split(col("text"), " ")) - 1), " ")))
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+    val sh = dd.select(col("doc_id"),
+      explode(array_distinct(transform(
+        sequence(lit(1), size(col("toks")) - 2),
+        i => xxhash64(element_at(col("toks"), i),
+          element_at(col("toks"), i + 1),
+          element_at(col("toks"), i + 2))))).as("sh"))
+    val m = sh.groupBy("doc_id").agg(count(lit(1)).as("m"))
+    val brute = sh.as("a").join(sh.as("b"), Seq("sh"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common"))
+      .join(m.select(col("doc_id").as("d1"), col("m").as("m1")), Seq("d1"))
+      .join(m.select(col("doc_id").as("d2"), col("m").as("m2")), Seq("d2"))
+      .filter(lit(LlmOps.SetSimTauNum + LlmOps.SetSimTauDen) * col("common") >=
+        lit(LlmOps.SetSimTauNum) * (col("m1") + col("m2")))
+      .select(col("d1"), col("d2"), col("m1"), col("m2"), col("common"),
+        expr("(1000 * common) div (m1 + m2 - common)").as("jacc_pm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == brute,
+      s"prefix filter lost/added pairs: ${(brute -- got).take(3)} missing, " +
+        s"${(got -- brute).take(3)} extra (of ${brute.size} exact)")
+    assert(got.nonEmpty, "threshold join empty — fixture degenerated")
+  }
+
+  test("q173: fixture semantics — jacc_pm exact, planted near-dup pair found, unrelated pair absent") {
+    import spark.implicits._
+    val dir = tmpDir("q173docs")
+    // doc 1 and 2 share 3 of their shingles; doc 3 shares none.
+    // 1: shingles {a b c, b c d, c d e}          m=3
+    // 2: shingles {a b c, b c d, c d e, d e x}   m=4
+    //    common=3, J = 3/(3+4-3) = 0.75 >= 0.5; jacc_pm = 750
+    // 3: disjoint content entirely
+    Seq((1L, "a b c d e"), (2L, "a b c d e x"), (3L, "p q r s t u"))
+      .toDF("doc_id", "text")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/documents.parquet")
+    val got = LlmOps.q173SetsimJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // docsWithNearDups also plants id+1e6 last-token-dropped twins:
+    // 1000001 = "a b c d", 1000002 = "a b c d e", 1000003 = "p q r s t u" sans u
+    // spot-check the hand-computed (1,2) pair and the planted (1,1000002)
+    // identity pair (same 3 shingles twice -> J = 1)
+    assert(got.contains((1L, 2L, 3L, 4L, 3L, 750L)),
+      s"missing exact (1,2,m1=3,m2=4,common=3,750): ${got.mkString(";")}")
+    assert(got.contains((1L, 1000002L, 3L, 3L, 3L, 1000L)),
+      s"missing identity pair (1, 1000002): ${got.mkString(";")}")
+    // disjoint docs never pair
+    assert(!got.exists(p => Set(p._1, p._2).contains(3L) &&
+      Set(p._1, p._2).exists(x => x == 1L || x == 2L)),
+      s"disjoint doc 3 paired: ${got.mkString(";")}")
+  }
+
   test("q90 multimodal features are deterministic and complete") {
     val f1 = MultiModal.q90Multimodal(spark, sf).collect()
     val f2 = MultiModal.q90Multimodal(spark, sf).collect()
