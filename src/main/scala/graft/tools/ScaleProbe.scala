@@ -255,6 +255,13 @@ object ScaleProbe {
     // the In-pruned body fetch, never the corpus (a near-flat curve;
     // superlinearity would mean the fetch lost its pushdown)
     "q172_rerank_cross",
+    // round 15: q174's timed reps serve the memoized base-rollup
+    // artifact (built in the untimed warm rep, the q88/q172 pattern) —
+    // what's certified is the REFRESH path: the delta scan + partial
+    // union + |types×days| merge must track the k× event stream
+    // linearly (the artifact read is k-proportional only through the
+    // partial-row count, which is day-bounded)
+    "q174_agg_delta_merge",
     // round 15: q173's prefix-filtered set-similarity join — salted
     // copies keep shingle sets disjoint per copy, so per-doc set sizes
     // and df distributions are k-invariant while doc count grows k×;

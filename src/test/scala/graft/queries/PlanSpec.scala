@@ -378,6 +378,20 @@ class PlanSpec extends SparkSpec {
       s"unexpected join in a map-only round:\n$p")
   }
 
+  test("q174: the delta scan pushes its ts cutoff into parquet and the merge is join-free") {
+    // the incremental-refresh contract at 100 TB: the only raw-events
+    // read in the refresh is the DELTA partition, entered through a
+    // pushed ts >= cutoff predicate (row-group pruning — the base rides
+    // the materialized partial artifact), and the merge path is pure
+    // re-aggregation: partials union and re-agg, no join anywhere
+    val p = plan("q174_agg_delta_merge")
+    assert(p.contains("GreaterThanOrEqual(ts"),
+      s"delta cutoff not pushed into the events scan:\n$p")
+    Seq("CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+      "ShuffledHashJoin", "BroadcastNestedLoopJoin").foreach(j =>
+      assert(!p.contains(j), s"unexpected $j in the merge plan:\n$p"))
+  }
+
   test("q149: the encode pass is map-only — no exchange but the dump sort, no join") {
     // the 100 TB contract of the APPLY side: once the merge list is in
     // hand (the loop's pair counts run in their own earlier actions),

@@ -1647,6 +1647,73 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s103: stateless rerank-feature scoring at ingest matches the oracled q172 batch scores") {
+    // the ONLINE half of the two-stage retrieval stack: production
+    // rerank serving scores arriving documents against the
+    // artifact-served query panel at ingest (index-time feature
+    // tagging) — safe at ingest because it is a pure projection
+    // (graft.streaming.RerankScorer, the s95/s102 shared-constants
+    // convention: the four Composition packing vals are referenced,
+    // never copied). The pin: streaming q172's own candidate bodies
+    // through the row-local fold spelling must reproduce EXACTLY the
+    // DuckDB-oracled q172 batch answer's (n_match, ce_e9) per (query,
+    // doc) — the two spellings (explode+groupBy there, per-row array
+    // fold here) cannot drift without failing this.
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("q172_rerank_cross")(spark, sf)
+      .collect()
+      .map(r => ((r.getInt(0), r.getLong(2)), (r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(batch.nonEmpty, "q172 produced no candidates — fixture degenerated")
+    // the proximity arm (n_match >= 2) and the no-bonus arm must both
+    // occur, or the packing-parity pin is vacuous on one branch
+    assert(batch.values.exists(_._1 >= 2) && batch.values.exists(_._1 < 2),
+      s"candidate matches never cross the proximity threshold both ways: " +
+        s"${batch.values.map(_._1).toSeq.distinct.sorted}")
+    val candIds = batch.keySet.map(_._2)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+      .filter(d => candIds.contains(d._1)).sortBy(_._1)
+    assert(docs.nonEmpty)
+    val panel = graft.streaming.RerankScorer.panelOf(spark, sf)
+    val chunks = docs.grouped((docs.length + 2) / 3).toSeq
+    val in = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.RerankScorer.score(
+        in.toDF().toDF("doc_id", "text"), panel)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("s103_out").start()
+    try {
+      chunks.foreach { c => in.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+      // the stream scores every (doc × panel query); the batch scored
+      // only its fused candidate pairs — restrict to those and require
+      // identical features
+      val got = spark.table("s103_out").collect()
+        .map(r => ((r.getInt(1), r.getLong(0)), (r.getLong(2), r.getLong(6))))
+        .toMap
+      val restricted = got.view.filterKeys(batch.keySet).toMap
+      assert(restricted == batch,
+        s"stream scores diverged from the oracled q172 batch:\n" +
+          s"stream=${restricted.toSeq.sortBy(_._1).take(3)}\n" +
+          s"batch=${batch.toSeq.sortBy(_._1).take(3)}")
+      assert(got.size == docs.length * panel.size,
+        s"expected ${docs.length}×${panel.size} scored rows, got ${got.size}")
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "rerank scoring must not create a state operator")
+    } finally q.stop()
+    // reserved-name guard (the WinnowFingerprinter convention): the
+    // shared entry point refuses a frame already carrying one of its
+    // intermediate names instead of silently clobbering it
+    for (bad <- Seq("pos", "Terms")) {
+      val e = intercept[IllegalArgumentException] {
+        graft.streaming.RerankScorer.score(
+          Seq((1L, "x", 0L)).toDF("doc_id", "text", bad), panel)
+      }
+      assert(e.getMessage.contains(bad),
+        s"reserved-name error for '$bad' names the clash: ${e.getMessage}")
+    }
+  }
+
   test("s94: the minwise panel's CDC stream reconstructs exactly the oracled q137 batch answer") {
     // per-source K-minwise audit sample in transformWithState ListState,
     // emitted as an enter/evict event log (the evict row IS the
