@@ -268,7 +268,14 @@ object ScaleProbe {
     // superlinearity would mean prefix buckets stopped being
     // rarest-first (quadratic candidate blowup, the exact failure the
     // prefix order exists to prevent)
-    "q173_setsim_join")
+    "q173_setsim_join",
+    // round 15: q175's timed reps serve BOTH memoized pair artifacts
+    // (SetSimPairTable + PairTable, built in the untimed warm rep) —
+    // what's certified is the audit's own path: pair-graph-sized joins
+    // + the fp arm's narrow shingle-set projection, all k-linear; a
+    // superlinear row would mean the fp arm's doc-keyed joins left
+    // key-locality
+    "q175_dedup_recall_audit")
   private val Ks = Seq(1, 4, 8)
   private val Shift = 9700000L // lcm(97, 10) × 10,000 — residue-preserving
   private val GrowthFactor = 1.5

@@ -811,6 +811,36 @@ class LlmOpsSpec extends SparkSpec {
       s"disjoint doc 3 paired: ${got.mkString(";")}")
   }
 
+  test("q175: the audit accounts for every pair on both sides, and its memo is fresh-equal") {
+    val rows = LlmOps.q175DedupRecallAudit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    // conservation: Σ n_exact is exactly q173's cardinality, and
+    // Σ (n_found + n_fp) is exactly q88's — every pair of either
+    // universe lands in exactly one band row
+    val nExact = LlmOps.q173SetsimJoin(spark, sf).count()
+    val nFound = LlmOps.q88DedupNgram(spark, sf).count()
+    assert(rows.map(_._2).sum == nExact,
+      s"Σ n_exact ${rows.map(_._2).sum} != q173 $nExact")
+    assert(rows.map(r => r._3 + r._4).sum == nFound,
+      s"Σ (n_found + n_fp) != q88 $nFound: $rows")
+    rows.foreach { case (band, ne, nf, nfp, ppm) =>
+      assert(nf <= ne, s"band $band: found $nf > exact $ne")
+      assert(nfp >= 0 && ne >= 0)
+      assert((ppm == 1000000L) == (ne > 0 && nf == ne),
+        s"band $band: ppm $ppm inconsistent with $nf/$ne")
+      if (ne == 0) assert(ppm == 0L, s"band $band: ppm $ppm with no exact pairs")
+    }
+    // the ground-truth artifact serves memoized ≡ fresh (the PairTable
+    // convention pin)
+    val memo = orderAll(LlmOps.SetSimPairTable.of(spark, sf))
+      .collect().map(_.toString).toSeq
+    val fresh = orderAll(LlmOps.SetSimPairTable.fresh(spark, sf))
+      .collect().map(_.toString).toSeq
+    assert(memo == fresh, "parquet-served setsim pairs diverged from fresh derivation")
+  }
+
   test("q90 multimodal features are deterministic and complete") {
     val f1 = MultiModal.q90Multimodal(spark, sf).collect()
     val f2 = MultiModal.q90Multimodal(spark, sf).collect()
