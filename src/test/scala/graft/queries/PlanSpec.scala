@@ -383,7 +383,13 @@ class PlanSpec extends SparkSpec {
     // read in the refresh is the DELTA partition, entered through a
     // pushed ts >= cutoff predicate (row-group pruning — the base rides
     // the materialized partial artifact), and the merge path is pure
-    // re-aggregation: partials union and re-agg, no join anywhere
+    // re-aggregation: partials union and re-agg, no join anywhere.
+    // Drain scoped caches first: a prior suite's scopedPersist of the
+    // events frame (q122's) otherwise serves this plan's scan from an
+    // InMemoryRelation, where the pushed-parquet-filter line the pin
+    // asserts cannot appear (the filter IS still pushed — into the
+    // InMemoryTableScan — but the evidence string is scan-specific)
+    graft.core.CacheScope.drain()
     val p = plan("q174_agg_delta_merge")
     assert(p.contains("GreaterThanOrEqual(ts"),
       s"delta cutoff not pushed into the events scan:\n$p")
