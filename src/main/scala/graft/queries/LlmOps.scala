@@ -1161,7 +1161,14 @@ object LlmOps {
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
     // same shingling spelling as q88 (3-token xxhash64 fingerprints,
-    // per-doc distinct computed NARROW inside the row)
+    // per-doc distinct computed NARROW inside the row).
+    // persisted, q88's measured precedent (ngramPairJaccard): consumed
+    // by the df aggregation AND the df-attach join below — unpersisted,
+    // AQE's runtime broadcast of the join side breaks the ReuseExchange
+    // the two sh-keyed subtrees would otherwise share, and the
+    // tokenize+hash+explode pass over the corpus runs TWICE (visible in
+    // the r15 before-plan: two Generate-over-Union subtrees, one under
+    // the BroadcastExchange, one under the df agg's Exchange)
     val shingles = d.select(col("doc_id"),
       explode(array_distinct(transform(sequence(lit(1), size(col("toks")) - 2),
         i => xxhash64(
@@ -1169,6 +1176,7 @@ object LlmOps {
           element_at(col("toks"), i + 1),
           element_at(col("toks"), i + 2)))))
         .as("sh"))
+      .scopedPersist
     val dfTbl = shingles.groupBy("sh").agg(count(lit(1)).as("df"))
     // per-doc shingle set, sorted by the global (df, fingerprint)
     // rarity order — the ONE total order the prefix theorem needs; the

@@ -782,6 +782,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.nonEmpty, "threshold join empty — fixture degenerated")
   }
 
+  test("q173: the shingle stream and the df-ordered per-doc table are both scope-persisted") {
+    // r15 optimization pin: the exploded (doc_id, sh) stream feeds the
+    // df aggregation AND the df-attach join — unpersisted, AQE's
+    // runtime broadcast of the join side broke the ReuseExchange the
+    // two sh-keyed subtrees shared and the corpus tokenize+hash ran
+    // twice (q88's measured defect class; solo floor 3.3 -> 2.5-2.7 s
+    // at sf0.1 with the persist). Registration with CacheScope is the
+    // mechanism: exactly the two scoped caches (shingles, perDoc) must
+    // ride one q173 build so the bench's per-query drain reclaims them.
+    graft.core.CacheScope.drain()
+    LlmOps.q173SetsimJoin(spark, sf).count()
+    assert(graft.core.CacheScope.size >= 2,
+      s"expected >= 2 scoped caches (shingle stream + per-doc table), " +
+        s"got ${graft.core.CacheScope.size}")
+    graft.core.CacheScope.drain()
+  }
+
   test("q173: fixture semantics — jacc_pm exact, planted near-dup pair found, unrelated pair absent") {
     import spark.implicits._
     val dir = tmpDir("q173docs")
